@@ -1,0 +1,144 @@
+"""SRVGGNetCompact — the Real-ESRGAN compact VGG-style super-resolution net.
+
+This is the network inside the `realesr-animevideov3` model that the reference
+(ONdraid/reve) runs by shelling out to `realesrgan-ncnn-vulkan`
+(reve-shared/src/lib.rs:134-147 invokes `-n realesr-animevideov3-x2 -s <ratio>`).
+Here it is a pure-functional JAX model: `init_params` builds a parameter
+pytree, `apply` is a jit-compatible forward pass.
+
+Architecture (matches upstream Real-ESRGAN `SRVGGNetCompact`):
+
+    conv3x3(in_ch -> num_feat), PReLU
+    num_conv x [ conv3x3(num_feat -> num_feat), PReLU ]
+    conv3x3(num_feat -> out_ch * scale^2)
+    pixel_shuffle(scale)
+    + nearest-neighbor-upsampled input (residual)
+
+Layout notes (TPU-first):
+  * NHWC activations, HWIO weights — the layouts XLA's TPU conv emitter wants.
+  * Compute dtype is configurable: float32 for quality validation, bfloat16
+    for production throughput on the MXU. Accumulation is always float32
+    (`preferred_element_type`).
+  * The whole forward is a static-shape function of (B, H, W, C) so XLA can
+    tile every conv onto the MXU; arbitrary resolutions are handled one level
+    up by `reve_tpu.ops.tiling` (halo-padded spatial tiles).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reve_tpu.ops.pixel_shuffle import pixel_shuffle
+from reve_tpu.ops.resize import upsample_nearest
+
+
+@dataclasses.dataclass(frozen=True)
+class SRVGGConfig:
+    """Static hyper-parameters of a SRVGGNetCompact variant.
+
+    `realesr-animevideov3` (the reference's only shipped model,
+    /root/reference/README.md:52) is num_feat=64, num_conv=16 with
+    upscale in {2, 3, 4}; `realesr-general-x4v3` is num_conv=32, upscale=4.
+    """
+
+    num_in_ch: int = 3
+    num_out_ch: int = 3
+    num_feat: int = 64
+    num_conv: int = 16
+    upscale: int = 2
+
+    @property
+    def num_body_convs(self) -> int:
+        # first conv + num_conv hidden convs + last conv
+        return self.num_conv + 2
+
+
+Params = Dict[str, Any]
+
+
+def init_params(key: jax.Array, cfg: SRVGGConfig, dtype=jnp.float32) -> Params:
+    """Deterministic Kaiming-style init (matches torch's default conv init
+    closely enough for tests; real deployments load published weights via
+    reve_tpu.weights)."""
+    params: Params = {"convs": [], "prelus": []}
+    chans = (
+        [(cfg.num_in_ch, cfg.num_feat)]
+        + [(cfg.num_feat, cfg.num_feat)] * cfg.num_conv
+        + [(cfg.num_feat, cfg.num_out_ch * cfg.upscale * cfg.upscale)]
+    )
+    keys = jax.random.split(key, len(chans))
+    for k, (cin, cout) in zip(keys, chans):
+        wkey, bkey = jax.random.split(k)
+        fan_in = cin * 9
+        bound = 1.0 / np.sqrt(fan_in)
+        w = jax.random.uniform(wkey, (3, 3, cin, cout), dtype, -bound, bound)
+        b = jax.random.uniform(bkey, (cout,), dtype, -bound, bound)
+        params["convs"].append({"w": w, "b": b})
+    # one PReLU after every conv except the last
+    for _ in range(cfg.num_conv + 1):
+        params["prelus"].append({"alpha": jnp.full((cfg.num_feat,), 0.25, dtype)})
+    return params
+
+
+def _conv3x3(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """SAME conv3x3, NHWC x HWIO -> NHWC, f32 accumulation on the MXU.
+
+    When the compute dtype is float32 we force Precision.HIGHEST: the TPU MXU
+    otherwise decomposes f32 matmuls into bf16 passes (~2e-3 abs error vs a
+    true f32 conv), which would eat the PSNR>=50dB quality budget. bfloat16
+    inputs already use the native bf16 MXU path.
+    """
+    precision = (
+        jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    )
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    return (y + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def _prelu(x: jax.Array, alpha: jax.Array) -> jax.Array:
+    a = alpha.astype(x.dtype)
+    return jnp.maximum(x, 0) + a * jnp.minimum(x, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def apply(params: Params, x: jax.Array, *, cfg: SRVGGConfig,
+          compute_dtype=jnp.float32) -> jax.Array:
+    """Forward pass.
+
+    Args:
+      params: pytree from `init_params` / `reve_tpu.weights` loaders.
+      x: (B, H, W, C) float in [0, 1].
+      cfg: static model config.
+      compute_dtype: jnp.float32 or jnp.bfloat16.
+
+    Returns:
+      (B, H*scale, W*scale, C) float32 in ~[0, 1] (not clipped).
+    """
+    orig = x
+    h = x.astype(compute_dtype)
+    convs, prelus = params["convs"], params["prelus"]
+    h = _prelu(_conv3x3(h, convs[0]["w"].astype(compute_dtype), convs[0]["b"]),
+               prelus[0]["alpha"])
+    for i in range(cfg.num_conv):
+        h = _prelu(
+            _conv3x3(h, convs[i + 1]["w"].astype(compute_dtype), convs[i + 1]["b"]),
+            prelus[i + 1]["alpha"],
+        )
+    h = _conv3x3(h, convs[-1]["w"].astype(compute_dtype), convs[-1]["b"])
+    out = pixel_shuffle(h, cfg.upscale)
+    base = upsample_nearest(orig, cfg.upscale)
+    return out.astype(jnp.float32) + base.astype(jnp.float32)
