@@ -1,0 +1,142 @@
+"""Model registry: reference-compatible model names -> (arch config, weights).
+
+The reference selects models by name string: the CLI hardcodes
+`realesr-animevideov3-x2` with the real ratio in `-s`
+(reve-shared/src/lib.rs:140-143); the GUI whitelists `realesr-animevideov3`
+and `realesr-realvideo` (reve-gui/src-tauri/src/configuration.rs:28-39).
+This registry accepts all those spellings plus upstream Real-ESRGAN names.
+
+Weight resolution order:
+  1. explicit `weights=` path (.pth, or .param with sibling .bin)
+  2. `<models_dir>/<canonical-name>.{pth,param+bin}` for each dir in
+     REVE_TPU_MODELS_DIR / ./models
+  3. deterministic random init (seed 0) with a loud warning — correctness
+     and perf paths still run; output is not a trained upscale.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Optional, Tuple
+
+import jax
+
+from reve_tpu.models.srvgg import SRVGGConfig, init_params
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    arch: str                # "srvgg" | "rrdb"
+    canonical: str           # canonical weight-file stem
+    num_feat: int
+    num_conv: int            # srvgg: hidden convs; rrdb: num blocks
+    upscale: Optional[int]   # None -> taken from request (-s flag)
+
+
+_SPECS = {
+    # reference's shipped family (README.md:52): XS-size SRVGG, scale by name
+    "realesr-animevideov3": ModelSpec("srvgg", "realesr-animevideov3", 64, 16, None),
+    # GUI alias (configuration.rs:28-39) — maps to the same net in reference
+    "realesr-realvideo": ModelSpec("srvgg", "realesr-animevideov3", 64, 16, None),
+    # upstream general model, S-size SRVGG
+    "realesr-general-x4v3": ModelSpec("srvgg", "realesr-general-x4v3", 64, 32, 4),
+    # RRDBNet stretch models (BASELINE.json config #4)
+    "realesrgan-x4plus": ModelSpec("rrdb", "RealESRGAN_x4plus", 64, 23, 4),
+    "realesrgan-x4plus-anime": ModelSpec("rrdb", "RealESRGAN_x4plus_anime_6B", 64, 6, 4),
+}
+
+
+def parse_model_name(name: str) -> Tuple[ModelSpec, Optional[int]]:
+    """Accepts 'realesr-animevideov3', 'realesr-animevideov3-x2', etc."""
+    base, scale = name, None
+    if name[-3:-1] == "-x" and name[-1].isdigit():
+        base, scale = name[:-3], int(name[-1])
+    if base not in _SPECS and name in _SPECS:
+        base, scale = name, None
+    if base not in _SPECS:
+        raise ValueError(
+            f"unknown model {name!r}; known: {sorted(_SPECS)}"
+        )
+    spec = _SPECS[base]
+    if spec.upscale is not None:
+        scale = spec.upscale
+    return spec, scale
+
+
+def _search_dirs():
+    dirs = []
+    env = os.environ.get("REVE_TPU_MODELS_DIR")
+    if env:
+        dirs.extend(env.split(":"))
+    dirs.append("models")
+    return dirs
+
+
+def _find_weight_files(stem: str):
+    for d in _search_dirs():
+        pth = os.path.join(d, stem + ".pth")
+        if os.path.exists(pth):
+            return ("pth", pth)
+        par = os.path.join(d, stem + ".param")
+        if os.path.exists(par) and os.path.exists(os.path.join(d, stem + ".bin")):
+            return ("ncnn", par)
+    return None
+
+
+def load_model(name: str, scale: Optional[int] = None,
+               weights: Optional[str] = None):
+    """Resolve a model name (+ requested scale) to (cfg, params).
+
+    Returns (SRVGGConfig, params) for srvgg archs; ("rrdb" specs resolve via
+    reve_tpu.models.rrdb once weights are provided).
+    """
+    spec, name_scale = parse_model_name(name)
+    scale = scale or name_scale or 2
+    if spec.arch != "srvgg":
+        from reve_tpu.models import rrdb
+
+        return rrdb.load_model(spec, scale, weights)
+
+    stem = spec.canonical
+    if spec.upscale is None:
+        stem = f"{stem}-x{scale}"
+
+    if weights:
+        if weights.endswith(".param"):
+            found = ("ncnn", weights)
+        elif weights.endswith(".bin"):
+            found = ("ncnn", weights[:-4] + ".param")
+        else:
+            found = ("pth", weights)
+    else:
+        found = _find_weight_files(stem) or _find_weight_files(spec.canonical)
+
+    if found is None:
+        log.warning(
+            "no weights found for %s (searched %s); using deterministic "
+            "random init — output will not be a trained upscale",
+            stem, _search_dirs(),
+        )
+        cfg = SRVGGConfig(
+            num_feat=spec.num_feat, num_conv=spec.num_conv, upscale=scale
+        )
+        return cfg, init_params(jax.random.key(0), cfg)
+
+    kind, path = found
+    if kind == "ncnn":
+        from reve_tpu.weights import ncnn
+
+        cfg, params = ncnn.load_files(path, path[:-6] + ".bin")
+    else:
+        from reve_tpu.weights.torch_loader import load_srvgg_pth
+
+        cfg, params = load_srvgg_pth(path)
+    if cfg.upscale != scale:
+        raise ValueError(
+            f"weights at {path} are x{cfg.upscale} but x{scale} was requested"
+        )
+    return cfg, params

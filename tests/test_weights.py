@@ -1,0 +1,155 @@
+"""Weight loading: synthetic ncnn .param/.bin and torch .pth round-trips."""
+
+import struct
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from reve_tpu.models import srvgg, registry
+from reve_tpu.weights import ncnn
+
+
+def make_ncnn_srvgg(cfg: srvgg.SRVGGConfig, params, fp16=True):
+    """Serialize a params pytree into ncnn .param text + .bin bytes, the
+    layout realesrgan-ncnn-vulkan's models use."""
+    lines = ["7767517"]
+    layers = []
+    blobs = ["data"]
+
+    def add(line):
+        layers.append(line)
+
+    add("Input            input    0 1 data")
+    bin_parts = []
+
+    def emit_conv(i, w_hwio, b):
+        o = w_hwio.shape[-1]
+        cin = w_hwio.shape[2]
+        wsize = o * cin * 9
+        inb, outb = blobs[-1], f"conv{i}_out"
+        blobs.append(outb)
+        add(
+            f"Convolution      conv{i}   1 1 {inb} {outb} "
+            f"0={o} 1=3 11=3 2=1 3=1 4=1 5=1 6={wsize}"
+        )
+        w_oihw = np.transpose(np.asarray(w_hwio), (3, 2, 0, 1)).astype(np.float32)
+        if fp16:
+            bin_parts.append(struct.pack("<I", 0x01306B47))
+            data = w_oihw.astype("<f2").tobytes()
+            bin_parts.append(data)
+            if len(data) % 4:
+                bin_parts.append(b"\0" * (4 - len(data) % 4))
+        else:
+            bin_parts.append(struct.pack("<I", 0))
+            bin_parts.append(w_oihw.astype("<f4").tobytes())
+        bin_parts.append(np.asarray(b).astype("<f4").tobytes())
+
+    def emit_prelu(i, alpha):
+        inb, outb = blobs[-1], f"prelu{i}_out"
+        blobs.append(outb)
+        add(f"PReLU            prelu{i}  1 1 {inb} {outb} 0={len(alpha)}")
+        bin_parts.append(np.asarray(alpha).astype("<f4").tobytes())
+
+    convs, prelus = params["convs"], params["prelus"]
+    emit_conv(0, convs[0]["w"], convs[0]["b"])
+    emit_prelu(0, prelus[0]["alpha"])
+    for i in range(cfg.num_conv):
+        emit_conv(i + 1, convs[i + 1]["w"], convs[i + 1]["b"])
+        emit_prelu(i + 1, prelus[i + 1]["alpha"])
+    emit_conv(len(convs) - 1, convs[-1]["w"], convs[-1]["b"])
+    add(f"PixelShuffle     shuf     1 1 {blobs[-1]} shuf_out 0={cfg.upscale}")
+    add("Interp           up       1 1 data up_out "
+        f"0=1 1={cfg.upscale}.0 2={cfg.upscale}.0")
+    add("BinaryOp         add      2 1 shuf_out up_out out 0=0")
+    param_text = "\n".join(
+        ["7767517", f"{len(layers)} {len(blobs) + 3}"] + layers
+    )
+    return param_text, b"".join(bin_parts)
+
+
+@pytest.mark.parametrize("fp16", [False, True])
+def test_ncnn_roundtrip(fp16):
+    cfg = srvgg.SRVGGConfig(num_conv=2, num_feat=8, upscale=3)
+    params = srvgg.init_params(jax.random.key(42), cfg)
+    param_text, bin_data = make_ncnn_srvgg(cfg, params, fp16=fp16)
+
+    net = ncnn.load_srvgg(param_text, bin_data)
+    assert net.upscale == 3 and net.num_feat == 8 and net.num_conv == 2
+    cfg2, params2 = ncnn.to_params(net)
+    assert cfg2 == cfg
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 12, 12, 3), jnp.float32)
+    y1 = srvgg.apply(params, x, cfg=cfg)
+    y2 = srvgg.apply(params2, x, cfg=cfg2)
+    tol = 2e-3 if fp16 else 1e-7  # fp16 storage rounds weights
+    assert float(jnp.abs(y1 - y2).max()) < tol
+
+
+def test_pth_roundtrip(tmp_path):
+    torch = pytest.importorskip("torch")
+    from reve_tpu.weights.torch_loader import load_srvgg_pth
+
+    cfg = srvgg.SRVGGConfig(num_conv=2, num_feat=8, upscale=2)
+    params = srvgg.init_params(jax.random.key(7), cfg)
+
+    # Build the upstream-style state dict (body.N alternating conv/prelu).
+    sd = {}
+    convs, prelus = params["convs"], params["prelus"]
+    order = [("conv", 0), ("prelu", 0)]
+    for i in range(cfg.num_conv):
+        order += [("conv", i + 1), ("prelu", i + 1)]
+    order += [("conv", len(convs) - 1)]
+    for n, (kind, idx) in enumerate(order):
+        if kind == "conv":
+            w = np.transpose(np.asarray(convs[idx]["w"]), (3, 2, 0, 1))
+            sd[f"body.{n}.weight"] = torch.from_numpy(w.copy())
+            sd[f"body.{n}.bias"] = torch.from_numpy(
+                np.asarray(convs[idx]["b"]).copy()
+            )
+        else:
+            sd[f"body.{n}.weight"] = torch.from_numpy(
+                np.asarray(prelus[idx]["alpha"]).copy()
+            )
+    path = tmp_path / "model.pth"
+    torch.save({"params": sd}, str(path))
+
+    cfg2, params2 = load_srvgg_pth(str(path))
+    assert cfg2 == cfg
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 10, 14, 3), jnp.float32)
+    y1 = srvgg.apply(params, x, cfg=cfg)
+    y2 = srvgg.apply(params2, x, cfg=cfg2)
+    assert float(jnp.abs(y1 - y2).max()) < 1e-7
+
+
+def test_registry_names():
+    spec, scale = registry.parse_model_name("realesr-animevideov3-x2")
+    assert spec.arch == "srvgg" and scale == 2
+    spec, scale = registry.parse_model_name("realesr-animevideov3")
+    assert scale is None
+    spec, scale = registry.parse_model_name("realesr-general-x4v3")
+    assert scale == 4 and spec.num_conv == 32
+    with pytest.raises(ValueError):
+        registry.parse_model_name("nope")
+
+
+def test_registry_random_fallback(caplog):
+    import logging
+
+    with caplog.at_level(logging.WARNING):
+        cfg, params = registry.load_model("realesr-animevideov3", scale=2)
+    assert cfg.upscale == 2 and cfg.num_conv == 16
+    assert any("random init" in r.message for r in caplog.records)
+
+
+def test_registry_loads_ncnn_from_models_dir(tmp_path, monkeypatch):
+    cfg = srvgg.SRVGGConfig(num_conv=2, num_feat=8, upscale=2)
+    params = srvgg.init_params(jax.random.key(3), cfg)
+    param_text, bin_data = make_ncnn_srvgg(cfg, params)
+    stem = tmp_path / "realesr-animevideov3-x2"
+    stem.with_suffix(".param").write_text(param_text)
+    stem.with_suffix(".bin").write_bytes(bin_data)
+    monkeypatch.setenv("REVE_TPU_MODELS_DIR", str(tmp_path))
+    cfg2, _ = registry.load_model("realesr-animevideov3", scale=2)
+    assert cfg2.num_conv == 2  # proves it loaded our files, not the default
