@@ -1,0 +1,232 @@
+"""Frame readers: decode exact frame ranges as RGB uint8 numpy arrays.
+
+Replaces the reference's decode stage, which dumps segments to PNG files via
+an ffmpeg subprocess and compensates for seek inaccuracy with off-by-one
+hacks (seek 1 frame early: reve-shared/src/lib.rs:94-98; last segment sized
+remainder-1: lib.rs:282-289).  All readers here are **frame-exact**: a
+request for [start, stop) yields exactly those frames, so the planner needs
+no compensation and concat has zero duplicated/dropped frames (SURVEY.md §2.5).
+
+Backends:
+  * FfmpegPipeReader — ffmpeg subprocess piping rawvideo RGB over stdout
+    (production path when ffmpeg exists; no PNG disk round-trip).
+  * Cv2Reader       — OpenCV VideoCapture (bundled FFmpeg), default here.
+  * Y4MReader       — uncompressed .y4m, hermetic tests without codecs.
+  * SyntheticReader — procedural frames for tests/benchmarks.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class FrameReader:
+    """Iterate RGB uint8 (H, W, 3) frames for [start, stop)."""
+
+    def read_range(self, start: int, stop: int) -> Iterator[np.ndarray]:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class Cv2Reader(FrameReader):
+    """OpenCV-based reader; frame-exact via sequential decode.
+
+    Seeks only move *backwards* via CAP_PROP_POS_FRAMES (container-dependent
+    but keyframe-snapped + forward-decode in OpenCV's FFmpeg backend);
+    forward motion always decodes sequentially, so ranges are exact.
+    """
+
+    def __init__(self, path: str):
+        import cv2
+
+        self._cv2 = cv2
+        self.path = path
+        self.cap = cv2.VideoCapture(path)
+        if not self.cap.isOpened():
+            raise RuntimeError(f"cannot open video {path!r}")
+        self._pos = 0
+
+    def read_range(self, start: int, stop: int) -> Iterator[np.ndarray]:
+        cv2 = self._cv2
+        if start < self._pos:
+            self.cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+            self._pos = 0
+        while self._pos < start:  # skip-decode up to start
+            ok, _ = self.cap.read()
+            if not ok:
+                return
+            self._pos += 1
+        while self._pos < stop:
+            ok, frame = self.cap.read()
+            if not ok:
+                return
+            self._pos += 1
+            yield np.ascontiguousarray(frame[:, :, ::-1])  # BGR -> RGB
+
+    def close(self):
+        self.cap.release()
+
+
+class FfmpegPipeReader(FrameReader):
+    """ffmpeg subprocess piping rawvideo rgb24 frames over stdout.
+
+    Frame-exact range decode uses the trim filter by frame index — no
+    timestamp seeks, so no off-by-one compensation needed.
+    """
+
+    def __init__(self, path: str, width: int, height: int,
+                 ffmpeg: Optional[str] = None):
+        self.path = path
+        self.width = width
+        self.height = height
+        self.ffmpeg = ffmpeg or shutil.which("ffmpeg")
+        if not self.ffmpeg:
+            raise RuntimeError("ffmpeg binary not found")
+        self._proc: Optional[subprocess.Popen] = None
+
+    def read_range(self, start: int, stop: int) -> Iterator[np.ndarray]:
+        frame_bytes = self.width * self.height * 3
+        cmd = [
+            self.ffmpeg, "-v", "error", "-i", self.path,
+            "-vf", f"trim=start_frame={start}:end_frame={stop}",
+            "-f", "rawvideo", "-pix_fmt", "rgb24", "-",
+        ]
+        self._proc = subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL
+        )
+        try:
+            for _ in range(stop - start):
+                buf = self._proc.stdout.read(frame_bytes)
+                if len(buf) < frame_bytes:
+                    break
+                yield np.frombuffer(buf, np.uint8).reshape(
+                    self.height, self.width, 3
+                )
+        finally:
+            self._proc.stdout.close()
+            self._proc.wait()
+            self._proc = None
+
+    def close(self):
+        if self._proc is not None:
+            self._proc.kill()
+            self._proc.wait()
+
+
+class Y4MReader(FrameReader):
+    """Uncompressed YUV4MPEG2 (.y4m) reader — 420 chroma, 8-bit.
+
+    Exists so pipeline/resume tests run hermetically with zero codec
+    dependencies (the fake-backend strategy SURVEY.md §4 prescribes).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as f:
+            header = f.readline().decode()
+            self._data_start = f.tell()
+        if not header.startswith("YUV4MPEG2"):
+            raise ValueError(f"not a y4m file: {path!r}")
+        self.width = self.height = 0
+        self.fps = (30, 1)
+        for tok in header.split()[1:]:
+            if tok[0] == "W":
+                self.width = int(tok[1:])
+            elif tok[0] == "H":
+                self.height = int(tok[1:])
+            elif tok[0] == "F":
+                n, d = tok[1:].split(":")
+                self.fps = (int(n), int(d))
+            elif tok[0] == "C" and not tok[1:].startswith("420"):
+                raise ValueError(f"only 420 chroma supported, got {tok}")
+        self._frame_size = self.width * self.height * 3 // 2
+
+    def frame_count(self) -> int:
+        size = os.path.getsize(self.path) - self._data_start
+        per = self._frame_size + len(b"FRAME\n")
+        return size // per
+
+    def read_range(self, start: int, stop: int) -> Iterator[np.ndarray]:
+        from reve_tpu.ops import color
+        import jax.numpy as jnp
+
+        h, w = self.height, self.width
+        per = self._frame_size + len(b"FRAME\n")
+        with open(self.path, "rb") as f:
+            f.seek(self._data_start + start * per)
+            for _ in range(stop - start):
+                marker = f.read(6)
+                if not marker.startswith(b"FRAME"):
+                    return
+                raw = f.read(self._frame_size)
+                if len(raw) < self._frame_size:
+                    return
+                y = np.frombuffer(raw[: h * w], np.uint8).reshape(h, w)
+                u = np.frombuffer(
+                    raw[h * w: h * w * 5 // 4], np.uint8
+                ).reshape(h // 2, w // 2)
+                v = np.frombuffer(raw[h * w * 5 // 4:], np.uint8).reshape(
+                    h // 2, w // 2
+                )
+                rgb = color.yuv420_to_rgb(
+                    jnp.asarray(y[None]), jnp.asarray(u[None]),
+                    jnp.asarray(v[None]), matrix="bt601",
+                )
+                yield np.clip(
+                    np.asarray(rgb[0]) * 255.0 + 0.5, 0, 255
+                ).astype(np.uint8)
+
+
+class SyntheticReader(FrameReader):
+    """Deterministic procedural frames (moving gradient + frame index stripe).
+
+    Frame content encodes the frame index, so pipeline tests can assert
+    frame-exactness end to end.
+    """
+
+    def __init__(self, width: int, height: int, num_frames: int):
+        self.width = width
+        self.height = height
+        self.num_frames = num_frames
+
+    @staticmethod
+    def frame(index: int, height: int, width: int) -> np.ndarray:
+        yy, xx = np.mgrid[0:height, 0:width]
+        r = ((xx * 255) // max(width - 1, 1) + index * 7) % 256
+        g = ((yy * 255) // max(height - 1, 1) + index * 13) % 256
+        b = np.full_like(r, index % 256)
+        return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+    def read_range(self, start: int, stop: int) -> Iterator[np.ndarray]:
+        for i in range(start, min(stop, self.num_frames)):
+            yield self.frame(i, self.height, self.width)
+
+
+def open_reader(path: str, *, backend: Optional[str] = None,
+                width: int = 0, height: int = 0) -> FrameReader:
+    """Open the best available reader for `path`.
+
+    backend: None (auto: ffmpeg pipe if binary exists, else cv2) |
+             'ffmpeg' | 'cv2' | 'y4m'.
+    """
+    if path.endswith(".y4m") or backend == "y4m":
+        return Y4MReader(path)
+    if backend in (None, "ffmpeg") and shutil.which("ffmpeg"):
+        if width and height:
+            return FfmpegPipeReader(path, width, height)
+    if backend == "ffmpeg":
+        raise RuntimeError("ffmpeg backend requested but binary not found")
+    return Cv2Reader(path)

@@ -1,0 +1,189 @@
+"""Frame writers: encode RGB frames into video segment files.
+
+Replaces the reference's encode stage (`ffmpeg -f image2 ... -c:v libx265
+-pix_fmt yuv420p10le -crf -preset -x265-params`, reve-cli/src/main.rs:306-328)
+with in-memory frame feeds:
+
+  * FfmpegX265Writer — pipes rawvideo yuv420p10le into ffmpeg/libx265 with
+    the reference's exact crf/preset/x265-params knobs (production path,
+    gated on the ffmpeg binary existing).
+  * Cv2Writer        — OpenCV VideoWriter (bundled FFmpeg). Codec negotiated
+    from what the build supports (this image: mp4v / MJPG / FFV1 / VP9).
+  * Y4MWriter        — uncompressed, for hermetic tests.
+"""
+
+from __future__ import annotations
+
+import fractions
+import shutil
+import subprocess
+from typing import Optional, Sequence
+
+import numpy as np
+
+from reve_tpu.io.probe import VideoInfo  # noqa: F401  (re-export convenience)
+
+
+class FrameWriter:
+    """Consume RGB uint8 (H, W, 3) frames into a video file."""
+
+    def write(self, frame: np.ndarray) -> None:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class EncodeSettings:
+    """The reference's encode knob set (reve-shared/src/lib.rs:228-246)."""
+
+    def __init__(self, crf: int = 15, preset: str = "slow",
+                 x265_params: str = "psy-rd=2:aq-strength=1:deblock=0,0:bframes=8",
+                 pix_fmt: str = "yuv420p10le"):
+        self.crf = crf
+        self.preset = preset
+        self.x265_params = x265_params
+        self.pix_fmt = pix_fmt
+
+
+class FfmpegX265Writer(FrameWriter):
+    """rawvideo yuv420p10le -> ffmpeg libx265, frame-exact, no temp files.
+
+    10-bit conversion happens on TPU via reve_tpu.ops.color.rgb_to_yuv420
+    when frames arrive as device arrays; uint8 RGB numpy input is converted
+    host-side here.
+    """
+
+    def __init__(self, path: str, width: int, height: int,
+                 fps: fractions.Fraction, settings: EncodeSettings,
+                 ffmpeg: Optional[str] = None):
+        self.ffmpeg = ffmpeg or shutil.which("ffmpeg")
+        if not self.ffmpeg:
+            raise RuntimeError("ffmpeg binary not found")
+        self.width, self.height = width, height
+        cmd = [
+            self.ffmpeg, "-v", "error", "-y",
+            "-f", "rawvideo", "-pix_fmt", "yuv420p10le",
+            "-s", f"{width}x{height}",
+            "-r", f"{fps.numerator}/{fps.denominator}",
+            "-i", "-",
+            "-c:v", "libx265",
+            "-pix_fmt", settings.pix_fmt,
+            "-crf", str(settings.crf),
+            "-preset", settings.preset,
+            "-x265-params", settings.x265_params,
+            path,
+        ]
+        self._proc = subprocess.Popen(
+            cmd, stdin=subprocess.PIPE, stderr=subprocess.DEVNULL
+        )
+
+    def write_yuv420p10(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+        """Write pre-converted 10-bit planes (uint16 little-endian)."""
+        for plane in (y, u, v):
+            self._proc.stdin.write(
+                np.ascontiguousarray(plane, dtype="<u2").tobytes()
+            )
+
+    def write(self, frame: np.ndarray) -> None:
+        import jax.numpy as jnp
+
+        from reve_tpu.ops import color
+
+        rgb = jnp.asarray(frame, jnp.float32) / 255.0
+        y, u, v = color.rgb_to_yuv420(rgb[None], bits=10)
+        self.write_yuv420p10(
+            np.asarray(y[0]), np.asarray(u[0]), np.asarray(v[0])
+        )
+
+    def close(self):
+        if self._proc.stdin and not self._proc.stdin.closed:
+            self._proc.stdin.close()
+        ret = self._proc.wait()
+        if ret != 0:
+            raise RuntimeError(f"ffmpeg encoder exited with {ret}")
+
+
+class Cv2Writer(FrameWriter):
+    """OpenCV VideoWriter fallback (no ffmpeg binary needed)."""
+
+    #: preference order; first that opens wins
+    CODECS: Sequence[str] = ("avc1", "hev1", "vp09", "mp4v")
+
+    def __init__(self, path: str, width: int, height: int,
+                 fps: fractions.Fraction, codec: Optional[str] = None):
+        import cv2
+
+        self._cv2 = cv2
+        self.width, self.height = width, height
+        candidates = [codec] if codec else list(self.CODECS)
+        self.writer = None
+        for cc in candidates:
+            w = cv2.VideoWriter(
+                path, cv2.VideoWriter_fourcc(*cc), float(fps), (width, height)
+            )
+            if w.isOpened():
+                self.writer = w
+                self.codec = cc
+                break
+            w.release()
+        if self.writer is None:
+            raise RuntimeError(
+                f"no usable cv2 codec among {candidates} for {path!r}"
+            )
+
+    def write(self, frame: np.ndarray) -> None:
+        self.writer.write(np.ascontiguousarray(frame[:, :, ::-1]))  # RGB->BGR
+
+    def close(self):
+        self.writer.release()
+
+
+class Y4MWriter(FrameWriter):
+    """Uncompressed YUV4MPEG2 writer (420, 8-bit) for hermetic tests."""
+
+    def __init__(self, path: str, width: int, height: int,
+                 fps: fractions.Fraction):
+        self.width, self.height = width, height
+        self._f = open(path, "wb")
+        self._f.write(
+            f"YUV4MPEG2 W{width} H{height} "
+            f"F{fps.numerator}:{fps.denominator} Ip A1:1 C420\n".encode()
+        )
+
+    def write(self, frame: np.ndarray) -> None:
+        import jax.numpy as jnp
+
+        from reve_tpu.ops import color
+
+        rgb = jnp.asarray(frame, jnp.float32) / 255.0
+        y, u, v = color.rgb_to_yuv420(
+            rgb[None], matrix="bt601", bits=8
+        )
+        self._f.write(b"FRAME\n")
+        for plane in (y, u, v):
+            self._f.write(np.asarray(plane[0], np.uint8).tobytes())
+
+    def close(self):
+        self._f.close()
+
+
+def open_writer(path: str, width: int, height: int, fps: fractions.Fraction,
+                settings: Optional[EncodeSettings] = None,
+                backend: Optional[str] = None) -> FrameWriter:
+    """backend: None (auto: ffmpeg-x265 if available, else cv2) |
+    'ffmpeg' | 'cv2' | 'y4m'."""
+    settings = settings or EncodeSettings()
+    if path.endswith(".y4m") or backend == "y4m":
+        return Y4MWriter(path, width, height, fps)
+    if backend in (None, "ffmpeg") and shutil.which("ffmpeg"):
+        return FfmpegX265Writer(path, width, height, fps, settings)
+    if backend == "ffmpeg":
+        raise RuntimeError("ffmpeg backend requested but binary not found")
+    return Cv2Writer(path, width, height, fps)
