@@ -1,0 +1,175 @@
+"""Resume state machine: segment-granularity checkpoint/restart.
+
+This is the reference's flagship feature (SURVEY.md §5): it persists
+`temp\\args.temp` (the CLI args) and `temp\\video.temp` (a pending-segment
+queue consumed front-first, rewritten after every completed segment,
+reve-cli/src/main.rs:112-121, 340-343), detects a prior run by the state
+file existing (main.rs:43-45), and repairs the queue on restart
+(main.rs:142-159): the segment *before* the first pending one is re-queued
+because its encode may have died mid-write, and its possibly-torn part file
+is deleted.
+
+Differences from the reference (deliberate):
+  * One JSON state file with an explicit schema version + atomic
+    write-rename, instead of two bincode-ish blobs.
+  * Part files are written to `<part>.tmp` and renamed on encoder close, so
+    a completed `.mp4` part is always whole — the predecessor re-queue then
+    only matters for crashes between "segment popped" and "state rewritten",
+    which the same repair rule covers.
+  * Cross-platform paths (the reference hardcodes `temp\\` backslashes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import shutil
+import tempfile
+from typing import List, Optional
+
+from reve_tpu.pipeline.planner import Segment
+
+STATE_VERSION = 1
+STATE_FILE = "state.json"
+PARTS_DIR = "parts"
+
+
+@dataclasses.dataclass
+class JobState:
+    """Everything needed to resume an interrupted upscale job."""
+
+    input_path: str
+    output_path: str
+    scale: int
+    segment_size: int
+    frame_count: int
+    fps_num: int
+    fps_den: int
+    width: int
+    height: int
+    pending: List[Segment]
+    encode: dict = dataclasses.field(default_factory=dict)
+    model: str = "realesr-animevideov3"
+    version: int = STATE_VERSION
+
+    def to_json(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["pending"] = [s.to_json() for s in self.pending]
+        return d
+
+    @staticmethod
+    def from_json(d: dict) -> "JobState":
+        if d.get("version") != STATE_VERSION:
+            raise ValueError(f"unsupported state version {d.get('version')}")
+        d = dict(d)
+        d["pending"] = [Segment.from_json(s) for s in d["pending"]]
+        return JobState(**d)
+
+
+class Workspace:
+    """The temp workspace: state file + completed part files.
+
+    Analog of the reference's `temp/` tree + `rebuild_temp`
+    (reve-shared/src/lib.rs:291-312), minus the PNG frame dirs — frames
+    never touch disk here.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        self.parts_dir = os.path.join(root, PARTS_DIR)
+        self.state_path = os.path.join(root, STATE_FILE)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def create(self, keep_parts: bool = False) -> None:
+        """(Re)create the workspace; keep_parts=True preserves completed
+        segment files for resume (lib.rs:301-311 semantics)."""
+        os.makedirs(self.root, exist_ok=True)
+        if not keep_parts and os.path.isdir(self.parts_dir):
+            shutil.rmtree(self.parts_dir)
+        if not keep_parts and os.path.exists(self.state_path):
+            os.unlink(self.state_path)
+        os.makedirs(self.parts_dir, exist_ok=True)
+
+    def destroy(self) -> None:
+        if os.path.isdir(self.root):
+            shutil.rmtree(self.root)
+
+    # -- state persistence -------------------------------------------------
+
+    def has_state(self) -> bool:
+        """Resume detection: 'does the state file exist' (main.rs:43-45)."""
+        return os.path.exists(self.state_path)
+
+    def save(self, state: JobState) -> None:
+        """Atomic write: the state file is never observable half-written."""
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".state.tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(state.to_json(), f, indent=1)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self.state_path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+
+    def load(self) -> JobState:
+        with open(self.state_path) as f:
+            return JobState.from_json(json.load(f))
+
+    # -- part files --------------------------------------------------------
+
+    def part_path(self, index: int, ext: str = ".mp4") -> str:
+        return os.path.join(self.parts_dir, f"{index:06d}{ext}")
+
+    def part_tmp_path(self, index: int, ext: str = ".mp4") -> str:
+        return self.part_path(index, ext) + ".tmp"
+
+    def commit_part(self, index: int, ext: str = ".mp4") -> None:
+        """Rename <part>.tmp -> <part>: parts become visible atomically."""
+        os.replace(self.part_tmp_path(index, ext), self.part_path(index, ext))
+
+    def completed_parts(self, ext: str = ".mp4") -> List[int]:
+        if not os.path.isdir(self.parts_dir):
+            return []
+        out = []
+        for name in os.listdir(self.parts_dir):
+            stem, file_ext = os.path.splitext(name)
+            if file_ext == ext and stem.isdigit():
+                out.append(int(stem))
+        return sorted(out)
+
+    def clean_stale_tmp(self) -> int:
+        """Delete any *.tmp part files left by a crashed encoder."""
+        n = 0
+        if os.path.isdir(self.parts_dir):
+            for name in os.listdir(self.parts_dir):
+                if name.endswith(".tmp"):
+                    os.unlink(os.path.join(self.parts_dir, name))
+                    n += 1
+        return n
+
+
+def repair_pending(state: JobState, workspace: Workspace,
+                   all_segments: Optional[List[Segment]] = None,
+                   ext: str = ".mp4") -> JobState:
+    """Queue repair on resume — the analog of reve-cli/src/main.rs:142-159.
+
+    Rules:
+      * stale .tmp part files are deleted (crashed encoder output);
+      * any planned segment whose part file does not exist is pending —
+        derived from the parts on disk rather than trusting only the saved
+        queue, so a crash between part-commit and state-save self-heals;
+      * pending list is sorted by index.
+    """
+    from reve_tpu.pipeline.planner import plan_segments
+
+    workspace.clean_stale_tmp()
+    if all_segments is None:
+        all_segments = plan_segments(state.frame_count, state.segment_size)
+    done = set(workspace.completed_parts(ext))
+    pending = [s for s in all_segments if s.index not in done]
+    return dataclasses.replace(state, pending=pending)
