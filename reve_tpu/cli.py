@@ -1,0 +1,232 @@
+"""Drop-in compatible CLI.
+
+Flag-for-flag parity with the reference CLI (reve-shared/src/lib.rs:209-280):
+
+    reve -i <input.mp4|mkv> -s {2,3,4} [-S segsize] [-c crf] [-p preset]
+         [-x x265params] <output.mp4|mkv>
+
+Same validators: input must exist and be mp4/mkv; output must NOT exist and
+be mp4/mkv; crf 0..51 (default 15); preset from the x264/x265 preset list
+(default slow); segment size default 1000; default x265 params
+psy-rd=2:aq-strength=1:deblock=0,0:bframes=8.
+
+Extensions beyond the reference (new capabilities, defaulted off):
+    --model / --weights        pick model / weight files (the reference
+                               hardcodes realesr-animevideov3, lib.rs:141)
+    --batch / --tile / --dtype engine tuning
+    --io-backend               force ffmpeg / cv2 / y4m io
+    --yes                      resume non-interactively
+    --workspace                override the temp workspace location
+
+Resume semantics match the reference (reve-cli/src/main.rs:43-102): if a
+prior interrupted job's state exists, ask to resume; on refusal confirm and
+start fresh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+from fractions import Fraction
+from typing import List, Optional
+
+from reve_tpu.pipeline.planner import plan_segments
+from reve_tpu.pipeline.state import JobState, Workspace, repair_pending
+
+log = logging.getLogger(__name__)
+
+PRESETS = (
+    "ultrafast", "superfast", "veryfast", "faster", "fast", "medium",
+    "slow", "slower", "veryslow",
+)
+VIDEO_EXTS = (".mp4", ".mkv")
+
+
+def _input_validation(s: str) -> str:
+    if not os.path.exists(s):
+        raise argparse.ArgumentTypeError("input path not found")
+    if not s.lower().endswith(VIDEO_EXTS + (".y4m",)):
+        raise argparse.ArgumentTypeError("valid input formats: mp4/mkv")
+    return s
+
+
+def _scale_validation(s: str) -> int:
+    v = int(s)
+    if v not in (2, 3, 4):
+        raise argparse.ArgumentTypeError("upscale ratio must be 2, 3 or 4")
+    return v
+
+
+def _crf_validation(s: str) -> int:
+    v = int(s)
+    if not 0 <= v <= 51:
+        raise argparse.ArgumentTypeError("crf must be in 0..51")
+    return v
+
+
+def _preset_validation(s: str) -> str:
+    if s not in PRESETS:
+        raise argparse.ArgumentTypeError(
+            "valid: " + "/".join(PRESETS)
+        )
+    return s
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="reve",
+        description="Real-ESRGAN video upscaler with resumability "
+                    "(TPU-native rebuild)",
+    )
+    p.add_argument("-i", "--inputpath", required=True,
+                   type=_input_validation, help="input video path (mp4/mkv)")
+    p.add_argument("outputpath", help="output video path (mp4/mkv)")
+    p.add_argument("-s", "--scale", required=True, type=_scale_validation,
+                   help="upscale ratio (2, 3, 4)")
+    p.add_argument("-S", "--segmentsize", type=int, default=1000,
+                   help="segment size (in frames)")
+    p.add_argument("-c", "--crf", type=_crf_validation, default=15,
+                   help="video constant rate factor (crf: 51-0)")
+    p.add_argument("-p", "--preset", type=_preset_validation, default="slow",
+                   help="video encoding preset")
+    p.add_argument("-x", "--x265params",
+                   default="psy-rd=2:aq-strength=1:deblock=0,0:bframes=8",
+                   help="x265 encoding parameters")
+    # --- extensions ---
+    p.add_argument("--model", default="realesr-animevideov3")
+    p.add_argument("--weights", default=None,
+                   help="path to .pth or ncnn .param weights")
+    p.add_argument("--batch", type=int, default=4, help="frames per TPU batch")
+    p.add_argument("--tile", type=int, default=0,
+                   help="tile size (0=auto, -1=never tile)")
+    p.add_argument("--dtype", choices=("bfloat16", "float32"),
+                   default="bfloat16")
+    p.add_argument("--io-backend", choices=("ffmpeg", "cv2", "y4m"),
+                   default=None)
+    p.add_argument("--workspace", default=None,
+                   help="resume workspace dir (default: <output>.revework)")
+    p.add_argument("--yes", action="store_true",
+                   help="resume without asking (non-interactive)")
+    p.add_argument("--keep-workspace", action="store_true",
+                   help="do not delete the workspace after success")
+    return p
+
+
+def _confirm(prompt: str, assume_yes: bool) -> bool:
+    if assume_yes or not sys.stdin.isatty():
+        return True
+    answer = input(f"{prompt} [Y/n] ").strip().lower()
+    return answer in ("", "y", "yes")
+
+
+def _fresh_state(args) -> JobState:
+    from reve_tpu.io import probe
+
+    info = probe.probe(args.inputpath, backend=args.io_backend)
+    if info.frame_count <= 0:
+        raise SystemExit("could not determine frame count")
+    fps = info.fps if info.fps else Fraction(30, 1)
+    return JobState(
+        input_path=os.path.abspath(args.inputpath),
+        output_path=os.path.abspath(args.outputpath),
+        scale=args.scale,
+        segment_size=args.segmentsize,
+        frame_count=info.frame_count,
+        fps_num=fps.numerator,
+        fps_den=fps.denominator,
+        width=info.width,
+        height=info.height,
+        pending=plan_segments(info.frame_count, args.segmentsize),
+        encode={
+            "crf": args.crf,
+            "preset": args.preset,
+            "x265_params": args.x265params,
+        },
+        model=args.model,
+    )
+
+
+def run(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+
+    if os.path.exists(args.outputpath):
+        print("output path already exists", file=sys.stderr)
+        return 2
+    if not args.outputpath.lower().endswith(VIDEO_EXTS + (".y4m",)):
+        print("valid output formats: mp4/mkv", file=sys.stderr)
+        return 2
+    if args.inputpath.lower().endswith(".mkv") and \
+            not args.outputpath.lower().endswith(".mkv"):
+        # reference refuses mkv -> mp4 (reve-cli/src/main.rs:124-140)
+        print("mkv input requires mkv output", file=sys.stderr)
+        return 2
+
+    ws = Workspace(args.workspace or args.outputpath + ".revework")
+
+    if ws.has_state():
+        if _confirm("found an interrupted job — resume?", args.yes):
+            state = ws.load()
+            ws.create(keep_parts=True)
+            state = repair_pending(state, ws, ext=_part_ext(args))
+            print(
+                f"resuming: {len(state.pending)} segment(s) remaining",
+                file=sys.stderr,
+            )
+        else:
+            if not _confirm("discard previous progress and start over?",
+                            args.yes):
+                return 1
+            ws.create(keep_parts=False)
+            state = _fresh_state(args)
+    else:
+        ws.create(keep_parts=False)
+        state = _fresh_state(args)
+    ws.save(state)
+
+    from reve_tpu.pipeline.engine import UpscaleEngine
+    from reve_tpu.pipeline.progress import ConsoleRenderer, ProgressTracker
+    from reve_tpu.pipeline import scheduler
+
+    engine = UpscaleEngine(
+        model=state.model,
+        scale=state.scale,
+        weights=args.weights,
+        batch_size=args.batch,
+        tile=args.tile,
+        compute_dtype=args.dtype,
+    )
+    renderer = ConsoleRenderer()
+    remaining = sum(s.size for s in state.pending)
+    tracker = ProgressTracker(
+        total_frames=remaining,
+        total_segments=len(state.pending),
+        on_update=renderer,
+    )
+    job = scheduler.PipelineJob(
+        state, ws, engine, io_backend=args.io_backend,
+        part_ext=_part_ext(args), progress=tracker,
+    )
+    state = job.run()
+    report = scheduler.finalize(
+        state, ws, io_backend=args.io_backend, part_ext=_part_ext(args)
+    )
+    print(f"\ndone: {state.output_path} (concat backend: {report['backend']})",
+          file=sys.stderr)
+    if not args.keep_workspace:
+        ws.destroy()
+    return 0
+
+
+def _part_ext(args) -> str:
+    return ".y4m" if args.io_backend == "y4m" else ".mp4"
+
+
+def main() -> None:
+    sys.exit(run())
+
+
+if __name__ == "__main__":
+    main()

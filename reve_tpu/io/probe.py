@@ -82,8 +82,23 @@ def _probe_cv2(path: str) -> Optional[VideoInfo]:
     return info
 
 
+def _probe_y4m(path: str) -> VideoInfo:
+    from reve_tpu.io.reader import Y4MReader
+
+    rd = Y4MReader(path)
+    return VideoInfo(
+        path=path,
+        width=rd.width,
+        height=rd.height,
+        frame_count=rd.frame_count(),
+        fps=fractions.Fraction(rd.fps[0], rd.fps[1]),
+    )
+
+
 def probe(path: str, backend: Optional[str] = None) -> VideoInfo:
-    """Probe a video file. backend: None (auto) | 'ffprobe' | 'cv2'."""
+    """Probe a video file. backend: None (auto) | 'ffprobe' | 'cv2' | 'y4m'."""
+    if path.endswith(".y4m") or backend == "y4m":
+        return _probe_y4m(path)
     if backend in (None, "ffprobe"):
         info = _probe_ffprobe(path)
         if info is not None:

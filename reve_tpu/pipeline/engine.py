@@ -1,0 +1,170 @@
+"""TPU inference engine: the in-process replacement for the reference's
+`realesrgan-ncnn-vulkan` subprocess (reve-shared/src/lib.rs:129-155).
+
+Design (TPU-first):
+  * ONE jitted function per (resolution, batch) doing uint8 -> uint8:
+    u8 RGB -> f32 [0,1] -> (tiled) SRVGG forward -> clip -> round -> u8 RGB.
+    Keeping quantization on device means host<->device transfers move 3
+    bytes/pixel each way and XLA fuses the conversions into the conv graph.
+  * Static shapes everywhere: fixed batch size (last batch padded), fixed
+    tile geometry per resolution — one compilation, reused for the whole
+    video.
+  * Async dispatch double-buffering: `submit` returns immediately after
+    enqueueing the device work; the caller later blocks on `.result()`.
+    With >= 2 batches in flight, H2D copy, MXU compute, and D2H copy of
+    consecutive batches overlap — the TPU never waits on the host, which is
+    the property the reference's 3-stage pipeline establishes for its GPU
+    (SURVEY.md §3.3: 'GPU throughput sets the pace').
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reve_tpu.models import registry, srvgg
+from reve_tpu.ops import tiling
+
+#: Above this many input pixels per frame the engine tiles spatially.
+#: A whole 1080p frame (2.07 MP) runs un-tiled; 4K input tiles into 4.
+_TILE_THRESHOLD_PIXELS = 2_200_000
+_DEFAULT_TILE = 768
+
+
+@dataclasses.dataclass
+class EngineStats:
+    frames: int = 0
+    batches: int = 0
+    compile_count: int = 0
+
+
+class PendingBatch:
+    """Handle to an in-flight device computation."""
+
+    def __init__(self, device_out: jax.Array, valid: int):
+        self._out = device_out
+        self._valid = valid
+
+    def result(self) -> np.ndarray:
+        """Block until done; returns (valid, H*s, W*s, 3) uint8."""
+        return np.asarray(self._out)[: self._valid]
+
+
+class UpscaleEngine:
+    """Batched, tiled, jit-compiled video upscaler."""
+
+    def __init__(
+        self,
+        model: str = "realesr-animevideov3",
+        scale: int = 2,
+        weights: Optional[str] = None,
+        batch_size: int = 4,
+        tile: int = 0,            # 0 = auto, -1 = never tile
+        compute_dtype: str = "bfloat16",
+        device: Optional[jax.Device] = None,
+    ):
+        self.cfg, self.params = registry.load_model(model, scale, weights)
+        self.scale = self.cfg.upscale
+        self.batch_size = batch_size
+        self.tile = tile
+        self.compute_dtype = jnp.bfloat16 if compute_dtype in (
+            "bfloat16", "bf16"
+        ) else jnp.float32
+        self.device = device or jax.devices()[0]
+        self.params = jax.device_put(self.params, self.device)
+        self.stats = EngineStats()
+        self._compiled = {}
+
+    # -- jitted core -------------------------------------------------------
+
+    def _model_fn(self, x: jax.Array) -> jax.Array:
+        return srvgg.apply(
+            self.params, x, cfg=self.cfg, compute_dtype=self.compute_dtype
+        )
+
+    def _tile_size_for(self, h: int, w: int) -> int:
+        if self.tile == -1:
+            return 0
+        if self.tile > 0:
+            return self.tile
+        return _DEFAULT_TILE if h * w > _TILE_THRESHOLD_PIXELS else 0
+
+    @property
+    def halo(self) -> int:
+        """Receptive-field radius of SRVGG: 1 px per 3x3 conv."""
+        return self.cfg.num_conv + 2
+
+    def _build(self, h: int, w: int):
+        tile = self._tile_size_for(h, w)
+
+        def fn(params, u8):
+            x = u8.astype(jnp.float32) * (1.0 / 255.0)
+
+            def apply_fn(t):
+                return srvgg.apply(
+                    params, t, cfg=self.cfg, compute_dtype=self.compute_dtype
+                )
+
+            if tile:
+                y = tiling.upscale_tiled(
+                    apply_fn, x, scale=self.scale, tile=tile, halo=self.halo
+                )
+            else:
+                y = apply_fn(x)
+            y = jnp.clip(y * 255.0 + 0.5, 0.0, 255.0)
+            return y.astype(jnp.uint8)
+
+        jitted = jax.jit(fn)
+        self.stats.compile_count += 1
+        return jitted
+
+    def _get_compiled(self, h: int, w: int):
+        key = (h, w)
+        if key not in self._compiled:
+            self._compiled[key] = self._build(h, w)
+        return self._compiled[key]
+
+    # -- public API --------------------------------------------------------
+
+    def warmup(self, h: int, w: int) -> None:
+        """Pre-compile for a resolution (first XLA compile is ~20-40 s)."""
+        fn = self._get_compiled(h, w)
+        dummy = jnp.zeros((self.batch_size, h, w, 3), jnp.uint8)
+        fn(self.params, jax.device_put(dummy, self.device)).block_until_ready()
+
+    def submit(self, frames: np.ndarray) -> PendingBatch:
+        """Enqueue a batch; returns a handle. frames: (n<=batch, H, W, 3) u8.
+
+        Short batches are padded to `batch_size` by repeating the last frame
+        (keeps the compiled shape static); padding is cropped in result().
+        """
+        n, h, w, _ = frames.shape
+        if n < self.batch_size:
+            pad = np.repeat(frames[-1:], self.batch_size - n, axis=0)
+            frames = np.concatenate([frames, pad], axis=0)
+        elif n > self.batch_size:
+            raise ValueError(f"batch {n} > batch_size {self.batch_size}")
+        fn = self._get_compiled(h, w)
+        dev_in = jax.device_put(frames, self.device)
+        out = fn(self.params, dev_in)
+        self.stats.frames += n
+        self.stats.batches += 1
+        return PendingBatch(out, n)
+
+    def upscale_frames(self, frames: np.ndarray) -> np.ndarray:
+        """Synchronous convenience: (N, H, W, 3) u8 -> (N, H*s, W*s, 3) u8."""
+        outs = []
+        pending = []
+        for i in range(0, len(frames), self.batch_size):
+            pending.append(self.submit(frames[i:i + self.batch_size]))
+            # keep at most 2 batches in flight
+            while len(pending) > 2:
+                outs.append(pending.pop(0).result())
+        for p in pending:
+            outs.append(p.result())
+        return np.concatenate(outs, axis=0)

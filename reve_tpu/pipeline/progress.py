@@ -1,0 +1,94 @@
+"""Progress tracking: structured, machine-readable stage counters.
+
+The reference renders four indicatif bars ([info]/[expo]/[upsc]/[merg]) fed
+by counting magic stderr marker lines from child processes
+(reve-cli/src/main.rs:176-214, 265-273, 329-339).  With everything
+in-process we count real events instead and keep the same four-stage shape.
+A console renderer draws bars; a callback hook feeds the web service and
+tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import threading
+import time
+from typing import Callable, Optional
+
+STAGES = ("decode", "upscale", "encode", "total")
+
+
+@dataclasses.dataclass
+class StageCounter:
+    done: int = 0
+    total: int = 0
+    started_at: float = 0.0
+
+    @property
+    def rate(self) -> float:
+        dt = time.monotonic() - self.started_at
+        return self.done / dt if dt > 0 and self.done else 0.0
+
+
+class ProgressTracker:
+    """Thread-safe frame counters for decode/upscale/encode + segment total."""
+
+    def __init__(self, total_frames: int, total_segments: int,
+                 on_update: Optional[Callable[["ProgressTracker"], None]] = None):
+        now = time.monotonic()
+        self.stages = {
+            "decode": StageCounter(total=total_frames, started_at=now),
+            "upscale": StageCounter(total=total_frames, started_at=now),
+            "encode": StageCounter(total=total_frames, started_at=now),
+            "total": StageCounter(total=total_segments, started_at=now),
+        }
+        self._lock = threading.Lock()
+        self._on_update = on_update
+
+    def advance(self, stage: str, n: int = 1) -> None:
+        with self._lock:
+            self.stages[stage].done += n
+        if self._on_update:
+            self._on_update(self)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            return {
+                name: {"done": c.done, "total": c.total, "rate": round(c.rate, 2)}
+                for name, c in self.stages.items()
+            }
+
+
+class ConsoleRenderer:
+    """Simple multi-bar console renderer (the reference uses indicatif)."""
+
+    LABELS = {"decode": "expo", "upscale": "upsc", "encode": "merg",
+              "total": "info"}
+
+    def __init__(self, stream=None, min_interval: float = 0.2):
+        self.stream = stream or sys.stderr
+        self.min_interval = min_interval
+        self._last = 0.0
+        self._lines = 0
+
+    def __call__(self, tracker: ProgressTracker) -> None:
+        now = time.monotonic()
+        if now - self._last < self.min_interval:
+            return
+        self._last = now
+        snap = tracker.snapshot()
+        if self._lines:
+            self.stream.write(f"\x1b[{self._lines}A")
+        self._lines = 0
+        for name in ("total", "decode", "upscale", "encode"):
+            c = snap[name]
+            frac = c["done"] / c["total"] if c["total"] else 0.0
+            bar = "#" * int(frac * 30)
+            unit = "seg" if name == "total" else "fps"
+            self.stream.write(
+                f"[{self.LABELS[name]}] [{bar:<30}] "
+                f"{c['done']}/{c['total']} ({c['rate']} {unit})\x1b[K\n"
+            )
+            self._lines += 1
+        self.stream.flush()

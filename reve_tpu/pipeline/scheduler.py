@@ -1,0 +1,306 @@
+"""The overlapped decode -> upscale -> encode pipeline.
+
+This is the rebuild of the reference's hot loop (reve-cli/src/main.rs:172-350):
+there, while segment k upscales on the GPU, segment k+1 is being ffmpeg-
+exported on one thread and segment k-1 x265-encoded on another, with
+filesystem PNG directories as the hand-off medium and thread::join as the
+synchronization.
+
+Here the stages are connected by bounded in-memory queues with backpressure:
+
+    [decode thread] --decode_q--> [main: engine.submit] --encode_q--> [encode thread]
+
+  * decode thread: sequentially reads pending segments' frame ranges,
+    batches them (engine.batch_size frames per item).
+  * main thread: submits batches to the TPU; `submit` returns immediately
+    (async dispatch), so the queue depth of in-flight device batches (not
+    host threads) is what overlaps H2D/compute/D2H.
+  * encode thread: blocks on each batch's device result, feeds the segment's
+    encoder; at segment end commits the part file atomically and persists
+    resume state — the reference's per-segment checkpoint
+    (main.rs:340-343), made crash-atomic.
+
+The TPU sets the pace exactly like the reference's GPU does (SURVEY.md §3.3):
+if decode is slow the TPU starves (queue empty), if encode is slow
+backpressure stalls submission (queue full) — both visible in the progress
+rates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import queue
+import threading
+from fractions import Fraction
+from typing import Optional
+
+import numpy as np
+
+from reve_tpu.io import concat as concat_mod
+from reve_tpu.io import reader as reader_mod
+from reve_tpu.io import writer as writer_mod
+from reve_tpu.pipeline.engine import UpscaleEngine
+from reve_tpu.pipeline.progress import ProgressTracker
+from reve_tpu.pipeline.state import JobState, Workspace
+
+log = logging.getLogger(__name__)
+
+_SENTINEL = None
+
+
+@dataclasses.dataclass
+class _DecodedBatch:
+    seg_index: int
+    frames: np.ndarray          # (n, H, W, 3) uint8
+    last_of_segment: bool
+
+
+@dataclasses.dataclass
+class _InferredBatch:
+    seg_index: int
+    pending: object             # PendingBatch
+    last_of_segment: bool
+
+
+class PipelineError(RuntimeError):
+    pass
+
+
+class PipelineJob:
+    """Runs one upscale job (possibly resumed) to completion."""
+
+    def __init__(
+        self,
+        state: JobState,
+        workspace: Workspace,
+        engine: UpscaleEngine,
+        io_backend: Optional[str] = None,
+        part_ext: str = ".mp4",
+        progress: Optional[ProgressTracker] = None,
+        decode_queue_depth: int = 4,
+        device_queue_depth: int = 3,
+    ):
+        self.state = state
+        self.ws = workspace
+        self.engine = engine
+        self.io_backend = io_backend
+        self.part_ext = part_ext
+        self.decode_q: "queue.Queue" = queue.Queue(maxsize=decode_queue_depth)
+        self.encode_q: "queue.Queue" = queue.Queue(maxsize=device_queue_depth)
+        self.errors: list = []
+        self._stop = threading.Event()
+        remaining = sum(s.size for s in state.pending)
+        self.progress = progress or ProgressTracker(
+            total_frames=remaining, total_segments=len(state.pending)
+        )
+
+    # -- stage 1: decode ---------------------------------------------------
+
+    def _decode_loop(self):
+        bs = self.engine.batch_size
+        try:
+            rd = reader_mod.open_reader(
+                self.state.input_path, backend=self.io_backend,
+                width=self.state.width, height=self.state.height,
+            )
+            with rd:
+                for seg in self.state.pending:
+                    buf = []
+                    got = 0
+                    for frame in rd.read_range(seg.start, seg.stop):
+                        buf.append(frame)
+                        got += 1
+                        self.progress.advance("decode")
+                        if len(buf) == bs:
+                            last = got == seg.size
+                            self._put(self.decode_q, _DecodedBatch(
+                                seg.index, np.stack(buf), last))
+                            buf = []
+                    if got != seg.size:
+                        raise PipelineError(
+                            f"segment {seg.index}: expected {seg.size} frames "
+                            f"[{seg.start},{seg.stop}), decoded {got}"
+                        )
+                    if buf:
+                        self._put(self.decode_q, _DecodedBatch(
+                            seg.index, np.stack(buf), True))
+        except BaseException as e:  # propagate to main thread
+            self.errors.append(e)
+            self._stop.set()
+        finally:
+            self._put_sentinel(self.decode_q, None)
+
+    # -- stage 3: encode ---------------------------------------------------
+
+    def _encode_loop(self):
+        writer = None
+        cur_seg = -1
+        fps = Fraction(self.state.fps_num, self.state.fps_den)
+        out_w = self.state.width * self.state.scale
+        out_h = self.state.height * self.state.scale
+        enc = self.state.encode or {}
+        settings = writer_mod.EncodeSettings(
+            crf=enc.get("crf", 15),
+            preset=enc.get("preset", "slow"),
+            x265_params=enc.get(
+                "x265_params", "psy-rd=2:aq-strength=1:deblock=0,0:bframes=8"
+            ),
+        )
+        try:
+            while True:
+                item = self._get(self.encode_q)
+                if item is _SENTINEL or item is _ABORT:
+                    break
+                frames = item.pending.result()  # blocks on device
+                if item.seg_index != cur_seg:
+                    assert writer is None, "segment interleave violation"
+                    cur_seg = item.seg_index
+                    writer = writer_mod.open_writer(
+                        self.ws.part_tmp_path(cur_seg, self.part_ext),
+                        out_w, out_h, fps, settings=settings,
+                        backend=self.io_backend,
+                    )
+                for f in frames:
+                    writer.write(f)
+                self.progress.advance("encode", len(frames))
+                if item.last_of_segment:
+                    writer.close()
+                    writer = None
+                    self.ws.commit_part(cur_seg, self.part_ext)
+                    # checkpoint: everything not yet on disk is pending
+                    done = set(self.ws.completed_parts(self.part_ext))
+                    new_pending = [
+                        s for s in self.state.pending if s.index not in done
+                    ]
+                    self.state = dataclasses.replace(
+                        self.state, pending=new_pending
+                    )
+                    self.ws.save(self.state)
+                    self.progress.advance("total")
+                    cur_seg = -1
+        except BaseException as e:
+            self.errors.append(e)
+            self._stop.set()
+            self._drain(self.encode_q)
+        finally:
+            if writer is not None:
+                try:
+                    writer.close()
+                except Exception:
+                    pass
+
+    # -- queue helpers (stop-aware) ---------------------------------------
+
+    def _put(self, q, item):
+        while True:
+            if self._stop.is_set():
+                raise PipelineError("pipeline stopping")
+            try:
+                q.put(item, timeout=0.1)
+                return
+            except queue.Full:
+                pass
+
+    def _put_sentinel(self, q, consumer: Optional[threading.Thread]):
+        """Deliver the end-of-stream marker without ever dropping real items:
+        block while the consumer drains; if the consumer died, drain the
+        stale items ourselves so the sentinel always fits."""
+        while True:
+            try:
+                q.put(_SENTINEL, timeout=0.1)
+                return
+            except queue.Full:
+                dead = consumer is not None and not consumer.is_alive()
+                if dead or self._stop.is_set():
+                    self._drain(q)
+
+    def _get(self, q):
+        while True:
+            try:
+                return q.get(timeout=0.1)
+            except queue.Empty:
+                if self._stop.is_set():
+                    return _ABORT
+
+    def _drain(self, q):
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+
+    # -- driver ------------------------------------------------------------
+
+    def run(self) -> JobState:
+        """Process all pending segments; returns the final (empty-pending)
+        state. Raises the first stage error if any stage failed."""
+        if not self.state.pending:
+            return self.state
+        decode_t = threading.Thread(
+            target=self._decode_loop, name="reve-decode", daemon=True
+        )
+        encode_t = threading.Thread(
+            target=self._encode_loop, name="reve-encode", daemon=True
+        )
+        decode_t.start()
+        encode_t.start()
+        try:
+            while True:
+                item = self._get(self.decode_q)
+                if item is _SENTINEL or item is _ABORT:
+                    break
+                inferred = _InferredBatch(
+                    item.seg_index,
+                    self.engine.submit(item.frames),
+                    item.last_of_segment,
+                )
+                self.progress.advance("upscale", len(item.frames))
+                self._put(self.encode_q, inferred)
+        except BaseException as e:
+            self.errors.append(e)
+            self._stop.set()
+        finally:
+            self._put_sentinel(self.encode_q, encode_t)
+            decode_t.join(timeout=30)
+            encode_t.join(timeout=600)
+        if self.errors:
+            raise self.errors[0]
+        return self.state
+
+
+class _Abort:
+    pass
+
+
+_ABORT = _Abort()
+
+
+def finalize(state: JobState, workspace: Workspace,
+             io_backend: Optional[str] = None,
+             part_ext: str = ".mp4") -> dict:
+    """Concat all parts + remux A/V from the original into the output
+    (reference: Video::concatenate_segments, lib.rs:173-206), then validate
+    the output exists and is non-empty (main.rs:355-362)."""
+    parts = [
+        workspace.part_path(i, part_ext)
+        for i in workspace.completed_parts(part_ext)
+    ]
+    if not parts:
+        raise PipelineError("no completed parts to concatenate")
+    report = concat_mod.concatenate(
+        parts, state.input_path, state.output_path,
+        Fraction(state.fps_num, state.fps_den), backend=io_backend,
+    )
+    if not os.path.exists(state.output_path) or \
+            os.path.getsize(state.output_path) == 0:
+        raise PipelineError(
+            f"output {state.output_path!r} missing or empty after concat"
+        )
+    if not report.get("audio_copied"):
+        log.warning(
+            "audio/subtitles were not carried over (backend %s has no "
+            "remux path)", report.get("backend"),
+        )
+    return report

@@ -126,7 +126,9 @@ class Workspace:
         return os.path.join(self.parts_dir, f"{index:06d}{ext}")
 
     def part_tmp_path(self, index: int, ext: str = ".mp4") -> str:
-        return self.part_path(index, ext) + ".tmp"
+        # ".tmp" goes before the container extension: writers (cv2/ffmpeg)
+        # infer the container format from the final extension.
+        return os.path.join(self.parts_dir, f"{index:06d}.tmp{ext}")
 
     def commit_part(self, index: int, ext: str = ".mp4") -> None:
         """Rename <part>.tmp -> <part>: parts become visible atomically."""
@@ -147,7 +149,7 @@ class Workspace:
         n = 0
         if os.path.isdir(self.parts_dir):
             for name in os.listdir(self.parts_dir):
-                if name.endswith(".tmp"):
+                if ".tmp" in name:
                     os.unlink(os.path.join(self.parts_dir, name))
                     n += 1
         return n

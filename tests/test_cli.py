@@ -1,0 +1,136 @@
+"""CLI tests: arg validation parity with the reference (lib.rs:209-280) and
+non-interactive end-to-end runs with the real engine."""
+
+import fractions
+import os
+
+import numpy as np
+import pytest
+
+from reve_tpu import cli
+from reve_tpu.io import reader, writer
+
+TEST_MP4 = "/root/reference/reve-cli/assets/test.mp4"
+
+
+# -- validation parity -----------------------------------------------------
+
+def test_missing_input_rejected(tmp_path, capsys):
+    with pytest.raises(SystemExit):
+        cli.build_parser().parse_args(
+            ["-i", str(tmp_path / "nope.mp4"), "-s", "2", "out.mp4"]
+        )
+
+
+def test_bad_extension_rejected(tmp_path):
+    p = tmp_path / "x.avi"
+    p.write_text("")
+    with pytest.raises(SystemExit):
+        cli.build_parser().parse_args(["-i", str(p), "-s", "2", "out.mp4"])
+
+
+def test_scale_range(tmp_path):
+    p = tmp_path / "x.mp4"
+    p.write_text("")
+    for bad in ("1", "5", "0"):
+        with pytest.raises(SystemExit):
+            cli.build_parser().parse_args(
+                ["-i", str(p), "-s", bad, "out.mp4"]
+            )
+    args = cli.build_parser().parse_args(["-i", str(p), "-s", "3", "o.mp4"])
+    assert args.scale == 3
+
+
+def test_crf_and_preset_validation(tmp_path):
+    p = tmp_path / "x.mp4"
+    p.write_text("")
+    base = ["-i", str(p), "-s", "2", "o.mp4"]
+    with pytest.raises(SystemExit):
+        cli.build_parser().parse_args(base + ["-c", "52"])
+    with pytest.raises(SystemExit):
+        cli.build_parser().parse_args(base + ["-p", "turbo"])
+    args = cli.build_parser().parse_args(base + ["-c", "0", "-p", "veryslow"])
+    assert args.crf == 0 and args.preset == "veryslow"
+
+
+def test_defaults_match_reference(tmp_path):
+    p = tmp_path / "x.mp4"
+    p.write_text("")
+    args = cli.build_parser().parse_args(["-i", str(p), "-s", "2", "o.mp4"])
+    assert args.segmentsize == 1000
+    assert args.crf == 15
+    assert args.preset == "slow"
+    assert args.x265params == "psy-rd=2:aq-strength=1:deblock=0,0:bframes=8"
+
+
+def test_existing_output_refused(tmp_path):
+    inp = tmp_path / "in.mp4"
+    inp.write_text("")
+    out = tmp_path / "out.mp4"
+    out.write_text("")
+    rc = cli.run(["-i", str(inp), "-s", "2", str(out), "--yes"])
+    assert rc == 2
+
+
+def test_mkv_to_mp4_refused(tmp_path):
+    inp = tmp_path / "in.mkv"
+    inp.write_text("")
+    rc = cli.run(["-i", str(inp), "-s", "2",
+                  str(tmp_path / "out.mp4"), "--yes"])
+    assert rc == 2
+
+
+# -- end-to-end with the real engine (random-init weights, CPU) ------------
+
+def _small_y4m(tmp_path, frames=10, w=24, h=16):
+    path = str(tmp_path / "in.y4m")
+    with writer.Y4MWriter(path, w, h, fractions.Fraction(24)) as wr:
+        for i in range(frames):
+            wr.write(reader.SyntheticReader.frame(i, h, w))
+    return path
+
+
+def test_cli_end_to_end_y4m(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    inp = _small_y4m(tmp_path)
+    out = str(tmp_path / "out.y4m")
+    rc = cli.run([
+        "-i", inp, "-s", "2", out, "--yes",
+        "--io-backend", "y4m", "-S", "4", "--batch", "3",
+        "--dtype", "float32",
+    ])
+    assert rc == 0
+    rd = reader.Y4MReader(out)
+    assert (rd.width, rd.height) == (48, 32)
+    assert rd.frame_count() == 10
+    assert not os.path.exists(out + ".revework")  # workspace cleaned
+
+
+@pytest.mark.skipif(not os.path.exists(TEST_MP4), reason="asset missing")
+def test_cli_end_to_end_mp4(tmp_path):
+    """Short clip of the reference's own test asset through the cv2 stack —
+    the analog of reve-cli/tests/run_test.rs."""
+    import cv2
+
+    # take the first 12 frames of the reference fixture
+    clip = str(tmp_path / "clip.mp4")
+    cap = cv2.VideoCapture(TEST_MP4)
+    wr = cv2.VideoWriter(clip, cv2.VideoWriter_fourcc(*"mp4v"), 24, (100, 100))
+    for _ in range(12):
+        ok, frame = cap.read()
+        assert ok
+        wr.write(frame)
+    wr.release()
+    cap.release()
+
+    out = str(tmp_path / "out.mp4")
+    rc = cli.run([
+        "-i", clip, "-s", "2", out, "--yes", "-S", "5", "--batch", "4",
+        "--io-backend", "cv2", "--dtype", "float32",
+    ])
+    assert rc == 0
+    cap = cv2.VideoCapture(out)
+    assert cap.isOpened()
+    assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 200
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 12
+    cap.release()

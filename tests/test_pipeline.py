@@ -1,0 +1,168 @@
+"""End-to-end pipeline tests over the hermetic y4m backend: overlap,
+segment checkpointing, crash/resume, frame-exactness across segment
+boundaries — the coverage SURVEY.md §4 says the rebuild must add."""
+
+import dataclasses
+import fractions
+
+import numpy as np
+import pytest
+
+from reve_tpu.io import reader, writer
+from reve_tpu.pipeline import planner, scheduler, state
+from reve_tpu.pipeline.progress import ProgressTracker
+
+
+class FakeEngine:
+    """Engine stand-in: nearest-neighbor x2 'upscale' that preserves frame
+    content, so tests can assert exact frame identity and ordering.
+    Implements the engine surface the scheduler uses (submit/batch_size)."""
+
+    def __init__(self, batch_size=3, fail_after_batches=None):
+        self.batch_size = batch_size
+        self.scale = 2
+        self.submitted = 0
+        self.fail_after_batches = fail_after_batches
+
+    def submit(self, frames):
+        self.submitted += 1
+        if self.fail_after_batches is not None and \
+                self.submitted > self.fail_after_batches:
+            raise RuntimeError("injected engine fault")
+        out = np.repeat(np.repeat(frames, 2, axis=1), 2, axis=2)
+
+        class _P:
+            def result(self_inner):
+                return out
+
+        return _P()
+
+
+def _luma_of(frame):
+    return int(frame[frame.shape[0] // 2, frame.shape[1] // 2, 0])
+
+
+def _make_input(tmp_path, num_frames=25, w=32, h=24):
+    """y4m input whose frame i has solid gray level 20 + 8*i (exact under
+    YUV420 because the frame is spatially constant)."""
+    path = str(tmp_path / "input.y4m")
+    with writer.Y4MWriter(path, w, h, fractions.Fraction(24)) as wr:
+        for i in range(num_frames):
+            wr.write(np.full((h, w, 3), 20 + 8 * i, np.uint8))
+    return path
+
+
+def _make_state(tmp_path, input_path, num_frames=25, seg=7, w=32, h=24):
+    ws = state.Workspace(str(tmp_path / "work"))
+    ws.create()
+    st = state.JobState(
+        input_path=input_path,
+        output_path=str(tmp_path / "out.y4m"),
+        scale=2, segment_size=seg, frame_count=num_frames,
+        fps_num=24, fps_den=1, width=w, height=h,
+        pending=planner.plan_segments(num_frames, seg),
+    )
+    ws.save(st)
+    return ws, st
+
+
+def _read_lumas(path):
+    rd = reader.Y4MReader(path)
+    return [_luma_of(f) for f in rd.read_range(0, rd.frame_count())]
+
+
+def test_end_to_end_y4m(tmp_path):
+    inp = _make_input(tmp_path)
+    ws, st = _make_state(tmp_path, inp)
+    eng = FakeEngine(batch_size=3)
+    job = scheduler.PipelineJob(st, ws, eng, io_backend="y4m",
+                                part_ext=".y4m")
+    final = job.run()
+    assert final.pending == []
+    assert ws.completed_parts(".y4m") == [0, 1, 2, 3]  # ceil(25/7)=4
+
+    report = scheduler.finalize(final, ws, io_backend="y4m", part_ext=".y4m")
+    assert report["backend"] == "y4m"
+
+    lumas = _read_lumas(st.output_path)
+    want = [20 + 8 * i for i in range(25)]
+    assert len(lumas) == 25
+    # exact sequence (within yuv420 roundtrip tolerance of +-2)
+    for got, expect in zip(lumas, want):
+        assert abs(got - expect) <= 2, (got, expect)
+
+    snap = job.progress.snapshot()
+    assert snap["decode"]["done"] == 25
+    assert snap["upscale"]["done"] == 25
+    assert snap["encode"]["done"] == 25
+    assert snap["total"]["done"] == 4
+
+
+def test_output_dimensions(tmp_path):
+    inp = _make_input(tmp_path, num_frames=5)
+    ws, st = _make_state(tmp_path, inp, num_frames=5, seg=5)
+    job = scheduler.PipelineJob(st, ws, FakeEngine(), io_backend="y4m",
+                                part_ext=".y4m")
+    scheduler.finalize(job.run(), ws, io_backend="y4m", part_ext=".y4m")
+    rd = reader.Y4MReader(st.output_path)
+    assert (rd.width, rd.height) == (64, 48)
+
+
+def test_crash_then_resume(tmp_path):
+    """Kill the pipeline mid-job (injected engine fault), restart from saved
+    state, verify the final output has every frame exactly once — the
+    reference's flagship resumability scenario (BASELINE.json config #3)."""
+    inp = _make_input(tmp_path)
+    ws, st = _make_state(tmp_path, inp)
+
+    # fault after 4 batches (12 frames) -> segment 0 (7 frames) committed,
+    # segment 1 partially decoded
+    bad = FakeEngine(batch_size=3, fail_after_batches=4)
+    job = scheduler.PipelineJob(st, ws, bad, io_backend="y4m",
+                                part_ext=".y4m")
+    with pytest.raises(RuntimeError, match="injected"):
+        job.run()
+    assert 0 in ws.completed_parts(".y4m")
+    assert ws.has_state()
+
+    # resume: load + repair (exactly what the CLI resume path does)
+    st2 = ws.load()
+    st2 = state.repair_pending(st2, ws, ext=".y4m")
+    done = set(ws.completed_parts(".y4m"))
+    assert all(s.index not in done for s in st2.pending)
+
+    job2 = scheduler.PipelineJob(st2, ws, FakeEngine(batch_size=3),
+                                 io_backend="y4m", part_ext=".y4m")
+    final = job2.run()
+    assert final.pending == []
+    scheduler.finalize(final, ws, io_backend="y4m", part_ext=".y4m")
+
+    lumas = _read_lumas(str(tmp_path / "out.y4m"))
+    want = [20 + 8 * i for i in range(25)]
+    assert len(lumas) == 25
+    for got, expect in zip(lumas, want):
+        assert abs(got - expect) <= 2
+
+
+def test_decode_failure_surfaces(tmp_path):
+    inp = _make_input(tmp_path, num_frames=10)
+    ws, st = _make_state(tmp_path, inp, num_frames=10, seg=5)
+    # lie about the frame count: decode must notice the shortfall
+    st = dataclasses.replace(
+        st, frame_count=40, pending=planner.plan_segments(40, 5)
+    )
+    job = scheduler.PipelineJob(st, ws, FakeEngine(), io_backend="y4m",
+                                part_ext=".y4m")
+    with pytest.raises(Exception, match="expected 5 frames"):
+        job.run()
+
+
+def test_progress_rates_present(tmp_path):
+    inp = _make_input(tmp_path, num_frames=6)
+    ws, st = _make_state(tmp_path, inp, num_frames=6, seg=6)
+    tracker = ProgressTracker(total_frames=6, total_segments=1)
+    job = scheduler.PipelineJob(st, ws, FakeEngine(), io_backend="y4m",
+                                part_ext=".y4m", progress=tracker)
+    job.run()
+    snap = tracker.snapshot()
+    assert snap["encode"]["done"] == 6 and snap["encode"]["rate"] >= 0
