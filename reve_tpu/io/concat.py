@@ -4,12 +4,15 @@ Mirrors the reference's finalization step (reve-shared/src/lib.rs:173-206):
 write a concat list, stream-copy the video parts, and remux audio/subtitles/
 chapters from the ORIGINAL input so A/V metadata survives upscaling.
 
-Backends:
+Backends (preference order):
+  * native_concat — the in-process C++ ISO-BMFF remuxer (reve_core.so):
+    sample-copy concat of the mp4 parts + verbatim copy (with patched chunk
+    offsets) of the original's audio/subtitle tracks and udta (chapters).
+    Zero re-encode, zero external binaries.
   * ffmpeg_concat — the reference-equivalent argv (`-f concat ... -map 0:v
     -map 1:a? -map 1:s? -map_chapters 1 -c copy`); zero re-encode.
   * rewrite_concat — decode each part and re-encode into one file via the
-    writer stack; used when no ffmpeg binary exists (this image). Audio is
-    not carried (OpenCV has no audio path) — callers surface a warning.
+    writer stack (last resort; audio is not carried).
 """
 
 from __future__ import annotations
@@ -73,6 +76,21 @@ def rewrite_concat(parts: List[str], output: str,
             writer.close()
 
 
+def native_concat(parts: List[str], original: str, output: str) -> bool:
+    """Attempt the in-process C++ remux path; returns False if unusable."""
+    from reve_tpu import native
+
+    if not native.available():
+        return False
+    if not all(p.endswith(".mp4") for p in parts) or \
+            not output.endswith(".mp4"):
+        return False
+    orig = original if (original and os.path.exists(original)
+                        and original.endswith(".mp4")) else None
+    native.concat_mp4(parts, orig, output)
+    return True
+
+
 def concatenate(parts: List[str], original: str, output: str,
                 fps: fractions.Fraction,
                 backend: Optional[str] = None) -> dict:
@@ -80,6 +98,17 @@ def concatenate(parts: List[str], original: str, output: str,
 
     Returns a report dict: {'backend': ..., 'audio_copied': bool}.
     """
+    if backend in (None, "native", "cv2"):
+        try:
+            if native_concat(parts, original, output):
+                has_orig = bool(original) and os.path.exists(original) \
+                    and original.endswith(".mp4")
+                return {"backend": "native", "audio_copied": has_orig}
+        except Exception:
+            if backend == "native":
+                raise
+    if backend == "native":
+        raise RuntimeError("native concat backend unusable for these files")
     if backend in (None, "ffmpeg") and shutil.which("ffmpeg"):
         ffmpeg_concat(parts, original, output)
         return {"backend": "ffmpeg", "audio_copied": True}

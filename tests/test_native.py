@@ -1,0 +1,171 @@
+"""Native C++ core tests: planner parity, mp4 probe/concat/remux, frame ring."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from reve_tpu import native
+from reve_tpu.pipeline import planner
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native core unavailable (no g++?)"
+)
+
+TEST_MP4 = "/root/reference/reve-cli/assets/test.mp4"
+DEMO_MP4 = "/root/reference/reve-cli/assets/onepiece_demo.mp4"
+
+
+def test_planner_parity():
+    """The C++ planner and the Python planner must agree exactly."""
+    for frames, seg in [(1, 1), (7, 3), (1000, 250), (1001, 250),
+                        (1440, 1000), (999, 1000), (100, 7)]:
+        py = [(s.start, s.size) for s in planner.plan_segments(frames, seg)]
+        cc = native.plan_segments(frames, seg)
+        assert py == cc, (frames, seg)
+
+
+def test_probe_reference_assets():
+    import os
+
+    if not os.path.exists(TEST_MP4):
+        pytest.skip("reference asset missing")
+    info = native.probe_mp4(TEST_MP4)
+    assert info["width"] == 100 and info["height"] == 100
+    assert info["video_samples"] == 1440
+    assert info["has_audio"] is True
+    demo = native.probe_mp4(DEMO_MP4)
+    assert demo["width"] == 640 and demo["has_audio"] is True
+
+
+def _write_parts(tmp_path, sizes, w=64, h=48):
+    import cv2
+
+    parts = []
+    n = 0
+    for i, count in enumerate(sizes):
+        p = str(tmp_path / f"p{i}.mp4")
+        wr = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 24, (w, h))
+        for _ in range(count):
+            wr.write(np.full((h, w, 3), 20 + n * 9, np.uint8))
+            n += 1
+        wr.release()
+        parts.append(p)
+    return parts
+
+
+def test_concat_video_only(tmp_path):
+    import cv2
+
+    parts = _write_parts(tmp_path, [8, 8, 5])
+    out = str(tmp_path / "out.mp4")
+    native.concat_mp4(parts, None, out)
+    info = native.probe_mp4(out)
+    assert info["video_samples"] == 21 and info["has_audio"] is False
+    cap = cv2.VideoCapture(out)
+    assert cap.isOpened()
+    vals = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        vals.append(int(f[24, 32, 0]))
+    cap.release()
+    assert len(vals) == 21
+    # monotone ramp survives (mp4v is lossy; compare loosely)
+    for i, v in enumerate(vals):
+        assert abs(v - (20 + i * 9)) < 12, (i, v)
+
+
+def test_concat_with_audio_remux(tmp_path):
+    import os
+
+    if not os.path.exists(TEST_MP4):
+        pytest.skip("reference asset missing")
+    import cv2
+
+    parts = _write_parts(tmp_path, [6, 6])
+    out = str(tmp_path / "out.mp4")
+    native.concat_mp4(parts, TEST_MP4, out)
+    info = native.probe_mp4(out)
+    assert info["video_samples"] == 12
+    assert info["has_audio"] is True          # remuxed from the original
+    assert info["n_tracks"] >= 2
+    cap = cv2.VideoCapture(out)
+    assert cap.isOpened()
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 12
+    cap.release()
+
+
+def test_concat_single_part(tmp_path):
+    parts = _write_parts(tmp_path, [10])
+    out = str(tmp_path / "out.mp4")
+    native.concat_mp4(parts, None, out)
+    assert native.probe_mp4(out)["video_samples"] == 10
+
+
+def test_concat_error_on_missing_part(tmp_path):
+    with pytest.raises(native.NativeError):
+        native.concat_mp4([str(tmp_path / "nope.mp4")], None,
+                          str(tmp_path / "o.mp4"))
+
+
+def test_io_concat_prefers_native(tmp_path):
+    import fractions
+
+    from reve_tpu.io import concat as concat_mod
+
+    parts = _write_parts(tmp_path, [4, 4])
+    out = str(tmp_path / "out.mp4")
+    report = concat_mod.concatenate(
+        parts, "missing.bin", out, fractions.Fraction(24)
+    )
+    assert report["backend"] == "native"
+    assert native.probe_mp4(out)["video_samples"] == 8
+
+
+def test_frame_ring_roundtrip():
+    ring = native.FrameRing(frame_bytes=48, capacity=4)
+    frames = [np.arange(48, dtype=np.uint8) + i for i in range(10)]
+    got = []
+
+    def consumer():
+        buf = np.empty(48, np.uint8)
+        while True:
+            rc = ring.pop(buf, timeout_ms=2000)
+            if rc != 0:
+                return
+            got.append(buf.copy())
+
+    t = threading.Thread(target=consumer)
+    t.start()
+    for f in frames:
+        assert ring.push(f) == 0
+    ring.close()
+    t.join(timeout=5)
+    assert len(got) == 10
+    for a, b in zip(frames, got):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_frame_ring_backpressure():
+    ring = native.FrameRing(frame_bytes=8, capacity=2)
+    f = np.zeros(8, np.uint8)
+    assert ring.push(f, timeout_ms=100) == 0
+    assert ring.push(f, timeout_ms=100) == 0
+    assert ring.push(f, timeout_ms=100) == 2  # full -> timeout
+    out = np.empty(8, np.uint8)
+    assert ring.pop(out, timeout_ms=100) == 0
+    assert ring.push(f, timeout_ms=100) == 0  # space again
+
+
+def test_counters():
+    lib = native.load()
+    c = lib.rc_counters_create(3)
+    lib.rc_counter_add(c, 0, 5)
+    lib.rc_counter_add(c, 0, 2)
+    lib.rc_counter_add(c, 2, 1)
+    assert lib.rc_counter_get(c, 0) == 7
+    assert lib.rc_counter_get(c, 1) == 0
+    assert lib.rc_counter_get(c, 2) == 1
+    lib.rc_counters_destroy(c)
