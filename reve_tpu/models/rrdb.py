@@ -1,0 +1,220 @@
+"""RRDBNet — the full-size RealESRGAN generator (x4plus / x4plus-anime-6B).
+
+The reference only ships the compact SRVGG anime model inside its ncnn
+binary; RRDBNet support is the stretch model family from BASELINE.json
+config #4 ("RealESRGAN-x4plus RRDBNet general-photo model").
+
+Functional JAX, NHWC activations / HWIO weights, bf16-able like srvgg.
+Architecture mirrors upstream Real-ESRGAN `RRDBNet`:
+
+    conv_first -> nb x RRDB -> conv_body (+ residual)
+    -> [nearest x2 + conv_up1 + lrelu] x2 -> conv_hr + lrelu -> conv_last
+
+    RDB  (dense block): 5 convs with dense concats, growth gc, out*0.2 + x
+    RRDB: 3 RDBs chained, out*0.2 + x
+
+Scales: x4 native; x2 / x1 via pixel-unshuffling the input (2x / 4x) into
+channels, as upstream does.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reve_tpu.ops.pixel_shuffle import pixel_unshuffle
+from reve_tpu.ops.resize import upsample_nearest
+
+
+@dataclasses.dataclass(frozen=True)
+class RRDBConfig:
+    num_in_ch: int = 3
+    num_out_ch: int = 3
+    num_feat: int = 64
+    num_block: int = 23
+    num_grow_ch: int = 32
+    upscale: int = 4   # output scale; x2/x1 pixel-unshuffle the input
+
+
+Params = Dict[str, Any]
+
+
+def _conv_init(key, cin, cout, dtype, scale=1.0):
+    wkey, bkey = jax.random.split(key)
+    fan_in = cin * 9
+    bound = scale / np.sqrt(fan_in)
+    return {
+        "w": jax.random.uniform(wkey, (3, 3, cin, cout), dtype, -bound, bound),
+        "b": jnp.zeros((cout,), dtype),
+    }
+
+
+def init_params(key: jax.Array, cfg: RRDBConfig, dtype=jnp.float32) -> Params:
+    nf, gc = cfg.num_feat, cfg.num_grow_ch
+    cin = cfg.num_in_ch * (4 if cfg.upscale == 2 else
+                           16 if cfg.upscale == 1 else 1)
+    keys = iter(jax.random.split(key, 6 + cfg.num_block * 16))
+
+    def rdb():
+        return {
+            "convs": [
+                _conv_init(next(keys), nf + i * gc,
+                           gc if i < 4 else nf, dtype, scale=0.1)
+                for i in range(5)
+            ]
+        }
+
+    return {
+        "conv_first": _conv_init(next(keys), cin, nf, dtype),
+        "body": [
+            {"rdbs": [rdb() for _ in range(3)]} for _ in range(cfg.num_block)
+        ],
+        "conv_body": _conv_init(next(keys), nf, nf, dtype),
+        "conv_up1": _conv_init(next(keys), nf, nf, dtype),
+        "conv_up2": _conv_init(next(keys), nf, nf, dtype),
+        "conv_hr": _conv_init(next(keys), nf, nf, dtype),
+        "conv_last": _conv_init(next(keys), nf, cfg.num_out_ch, dtype),
+    }
+
+
+def _conv(x, p, dtype):
+    precision = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    return (y + p["b"].astype(jnp.float32)).astype(dtype)
+
+
+def _lrelu(x):
+    return jnp.where(x >= 0, x, 0.2 * x)
+
+
+def _rdb(x, p, dtype):
+    feats = [x]
+    for i, conv in enumerate(p["convs"]):
+        h = _conv(jnp.concatenate(feats, axis=-1), conv, dtype)
+        if i < 4:
+            h = _lrelu(h)
+        feats.append(h)
+    return feats[-1] * jnp.asarray(0.2, dtype) + x
+
+
+def _rrdb(x, p, dtype):
+    out = x
+    for rdb_p in p["rdbs"]:
+        out = _rdb(out, rdb_p, dtype)
+    return out * jnp.asarray(0.2, dtype) + x
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def apply(params: Params, x: jax.Array, *, cfg: RRDBConfig,
+          compute_dtype=jnp.float32) -> jax.Array:
+    """(B, H, W, C) in [0,1] -> (B, H*upscale, W*upscale, C) float32."""
+    dtype = compute_dtype
+    h = x
+    if cfg.upscale == 2:
+        h = pixel_unshuffle(h, 2)
+    elif cfg.upscale == 1:
+        h = pixel_unshuffle(h, 4)
+    h = h.astype(dtype)
+    feat = _conv(h, params["conv_first"], dtype)
+    body = feat
+    for block in params["body"]:
+        body = _rrdb(body, block, dtype)
+    feat = feat + _conv(body, params["conv_body"], dtype)
+    feat = _lrelu(_conv(upsample_nearest(feat, 2), params["conv_up1"], dtype))
+    feat = _lrelu(_conv(upsample_nearest(feat, 2), params["conv_up2"], dtype))
+    out = _conv(_lrelu(_conv(feat, params["conv_hr"], dtype)),
+                params["conv_last"], dtype)
+    return out.astype(jnp.float32)
+
+
+# -- weight loading ----------------------------------------------------------
+
+def load_pth(path: str):
+    """RealESRGAN RRDBNet .pth -> (RRDBConfig, params).
+
+    Upstream key layout: conv_first, body.<i>.rdb<j>.conv<k>, conv_body,
+    conv_up1/2, conv_hr, conv_last  (weights OIHW).
+    """
+    from reve_tpu.weights.torch_loader import load_state_dict_numpy
+
+    sd = load_state_dict_numpy(path)
+
+    def conv(name):
+        w = sd[f"{name}.weight"]
+        b = sd.get(f"{name}.bias", np.zeros((w.shape[0],), np.float32))
+        return {
+            "w": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
+            "b": jnp.asarray(b),
+        }
+
+    num_block = 1 + max(
+        int(k.split(".")[1]) for k in sd if k.startswith("body.")
+    )
+    first_w = sd["conv_first.weight"]
+    nf = first_w.shape[0]
+    cin = first_w.shape[1]
+    gc = sd["body.0.rdb1.conv1.weight"].shape[0]
+    upscale = {3: 4, 12: 2, 48: 1}.get(cin, 4)
+    cfg = RRDBConfig(
+        num_in_ch=3, num_out_ch=sd["conv_last.weight"].shape[0],
+        num_feat=nf, num_block=num_block, num_grow_ch=gc, upscale=upscale,
+    )
+    params = {
+        "conv_first": conv("conv_first"),
+        "body": [
+            {
+                "rdbs": [
+                    {
+                        "convs": [
+                            conv(f"body.{i}.rdb{j + 1}.conv{k + 1}")
+                            for k in range(5)
+                        ]
+                    }
+                    for j in range(3)
+                ]
+            }
+            for i in range(num_block)
+        ],
+        "conv_body": conv("conv_body"),
+        "conv_up1": conv("conv_up1"),
+        "conv_up2": conv("conv_up2"),
+        "conv_hr": conv("conv_hr"),
+        "conv_last": conv("conv_last"),
+    }
+    return cfg, params
+
+
+def load_model(spec, scale: int, weights=None):
+    """Registry hook (reve_tpu.models.registry.load_model for rrdb arch)."""
+    import logging
+    import os
+
+    log = logging.getLogger(__name__)
+    if weights and os.path.exists(weights):
+        cfg, params = load_pth(weights)
+        if cfg.upscale != scale:
+            raise ValueError(
+                f"weights are x{cfg.upscale}, requested x{scale}"
+            )
+        return cfg, params
+    from reve_tpu.models.registry import _find_weight_files
+
+    found = _find_weight_files(spec.canonical)
+    if found and found[0] == "pth":
+        return load_pth(found[1])
+    log.warning(
+        "no weights for %s; using deterministic random init", spec.canonical
+    )
+    cfg = RRDBConfig(num_feat=spec.num_feat, num_block=spec.num_conv,
+                     upscale=scale)
+    return cfg, init_params(jax.random.key(0), cfg)

@@ -82,10 +82,14 @@ class UpscaleEngine:
 
     # -- jitted core -------------------------------------------------------
 
-    def _model_fn(self, x: jax.Array) -> jax.Array:
-        return srvgg.apply(
-            self.params, x, cfg=self.cfg, compute_dtype=self.compute_dtype
-        )
+    def _arch_apply(self, params, x):
+        from reve_tpu.models import rrdb
+
+        if isinstance(self.cfg, srvgg.SRVGGConfig):
+            return srvgg.apply(params, x, cfg=self.cfg,
+                               compute_dtype=self.compute_dtype)
+        return rrdb.apply(params, x, cfg=self.cfg,
+                          compute_dtype=self.compute_dtype)
 
     def _tile_size_for(self, h: int, w: int) -> int:
         if self.tile == -1:
@@ -96,8 +100,12 @@ class UpscaleEngine:
 
     @property
     def halo(self) -> int:
-        """Receptive-field radius of SRVGG: 1 px per 3x3 conv."""
-        return self.cfg.num_conv + 2
+        """Tile halo radius.  SRVGG: exact receptive-field radius (1 px per
+        3x3 conv).  RRDB: the true receptive field spans hundreds of pixels;
+        24 px of context is visually seam-free (documented approximation)."""
+        if isinstance(self.cfg, srvgg.SRVGGConfig):
+            return self.cfg.num_conv + 2
+        return 24
 
     def _build(self, h: int, w: int):
         tile = self._tile_size_for(h, w)
@@ -106,9 +114,7 @@ class UpscaleEngine:
             x = u8.astype(jnp.float32) * (1.0 / 255.0)
 
             def apply_fn(t):
-                return srvgg.apply(
-                    params, t, cfg=self.cfg, compute_dtype=self.compute_dtype
-                )
+                return self._arch_apply(params, t)
 
             if tile:
                 y = tiling.upscale_tiled(
