@@ -111,6 +111,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume without asking (non-interactive)")
     p.add_argument("--keep-workspace", action="store_true",
                    help="do not delete the workspace after success")
+    p.add_argument("--shard-worker", default=None, metavar="ID",
+                   help="participate as a lease-queue worker (multi-host "
+                        "segment sharding over a shared workspace); the "
+                        "worker that finds all parts complete finalizes")
     return p
 
 
@@ -205,11 +209,29 @@ def run(argv: Optional[List[str]] = None) -> int:
         total_segments=len(state.pending),
         on_update=renderer,
     )
-    job = scheduler.PipelineJob(
-        state, ws, engine, io_backend=args.io_backend,
-        part_ext=_part_ext(args), progress=tracker,
-    )
-    state = job.run()
+    if args.shard_worker:
+        from reve_tpu.pipeline import leases
+
+        done = leases.run_sharded(
+            state, ws, engine, args.shard_worker,
+            io_backend=args.io_backend, part_ext=_part_ext(args),
+            progress=tracker,
+        )
+        q = leases.SegmentLeaseQueue(ws, args.shard_worker,
+                                     part_ext=_part_ext(args))
+        print(f"worker {args.shard_worker}: {done} segment(s)",
+              file=sys.stderr)
+        if not q.all_done(state.pending):
+            print("other workers still running; not finalizing",
+                  file=sys.stderr)
+            return 0
+        state = dataclasses_replace_pending(state)
+    else:
+        job = scheduler.PipelineJob(
+            state, ws, engine, io_backend=args.io_backend,
+            part_ext=_part_ext(args), progress=tracker,
+        )
+        state = job.run()
     report = scheduler.finalize(
         state, ws, io_backend=args.io_backend, part_ext=_part_ext(args)
     )
@@ -222,6 +244,12 @@ def run(argv: Optional[List[str]] = None) -> int:
 
 def _part_ext(args) -> str:
     return ".y4m" if args.io_backend == "y4m" else ".mp4"
+
+
+def dataclasses_replace_pending(state: JobState) -> JobState:
+    import dataclasses
+
+    return dataclasses.replace(state, pending=[])
 
 
 def main() -> None:

@@ -67,7 +67,13 @@ class UpscaleEngine:
         tile: int = 0,            # 0 = auto, -1 = never tile
         compute_dtype: str = "bfloat16",
         device: Optional[jax.Device] = None,
+        mesh=None,
     ):
+        """`mesh`: a jax.sharding.Mesh with a 'dp' axis to shard each batch
+        of frames across devices (frames are independent — pure data
+        parallelism, the idiomatic multi-chip strategy for this workload,
+        SURVEY.md §2.3).  batch_size must be a multiple of the dp size.
+        Without a mesh, runs on a single device."""
         self.cfg, self.params = registry.load_model(model, scale, weights)
         self.scale = self.cfg.upscale
         self.batch_size = batch_size
@@ -75,8 +81,24 @@ class UpscaleEngine:
         self.compute_dtype = jnp.bfloat16 if compute_dtype in (
             "bfloat16", "bf16"
         ) else jnp.float32
-        self.device = device or jax.devices()[0]
-        self.params = jax.device_put(self.params, self.device)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = mesh.shape["dp"]
+            if batch_size % dp:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by dp={dp}"
+                )
+            self._batch_sharding = NamedSharding(mesh, P("dp"))
+            self.device = None
+            self.params = jax.device_put(
+                self.params, NamedSharding(mesh, P())
+            )
+        else:
+            self._batch_sharding = None
+            self.device = device or jax.devices()[0]
+            self.params = jax.device_put(self.params, self.device)
         self.stats = EngineStats()
         self._compiled = {}
 
@@ -137,11 +159,16 @@ class UpscaleEngine:
 
     # -- public API --------------------------------------------------------
 
+    def _place(self, frames):
+        if self._batch_sharding is not None:
+            return jax.device_put(frames, self._batch_sharding)
+        return jax.device_put(frames, self.device)
+
     def warmup(self, h: int, w: int) -> None:
         """Pre-compile for a resolution (first XLA compile is ~20-40 s)."""
         fn = self._get_compiled(h, w)
         dummy = jnp.zeros((self.batch_size, h, w, 3), jnp.uint8)
-        fn(self.params, jax.device_put(dummy, self.device)).block_until_ready()
+        fn(self.params, self._place(dummy)).block_until_ready()
 
     def submit(self, frames: np.ndarray) -> PendingBatch:
         """Enqueue a batch; returns a handle. frames: (n<=batch, H, W, 3) u8.
@@ -156,7 +183,7 @@ class UpscaleEngine:
         elif n > self.batch_size:
             raise ValueError(f"batch {n} > batch_size {self.batch_size}")
         fn = self._get_compiled(h, w)
-        dev_in = jax.device_put(frames, self.device)
+        dev_in = self._place(frames)
         out = fn(self.params, dev_in)
         self.stats.frames += n
         self.stats.batches += 1

@@ -1,0 +1,176 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: sharded-batch
+inference, distributed training step, and segment lease sharding."""
+
+import dataclasses
+import fractions
+import threading
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from reve_tpu.parallel import mesh as mesh_lib
+from reve_tpu.pipeline import leases, planner, scheduler, state
+from reve_tpu.io import writer, reader
+
+
+def test_mesh_factoring():
+    assert mesh_lib.factor_devices(8) == (4, 2)
+    assert mesh_lib.factor_devices(8, max_sp=1) == (8, 1)
+    assert mesh_lib.factor_devices(1) == (1, 1)
+    assert mesh_lib.factor_devices(7) == (7, 1)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8, (
+        "conftest must provide 8 virtual CPU devices"
+    )
+
+
+def test_sharded_engine_matches_single_device():
+    from reve_tpu.pipeline.engine import UpscaleEngine
+
+    mesh = mesh_lib.make_mesh(jax.devices(), max_sp=1)  # dp=8
+    frames = np.random.RandomState(0).randint(
+        0, 256, (8, 16, 20, 3), np.uint8
+    )
+    kw = dict(model="realesr-animevideov3", scale=2, batch_size=8,
+              compute_dtype="float32", tile=-1)
+    sharded = UpscaleEngine(mesh=mesh, **kw)
+    single = UpscaleEngine(**kw)
+    out_s = sharded.submit(frames).result()
+    out_1 = single.submit(frames).result()
+    assert out_s.shape == (8, 32, 40, 3)
+    np.testing.assert_array_equal(out_s, out_1)
+
+
+def test_sharded_engine_batch_divisibility():
+    from reve_tpu.pipeline.engine import UpscaleEngine
+
+    mesh = mesh_lib.make_mesh(jax.devices(), max_sp=1)
+    with pytest.raises(ValueError, match="not divisible"):
+        UpscaleEngine(batch_size=3, mesh=mesh)
+
+
+def test_trainer_loss_decreases():
+    from reve_tpu.models import srvgg
+    from reve_tpu.train.trainer import Trainer, TrainConfig
+
+    mesh = mesh_lib.make_mesh(jax.devices())
+    cfg = srvgg.SRVGGConfig(num_feat=8, num_conv=1, upscale=2)
+    tr = Trainer(cfg, TrainConfig(learning_rate=3e-3), mesh=mesh)
+    rs = np.random.RandomState(0)
+    hr = rs.rand(8, 32, 32, 3).astype(np.float32)
+    lr = hr[:, ::2, ::2, :]
+    losses = [tr.step(lr, hr) for _ in range(30)]
+    assert losses[-1] < losses[0] * 0.9, losses[::10]
+    assert np.isfinite(tr.eval_psnr(lr, hr))
+
+
+def test_graft_dryrun():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+# -- segment lease sharding -------------------------------------------------
+
+class FakeEngine:
+    batch_size = 3
+    scale = 2
+
+    def submit(self, frames):
+        out = np.repeat(np.repeat(frames, 2, axis=1), 2, axis=2)
+
+        class _P:
+            def result(self):
+                return out
+
+        return _P()
+
+
+def _make_job(tmp_path, num_frames=24, seg=4):
+    path = str(tmp_path / "in.y4m")
+    with writer.Y4MWriter(path, 32, 24, fractions.Fraction(24)) as wr:
+        for i in range(num_frames):
+            wr.write(np.full((24, 32, 3), 20 + 8 * i, np.uint8))
+    ws = state.Workspace(str(tmp_path / "work"))
+    ws.create()
+    st = state.JobState(
+        input_path=path, output_path=str(tmp_path / "out.y4m"),
+        scale=2, segment_size=seg, frame_count=num_frames,
+        fps_num=24, fps_den=1, width=32, height=24,
+        pending=planner.plan_segments(num_frames, seg),
+    )
+    ws.save(st)
+    return ws, st
+
+
+def test_lease_claim_release(tmp_path):
+    ws, st = _make_job(tmp_path)
+    q1 = leases.SegmentLeaseQueue(ws, "w1", part_ext=".y4m")
+    q2 = leases.SegmentLeaseQueue(ws, "w2", part_ext=".y4m")
+    s1 = q1.claim(st.pending)
+    s2 = q2.claim(st.pending)
+    assert s1.index != s2.index  # no double-claim
+    q1.release(s1)
+    s3 = q2.claim(st.pending)
+    assert s3.index == s1.index  # released -> claimable
+
+
+def test_lease_skips_completed(tmp_path):
+    ws, st = _make_job(tmp_path)
+    with open(ws.part_tmp_path(0, ".y4m"), "w") as f:
+        f.write("x")
+    ws.commit_part(0, ".y4m")
+    q = leases.SegmentLeaseQueue(ws, "w1", part_ext=".y4m")
+    assert q.claim(st.pending).index == 1
+
+
+def test_stale_lease_takeover(tmp_path):
+    import os
+    import time
+
+    ws, st = _make_job(tmp_path)
+    q1 = leases.SegmentLeaseQueue(ws, "w1", stale_after=0.2, part_ext=".y4m")
+    s = q1.claim(st.pending)
+    # w1 "crashes" (no renew); w2 takes over after staleness
+    q2 = leases.SegmentLeaseQueue(ws, "w2", stale_after=0.2, part_ext=".y4m")
+    assert q2.claim(st.pending).index != s.index  # fresh lease not stolen
+    time.sleep(0.3)
+    stolen = q2.claim(st.pending)
+    assert stolen.index == s.index
+    with open(q2._lease_path(s.index)) as f:
+        assert f.read() == "w2"
+    assert os.path.exists(q2._lease_path(s.index))
+
+
+def test_two_workers_complete_job(tmp_path):
+    """Two concurrent workers share one segment queue; every frame appears
+    exactly once in the final concat (BASELINE.json config #5's CPU-mesh
+    analog)."""
+    ws, st = _make_job(tmp_path, num_frames=24, seg=4)  # 6 segments
+    counts = {}
+
+    def worker(wid):
+        counts[wid] = leases.run_sharded(
+            st, ws, FakeEngine(), wid, io_backend="y4m", part_ext=".y4m"
+        )
+
+    ts = [threading.Thread(target=worker, args=(w,)) for w in ("w1", "w2")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=60)
+    assert sum(counts.values()) == 6
+    q = leases.SegmentLeaseQueue(ws, "main", part_ext=".y4m")
+    assert q.all_done(st.pending)
+
+    final = dataclasses.replace(st, pending=[])
+    scheduler.finalize(final, ws, io_backend="y4m", part_ext=".y4m")
+    rd = reader.Y4MReader(str(tmp_path / "out.y4m"))
+    lumas = [int(f[12, 16, 0]) for f in rd.read_range(0, rd.frame_count())]
+    assert len(lumas) == 24
+    for i, v in enumerate(lumas):
+        assert abs(v - (20 + 8 * i)) <= 2, (i, v)
