@@ -1,0 +1,168 @@
+"""Job manager for the web service: queue of upscale jobs, one at a time.
+
+The reference GUI processes a multi-selection of videos sequentially, one
+subprocess at a time (reve-gui/src/pages/Index.vue:340-353); here jobs run
+sequentially on a worker thread through the SAME pipeline core the CLI uses
+(segmentation, resume, progress) — unlike the reference, whose GUI bypassed
+its own library and lost segmentation/resume (SURVEY.md §1 note).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import os
+import threading
+import traceback
+from typing import Dict, List, Optional
+
+from reve_tpu.pipeline.planner import plan_segments
+from reve_tpu.pipeline.progress import ProgressTracker
+from reve_tpu.pipeline.state import JobState, Workspace
+
+
+def replace_file_suffix(path: str, factor: int, ext: str = "mp4") -> str:
+    """'<stem>.<old>' -> '<stem>_upscaled-{N}x.<ext>' — the reference GUI's
+    output naming rule (reve-gui/src-tauri/src/utils.rs:53-57)."""
+    stem = os.path.splitext(path)[0]
+    return f"{stem}_upscaled-{factor}x.{ext}"
+
+
+@dataclasses.dataclass
+class Job:
+    id: int
+    input_path: str
+    output_path: str
+    model: str
+    scale: int
+    status: str = "queued"    # queued | running | done | error
+    error: str = ""
+    progress: Optional[ProgressTracker] = None
+    result: Optional[dict] = None
+
+    def to_json(self) -> dict:
+        return {
+            "id": self.id,
+            "input": self.input_path,
+            "output": self.output_path,
+            "model": self.model,
+            "scale": self.scale,
+            "status": self.status,
+            "error": self.error,
+            "progress": self.progress.snapshot() if self.progress else None,
+            "result": self.result,
+        }
+
+
+class JobManager:
+    def __init__(self, service_cfg, engine_factory=None, io_backend=None):
+        self.cfg = service_cfg
+        self.engine_factory = engine_factory or self._default_engine_factory
+        self.io_backend = io_backend
+        self.jobs: Dict[int, Job] = {}
+        self._order: List[int] = []
+        self._ids = itertools.count(1)
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._stop = False
+        self._worker = threading.Thread(
+            target=self._run_loop, name="reve-jobs", daemon=True
+        )
+        self._worker.start()
+
+    @staticmethod
+    def _default_engine_factory(model: str, scale: int):
+        from reve_tpu.pipeline.engine import UpscaleEngine
+
+        return UpscaleEngine(model=model, scale=scale)
+
+    def submit(self, input_path: str, scale: Optional[int] = None,
+               model: Optional[str] = None,
+               output_path: Optional[str] = None) -> Job:
+        scale = scale or self.cfg.default_scale
+        model = model or self.cfg.default_upscale_type
+        output_path = output_path or replace_file_suffix(input_path, scale)
+        with self._lock:
+            job = Job(
+                id=next(self._ids), input_path=input_path,
+                output_path=output_path, model=model, scale=scale,
+            )
+            self.jobs[job.id] = job
+            self._order.append(job.id)
+        self._wake.set()
+        return job
+
+    def list_jobs(self) -> List[dict]:
+        with self._lock:
+            return [self.jobs[i].to_json() for i in self._order]
+
+    def get(self, job_id: int) -> Optional[Job]:
+        return self.jobs.get(job_id)
+
+    def shutdown(self):
+        self._stop = True
+        self._wake.set()
+
+    # -- worker ------------------------------------------------------------
+
+    def _next_queued(self) -> Optional[Job]:
+        with self._lock:
+            for jid in self._order:
+                if self.jobs[jid].status == "queued":
+                    return self.jobs[jid]
+        return None
+
+    def _run_loop(self):
+        while not self._stop:
+            job = self._next_queued()
+            if job is None:
+                self._wake.wait(timeout=0.2)
+                self._wake.clear()
+                continue
+            job.status = "running"
+            try:
+                job.result = self._run_job(job)
+                job.status = "done"
+            except Exception as e:  # surfaced via the API, like the
+                job.error = f"{e}\n{traceback.format_exc(limit=3)}"
+                job.status = "error"  # reference's commands.rs:86-94
+
+    def _run_job(self, job: Job) -> dict:
+        from fractions import Fraction
+
+        from reve_tpu.io import probe
+        from reve_tpu.pipeline import scheduler
+
+        info = probe.probe(job.input_path, backend=self.io_backend)
+        fps = info.fps or Fraction(30, 1)
+        st = JobState(
+            input_path=os.path.abspath(job.input_path),
+            output_path=os.path.abspath(job.output_path),
+            scale=job.scale,
+            segment_size=self.cfg.segment_size,
+            frame_count=info.frame_count,
+            fps_num=fps.numerator, fps_den=fps.denominator,
+            width=info.width, height=info.height,
+            pending=plan_segments(info.frame_count, self.cfg.segment_size),
+            encode={"crf": self.cfg.crf, "preset": self.cfg.preset},
+            model=job.model,
+        )
+        ws = Workspace(st.output_path + ".revework")
+        ws.create()
+        ws.save(st)
+        engine = self.engine_factory(job.model, job.scale)
+        part_ext = ".y4m" if self.io_backend == "y4m" else ".mp4"
+        job.progress = ProgressTracker(
+            total_frames=info.frame_count,
+            total_segments=len(st.pending),
+        )
+        pipeline = scheduler.PipelineJob(
+            st, ws, engine, io_backend=self.io_backend,
+            part_ext=part_ext, progress=job.progress,
+        )
+        final = pipeline.run()
+        report = scheduler.finalize(
+            final, ws, io_backend=self.io_backend, part_ext=part_ext
+        )
+        ws.destroy()
+        return report

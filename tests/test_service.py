@@ -1,0 +1,177 @@
+"""Service layer tests: config validation/regeneration, gated logger,
+suffix util, and a full HTTP job round-trip with a fake engine."""
+
+import fractions
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from reve_tpu.io import reader, writer
+from reve_tpu.service import config as config_mod
+from reve_tpu.service.jobs import JobManager, replace_file_suffix
+from reve_tpu.service.logger import ServiceLogger
+
+
+# -- replace_file_suffix: the cases the reference's (stale) unit tests
+#    document (reve-gui/src-tauri/src/utils.rs:90-149) ---------------------
+
+def test_suffix_linux_path():
+    assert replace_file_suffix("/a/b/video.mkv", 2) == \
+        "/a/b/video_upscaled-2x.mp4"
+
+
+def test_suffix_spaces_and_ext():
+    assert replace_file_suffix("/a/my video.mp4", 4, "mkv") == \
+        "/a/my video_upscaled-4x.mkv"
+
+
+def test_suffix_no_ext():
+    assert replace_file_suffix("/a/video", 3) == "/a/video_upscaled-3x.mp4"
+
+
+# -- config ----------------------------------------------------------------
+
+def test_config_roundtrip(tmp_path):
+    path = str(tmp_path / "cfg.json")
+    cfg = config_mod.ServiceConfig(application_logs=True, default_scale=3)
+    config_mod.save(cfg, path)
+    loaded = config_mod.load(path)
+    assert loaded == cfg
+
+
+def test_config_regenerates_on_invalid(tmp_path):
+    path = str(tmp_path / "cfg.json")
+    with open(path, "w") as f:
+        f.write("{broken json")
+    cfg = config_mod.load(path)
+    assert cfg == config_mod.ServiceConfig()
+    # file was rewritten with valid defaults
+    with open(path) as f:
+        assert json.load(f)["default-upscale-type"] == "realesr-animevideov3"
+
+
+def test_config_rejects_unknown_model(tmp_path):
+    path = str(tmp_path / "cfg.json")
+    with open(path, "w") as f:
+        json.dump({"default-upscale-type": "not-a-model"}, f)
+    assert config_mod.load(path) == config_mod.ServiceConfig()
+
+
+def test_save_invalid_raises(tmp_path):
+    with pytest.raises(ValueError):
+        config_mod.save(
+            config_mod.ServiceConfig(default_scale=7),
+            str(tmp_path / "x.json"),
+        )
+
+
+# -- logger (config-gated, utils.rs:28-35 semantics) -----------------------
+
+def test_logger_gated(tmp_path):
+    log_path = str(tmp_path / "log.txt")
+    off = ServiceLogger(config_mod.ServiceConfig(application_logs=False),
+                        path=log_path)
+    assert off.write("hidden") is False
+    import os
+
+    assert not os.path.exists(log_path)
+    on = ServiceLogger(config_mod.ServiceConfig(application_logs=True),
+                       path=log_path)
+    assert on.write("hello") is True
+    content = open(log_path).read()
+    assert "hello" in content and "#####" in content
+
+
+# -- HTTP API round trip ---------------------------------------------------
+
+class FakeEngine:
+    batch_size = 3
+    scale = 2
+
+    def submit(self, frames):
+        out = np.repeat(np.repeat(frames, 2, axis=1), 2, axis=2)
+
+        class _P:
+            def result(self):
+                return out
+
+        return _P()
+
+
+@pytest.fixture
+def server(tmp_path):
+    from reve_tpu.service import server as server_mod
+
+    cfg = config_mod.ServiceConfig(segment_size=5)
+    manager = JobManager(
+        cfg, engine_factory=lambda m, s: FakeEngine(), io_backend="y4m"
+    )
+    srv = server_mod.make_server("127.0.0.1", 0, cfg=cfg, manager=manager)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    manager.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def _post(url, data):
+    req = urllib.request.Request(
+        url, data=json.dumps(data).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def test_api_version(server):
+    from reve_tpu.version import __version__
+
+    assert _get(server + "/api/version")["version"] == __version__
+
+
+def test_api_suffix(server):
+    out = _post(server + "/api/suffix", {"path": "/x/v.mp4", "factor": 3})
+    assert out["path"] == "/x/v_upscaled-3x.mp4"
+
+
+def test_api_job_end_to_end(server, tmp_path):
+    inp = str(tmp_path / "in.y4m")
+    with writer.Y4MWriter(inp, 32, 24, fractions.Fraction(24)) as wr:
+        for i in range(12):
+            wr.write(np.full((24, 32, 3), 30 + i * 10, np.uint8))
+    out = str(tmp_path / "out.y4m")
+    job = _post(server + "/api/jobs",
+                {"input": inp, "scale": 2, "output": out})
+    assert job["status"] in ("queued", "running")
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        j = _get(server + f"/api/jobs/{job['id']}")
+        if j["status"] in ("done", "error"):
+            break
+        time.sleep(0.2)
+    assert j["status"] == "done", j["error"]
+    assert j["progress"]["encode"]["done"] == 12
+    rd = reader.Y4MReader(out)
+    assert (rd.width, rd.height, rd.frame_count()) == (64, 48, 12)
+
+
+def test_api_job_missing_input(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server + "/api/jobs", {"input": "/nope.mp4"})
+    assert ei.value.code == 400
+
+
+def test_index_page(server):
+    with urllib.request.urlopen(server + "/", timeout=10) as r:
+        html = r.read().decode()
+    assert "reve-tpu" in html
