@@ -111,6 +111,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume without asking (non-interactive)")
     p.add_argument("--keep-workspace", action="store_true",
                    help="do not delete the workspace after success")
+    p.add_argument("--trace", default=None, metavar="FILE",
+                   help="write JSONL stage-timing events to FILE")
+    p.add_argument("--profile-dir", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace into DIR")
     p.add_argument("--shard-worker", default=None, metavar="ID",
                    help="participate as a lease-queue worker (multi-host "
                         "segment sharding over a shared workspace); the "
@@ -209,14 +213,21 @@ def run(argv: Optional[List[str]] = None) -> int:
         total_segments=len(state.pending),
         on_update=renderer,
     )
+    from reve_tpu.utils import trace as trace_mod
+
+    tracer = trace_mod.Tracer(args.trace) if args.trace else \
+        trace_mod.from_env()
+    profile_ctx = trace_mod.device_profile(args.profile_dir)
+
     if args.shard_worker:
         from reve_tpu.pipeline import leases
 
-        done = leases.run_sharded(
-            state, ws, engine, args.shard_worker,
-            io_backend=args.io_backend, part_ext=_part_ext(args),
-            progress=tracker,
-        )
+        with profile_ctx:
+            done = leases.run_sharded(
+                state, ws, engine, args.shard_worker,
+                io_backend=args.io_backend, part_ext=_part_ext(args),
+                progress=tracker,
+            )
         q = leases.SegmentLeaseQueue(ws, args.shard_worker,
                                      part_ext=_part_ext(args))
         print(f"worker {args.shard_worker}: {done} segment(s)",
@@ -229,9 +240,10 @@ def run(argv: Optional[List[str]] = None) -> int:
     else:
         job = scheduler.PipelineJob(
             state, ws, engine, io_backend=args.io_backend,
-            part_ext=_part_ext(args), progress=tracker,
+            part_ext=_part_ext(args), progress=tracker, tracer=tracer,
         )
-        state = job.run()
+        with profile_ctx:
+            state = job.run()
     report = scheduler.finalize(
         state, ws, io_backend=args.io_backend, part_ext=_part_ext(args)
     )

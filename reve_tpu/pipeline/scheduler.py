@@ -81,12 +81,16 @@ class PipelineJob:
         progress: Optional[ProgressTracker] = None,
         decode_queue_depth: int = 4,
         device_queue_depth: int = 3,
+        tracer=None,
     ):
+        from reve_tpu.utils import trace as trace_mod
+
         self.state = state
         self.ws = workspace
         self.engine = engine
         self.io_backend = io_backend
         self.part_ext = part_ext
+        self.tracer = tracer or trace_mod.from_env()
         self.decode_q: "queue.Queue" = queue.Queue(maxsize=decode_queue_depth)
         self.encode_q: "queue.Queue" = queue.Queue(maxsize=device_queue_depth)
         self.errors: list = []
@@ -153,7 +157,8 @@ class PipelineJob:
                 item = self._get(self.encode_q)
                 if item is _SENTINEL or item is _ABORT:
                     break
-                frames = item.pending.result()  # blocks on device
+                with self.tracer.span("device_wait", seg=item.seg_index):
+                    frames = item.pending.result()  # blocks on device
                 if item.seg_index != cur_seg:
                     assert writer is None, "segment interleave violation"
                     cur_seg = item.seg_index
@@ -162,13 +167,16 @@ class PipelineJob:
                         out_w, out_h, fps, settings=settings,
                         backend=self.io_backend,
                     )
-                for f in frames:
-                    writer.write(f)
+                with self.tracer.span("encode_batch", seg=item.seg_index,
+                                      n=len(frames)):
+                    for f in frames:
+                        writer.write(f)
                 self.progress.advance("encode", len(frames))
                 if item.last_of_segment:
                     writer.close()
                     writer = None
                     self.ws.commit_part(cur_seg, self.part_ext)
+                    self.tracer.event("segment_commit", seg=cur_seg)
                     # checkpoint: everything not yet on disk is pending
                     done = set(self.ws.completed_parts(self.part_ext))
                     new_pending = [
@@ -251,10 +259,11 @@ class PipelineJob:
                 item = self._get(self.decode_q)
                 if item is _SENTINEL or item is _ABORT:
                     break
+                with self.tracer.span("submit", seg=item.seg_index,
+                                      n=len(item.frames)):
+                    pending = self.engine.submit(item.frames)
                 inferred = _InferredBatch(
-                    item.seg_index,
-                    self.engine.submit(item.frames),
-                    item.last_of_segment,
+                    item.seg_index, pending, item.last_of_segment,
                 )
                 self.progress.advance("upscale", len(item.frames))
                 self._put(self.encode_q, inferred)
