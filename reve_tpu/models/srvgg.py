@@ -138,11 +138,41 @@ def apply(params: Params, x: jax.Array, *, cfg: SRVGGConfig,
             prelus[i + 1]["alpha"],
         )
     h = _conv3x3(h, convs[-1]["w"].astype(compute_dtype), convs[-1]["b"])
-    # Residual: torch does pixel_shuffle(h) + nearest_upsample(x).  Because
-    # pixel_shuffle is a pure permutation, that equals
-    # pixel_shuffle(h + repeat(x, r^2, channel)) — the add then happens at
-    # input resolution (r^2 x fewer HBM bytes touched than adding two
-    # full-res images) and stays f32 for residual fidelity.
+    return _epilogue(h, orig, cfg)
+
+
+def _epilogue(h: jax.Array, orig: jax.Array, cfg: SRVGGConfig) -> jax.Array:
+    """Residual + upsample.  torch does pixel_shuffle(h) + nearest(x);
+    because pixel_shuffle is a pure permutation, that equals
+    pixel_shuffle(h + repeat(x, r^2, channel)) — the add then happens at
+    input resolution (r^2 x fewer HBM bytes touched than adding two
+    full-res images) and stays f32 for residual fidelity."""
     r = cfg.upscale
     base = jnp.repeat(orig.astype(jnp.float32), r * r, axis=-1)
     return pixel_shuffle(h.astype(jnp.float32) + base, r)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "compute_dtype", "strip", "core")
+)
+def apply_fused(params: Params, x: jax.Array, *, cfg: SRVGGConfig,
+                compute_dtype=jnp.bfloat16, strip: int = 8,
+                core: int = 480) -> jax.Array:
+    """Forward pass with the hidden convs running in the Pallas fused
+    line-buffer kernel (reve_tpu.ops.fused_body); first/last conv and the
+    epilogue stay in XLA (~10% of FLOPs).  Numerics match `apply` to
+    compute-dtype rounding.  TPU only (use `apply` elsewhere)."""
+    from reve_tpu.ops import fused_body
+
+    orig = x
+    h = x.astype(compute_dtype)
+    convs, prelus = params["convs"], params["prelus"]
+    h = _prelu(_conv3x3(h, convs[0]["w"].astype(compute_dtype), convs[0]["b"]),
+               prelus[0]["alpha"])
+    ws, bs, as_ = fused_body.stack_hidden_params(params, cfg.num_conv)
+    h = fused_body.fused_hidden_body(
+        h, ws, bs, as_, height=h.shape[1], width=h.shape[2],
+        strip=strip, core=core, compute_dtype=compute_dtype,
+    )
+    h = _conv3x3(h, convs[-1]["w"].astype(compute_dtype), convs[-1]["b"])
+    return _epilogue(h, orig, cfg)

@@ -53,8 +53,9 @@ def _kernel(x_hbm, w_ref, b_ref, a_ref, out_hbm, cur_ref, lb_ref,
     def _():  # new (batch, column-tile) stream: clear the stencil state
         lb_ref[...] = jnp.zeros_like(lb_ref)
 
+    col0 = pl.multiple_of(t * CORE, 8)   # CORE is 8-aligned by builder
     dma_in = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * S, S), pl.ds(t * CORE, WW), :],
+        x_hbm.at[b, pl.ds(i * S, S), pl.ds(col0, WW), :],
         cur_ref.at[0],
         in_sem,
     )
@@ -69,29 +70,37 @@ def _kernel(x_hbm, w_ref, b_ref, a_ref, out_hbm, cur_ref, lb_ref,
 
     dma_in.wait()
 
-    for layer in range(num_layers):
-        src = cur_ref[layer % 2]                      # (S, WW, 128)
-        inr = jnp.concatenate([lb_ref[layer], src], axis=0)  # (S+2, WW, 128)
+    def layer_body(layer, _):
+        src = cur_ref[0]                              # (S, WW, 128)
+        lb = lb_ref[layer]                            # (2, WW, 128)
+        inr = jnp.concatenate([lb, src], axis=0)      # (S+2, WW, 128)
         # mask rows/cols outside the frame -> exact SAME zero padding
         row_abs = (i * S - layer - 2) + row_iota
         row_ok = jnp.logical_and(row_abs >= 0, row_abs < H)
         inr = jnp.where(jnp.logical_and(row_ok, col_ok), inr, 0)
         lb_ref[layer] = inr[S:S + 2]                  # stencil tail for i+1
 
-        # stack the 3 dy taps' real channels into K: (S, WW, 192), then pad
-        # one zero column each side so the 3 dx taps are static slices
+        # Stack the 3 dy taps' real channels into K (S, WW, 192), FLATTEN
+        # rows, and realize each dx tap as one large (S*WW, 192) @ (192, 64)
+        # matmul — big M amortizes MXU launch overhead (a rank-3 dot
+        # decomposes into S tiny matmuls).  The dx shift is a row shift of
+        # the flattened matrix: it leaks one pixel between consecutive image
+        # rows at the window edge columns, and window edge columns also lack
+        # their true out-of-window neighbor — both live in the discarded
+        # margin (MARGIN > num_layers covers the growth).  No offset-1
+        # column slices anywhere: Mosaic requires concat operands aligned.
         astack = jnp.concatenate(
             [inr[0:S, :, :64], inr[1:S + 1, :, :64], inr[2:S + 2, :, :64]],
             axis=-1,
         )
-        astack = jnp.pad(astack, ((0, 0), (1, 1), (0, 0)))
+        flat = jnp.pad(astack.reshape(S * WW, 192), ((1, 1), (0, 0)))
         wl = w_ref[layer]                             # (3, 3, 64, 64)
         acc = None
         for dx in range(3):
-            shifted = astack[:, dx:dx + WW]
+            shifted = flat[dx:dx + S * WW]
             wd = wl[:, dx].reshape(192, 64)
             m = jax.lax.dot_general(
-                shifted.reshape(S * WW, 192), wd,
+                shifted, wd,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -99,13 +108,16 @@ def _kernel(x_hbm, w_ref, b_ref, a_ref, out_hbm, cur_ref, lb_ref,
         y = (acc + b_ref[layer][None, :]).astype(compute_dtype)
         alpha = a_ref[layer].astype(compute_dtype)[None, :]
         y = jnp.maximum(y, 0) + alpha * jnp.minimum(y, 0)
-        cur_ref[(layer + 1) % 2] = jnp.concatenate(
+        cur_ref[0] = jnp.concatenate(
             [y.reshape(S, WW, 64), zeros_hi], axis=-1
         )
+        return 0
+
+    jax.lax.fori_loop(0, num_layers, layer_body, 0)
 
     dma_out = pltpu.make_async_copy(
-        cur_ref.at[num_layers % 2, :, pl.ds(MARGIN, CORE), :],
-        out_hbm.at[b, pl.ds(i * S, S), pl.ds(t * CORE, CORE), :],
+        cur_ref.at[0, :, pl.ds(MARGIN, CORE), :],
+        out_hbm.at[b, pl.ds(i * S, S), pl.ds(col0, CORE), :],
         out_sem,
     )
     dma_out.start()
@@ -135,8 +147,11 @@ def fused_hidden_body(
     assert (H, W, C) == (height, width, 64), (x.shape, height, width)
     L = w_stack.shape[0]
     S = strip
-    MARGIN = L
     CORE = min(core, _round_up(W, 8))
+    # margin: L cols of stencil halo + 2 for flattened-dx-shift junk,
+    # rounded to a multiple of 8 (sublane tiling: DMA offsets/sizes on the
+    # window-column dimension must be 8-aligned)
+    MARGIN = _round_up(L + 2, 8)
     WW = CORE + 2 * MARGIN
     T = math.ceil(W / CORE)
     # last strip i=n-1 emits output rows up to n*S - L, which must reach H
@@ -166,7 +181,7 @@ def fused_hidden_body(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((B, Hp, T * CORE, 128), compute_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, S, WW, 128), compute_dtype),    # ping/pong strips
+            pltpu.VMEM((1, S, WW, 128), compute_dtype),    # current strip
             pltpu.VMEM((L, 2, WW, 128), compute_dtype),    # line buffers
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,

@@ -81,11 +81,14 @@ def main():
         print(f"max abs err vs XLA ({dtype.__name__}): {err:.3e}")
 
     flops = num_conv * 2 * 9 * 64 * 64 * H * W * B
-    dt = timeit(xla_path, params, x)
-    print(f"XLA   : {dt * 1e3:8.2f} ms  {flops / dt / 1e12:6.1f} TFLOP/s")
-    dt = timeit(fused_path, x, ws, bs, as_)
+    t0 = time.perf_counter()
+    dt = timeit(fused_path, x, ws, bs, as_, n=4)
     print(f"fused : {dt * 1e3:8.2f} ms  {flops / dt / 1e12:6.1f} TFLOP/s "
-          f"(strip={strip} core={core})")
+          f"(strip={strip} core={core}; incl compile "
+          f"{time.perf_counter() - t0:.0f}s)", flush=True)
+    if "--skip-xla" not in sys.argv:
+        dt = timeit(xla_path, params, x, n=4)
+        print(f"XLA   : {dt * 1e3:8.2f} ms  {flops / dt / 1e12:6.1f} TFLOP/s")
 
 
 if __name__ == "__main__":
