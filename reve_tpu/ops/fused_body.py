@@ -140,9 +140,11 @@ def fused_hidden_body(
     strip: int = 8,
     core: int = 480,
     compute_dtype=jnp.bfloat16,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """Apply L fused conv3x3+PReLU layers; returns (B, H, W, 64)."""
+    if interpret is None:  # Mosaic compiles on TPU only; interpret elsewhere
+        interpret = jax.default_backend() != "tpu"
     B, H, W, C = x.shape
     assert (H, W, C) == (height, width, 64), (x.shape, height, width)
     L = w_stack.shape[0]

@@ -68,6 +68,7 @@ class UpscaleEngine:
         compute_dtype: str = "bfloat16",
         device: Optional[jax.Device] = None,
         mesh=None,
+        fused: bool = False,
     ):
         """`mesh`: a jax.sharding.Mesh with a 'dp' axis to shard each batch
         of frames across devices (frames are independent — pure data
@@ -82,6 +83,10 @@ class UpscaleEngine:
             "bfloat16", "bf16"
         ) else jnp.float32
         self.mesh = mesh
+        #: experimental: run the SRVGG hidden body in the Pallas line-buffer
+        #: kernel (ops/fused_body.py). Perf roadmap in PERF.md; numerics
+        #: match to compute-dtype rounding. TPU only.
+        self.fused = fused
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -108,6 +113,9 @@ class UpscaleEngine:
         from reve_tpu.models import rrdb
 
         if isinstance(self.cfg, srvgg.SRVGGConfig):
+            if self.fused:
+                return srvgg.apply_fused(params, x, cfg=self.cfg,
+                                         compute_dtype=self.compute_dtype)
             return srvgg.apply(params, x, cfg=self.cfg,
                                compute_dtype=self.compute_dtype)
         return rrdb.apply(params, x, cfg=self.cfg,
