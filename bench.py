@@ -33,7 +33,7 @@ def main():
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
     if on_tpu:
-        h, w, batch, iters, warmup = 1080, 1920, 2, 20, 3
+        h, w, batch, iters, warmup = 1080, 1920, 8, 10, 2
     else:  # smoke-test mode off-TPU: tiny shapes, report but don't compare
         h, w, batch, iters, warmup = 144, 256, 2, 4, 1
 
