@@ -160,8 +160,7 @@ class Y4MReader(FrameReader):
         return size // per
 
     def read_range(self, start: int, stop: int) -> Iterator[np.ndarray]:
-        from reve_tpu.ops import color
-        import jax.numpy as jnp
+        from reve_tpu.ops import color_np as color
 
         h, w = self.height, self.width
         per = self._frame_size + len(b"FRAME\n")
@@ -181,13 +180,7 @@ class Y4MReader(FrameReader):
                 v = np.frombuffer(raw[h * w * 5 // 4:], np.uint8).reshape(
                     h // 2, w // 2
                 )
-                rgb = color.yuv420_to_rgb(
-                    jnp.asarray(y[None]), jnp.asarray(u[None]),
-                    jnp.asarray(v[None]), matrix="bt601",
-                )
-                yield np.clip(
-                    np.asarray(rgb[0]) * 255.0 + 0.5, 0, 255
-                ).astype(np.uint8)
+                yield color.yuv420_to_rgb_np(y, u, v, matrix="bt601")
 
 
 class SyntheticReader(FrameReader):

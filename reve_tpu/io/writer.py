@@ -92,15 +92,12 @@ class FfmpegX265Writer(FrameWriter):
             )
 
     def write(self, frame: np.ndarray) -> None:
-        import jax.numpy as jnp
+        from reve_tpu.ops import color_np as color
 
-        from reve_tpu.ops import color
-
-        rgb = jnp.asarray(frame, jnp.float32) / 255.0
-        y, u, v = color.rgb_to_yuv420(rgb[None], bits=10)
-        self.write_yuv420p10(
-            np.asarray(y[0]), np.asarray(u[0]), np.asarray(v[0])
-        )
+        # host-side numpy conversion: encode threads must not touch the
+        # accelerator (device round trips per frame)
+        y, u, v = color.rgb_to_yuv420_np(frame, bits=10)
+        self.write_yuv420p10(y, u, v)
 
     def close(self):
         if self._proc.stdin and not self._proc.stdin.closed:
@@ -158,17 +155,12 @@ class Y4MWriter(FrameWriter):
         )
 
     def write(self, frame: np.ndarray) -> None:
-        import jax.numpy as jnp
+        from reve_tpu.ops import color_np as color
 
-        from reve_tpu.ops import color
-
-        rgb = jnp.asarray(frame, jnp.float32) / 255.0
-        y, u, v = color.rgb_to_yuv420(
-            rgb[None], matrix="bt601", bits=8
-        )
+        y, u, v = color.rgb_to_yuv420_np(frame, matrix="bt601", bits=8)
         self._f.write(b"FRAME\n")
         for plane in (y, u, v):
-            self._f.write(np.asarray(plane[0], np.uint8).tobytes())
+            self._f.write(plane.tobytes())
 
     def close(self):
         self._f.close()

@@ -20,6 +20,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # K_r / K_b luma coefficients per matrix
 _MATRIX = {
