@@ -134,3 +134,27 @@ def test_cli_end_to_end_mp4(tmp_path):
     assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 200
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 12
     cap.release()
+
+
+def test_cli_end_to_end_mkv(tmp_path):
+    """mkv -> mkv through the cv2 stack (the reference's second container;
+    mkv output requires mkv input rule already covered above)."""
+    import cv2
+
+    clip = str(tmp_path / "clip.mkv")
+    wr = cv2.VideoWriter(clip, cv2.VideoWriter_fourcc(*"mp4v"), 24, (64, 48))
+    for i in range(8):
+        wr.write(np.full((48, 64, 3), 30 + i * 20, np.uint8))
+    wr.release()
+
+    out = str(tmp_path / "out.mkv")
+    rc = cli.run([
+        "-i", clip, "-s", "2", out, "--yes", "-S", "5", "--batch", "4",
+        "--io-backend", "cv2", "--dtype", "float32",
+    ])
+    assert rc == 0
+    cap = cv2.VideoCapture(out)
+    assert cap.isOpened()
+    assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 128
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 8
+    cap.release()
