@@ -12,19 +12,27 @@ layers over a row-strip while the strip lives in VMEM:
     redundant vertical compute (the classic line-buffer / tilted-schedule
     pipeline: each layer's stream lags one row per layer).
   * Horizontally the image is cut into column tiles of CORE cols with a
-    MARGIN = num_layers halo recomputed on each side (margin junk from the
-    circular col-shift also lands there and is discarded).
-  * Each conv is 3 MXU matmuls of (S*WW, 192) @ (192, 64) — the 3 dy taps
-    stacked into K, the 3 dx taps realized as circular col shifts with
-    f32 accumulation.
+    MARGIN halo recomputed on each side.
+  * Each conv is 3 MXU matmuls of (S*WW, 192) @ (192, 64): the 3 dy taps
+    stacked into K (an im2col the VPU builds in VMEM), the 3 dx taps
+    realized as row shifts of the flattened matrix, f32 accumulation.
+  * Input and output strips are double-buffered: each grid step prefetches
+    the next strip's input DMA and drains the previous output DMA behind
+    the current step's compute, so the serial DMA latency (~50 us/copy on
+    this part) is hidden.
   * Exact SAME zero-padding semantics at frame borders are enforced by
-    masking each layer's input rows/cols that fall outside the frame —
-    matching XLA's per-layer conv padding bit-for-bit is what makes the
-    fused path a drop-in replacement (cf. reve_tpu.ops.tiling, which does
-    the same reasoning across tiles).
+    masking each layer's input rows/cols that fall outside the frame.
+    Interior strips (the vast majority) take a fast path that skips the
+    masking entirely — selected per grid step with predicated execution.
 
 Numerics match reve_tpu.models.srvgg exactly: f32 accumulation, f32 bias
 add, cast to the compute dtype, PReLU in the compute dtype.
+
+Mosaic constraints this code respects (learned the hard way — CLAUDE.md):
+refs/DMAs carry 128 lanes (real channels = lower 64); window-column DMA
+offsets/extents are multiples of 8; no offset-1 column slices feed concats
+(the dx shift happens on flattened rows instead); the layer loop is a
+fori_loop (a 16x unrolled body compiles for ~7 minutes).
 """
 
 from __future__ import annotations
@@ -39,27 +47,47 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_hbm, w_ref, b_ref, a_ref, out_hbm, cur_ref, lb_ref,
-            in_sem, out_sem, *, num_layers, S, WW, CORE, MARGIN, H, W,
-            compute_dtype):
+def _kernel(x_hbm, w_ref, b_ref, a_ref, out_hbm, in_ref, out_ref, cur_ref,
+            lb_ref, in_sem, out_sem, *, num_layers, S, WW, CORE, MARGIN,
+            H, W, T, n_strips, total_steps, compute_dtype):
     b = pl.program_id(0)
     t = pl.program_id(1)
     i = pl.program_id(2)
+    step = (b * T + t) * n_strips + i
+    p = jax.lax.rem(step, 2)
 
-    # NOTE on layout: all refs/DMAs carry 128 channels (upper 64 zero) —
-    # Mosaic pads the lane dim to 128 anyway, and lane-dim DMA slices must
-    # be 128-aligned.  Values are sliced to the real 64 channels in-kernel.
+    def start_in(slot, sb, st, si):
+        col0 = pl.multiple_of(st * CORE, 8)
+        pltpu.make_async_copy(
+            x_hbm.at[sb, pl.ds(si * S, S), pl.ds(col0, WW), :],
+            in_ref.at[slot],
+            in_sem.at[slot],
+        ).start()
+
+    @pl.when(step == 0)
+    def _():
+        start_in(0, b, t, i)
+
+    pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * S, S), pl.ds(pl.multiple_of(t * CORE, 8), WW), :],
+        in_ref.at[p], in_sem.at[p],
+    ).wait()
+
+    # prefetch next strip's input into the other slot
+    @pl.when(step + 1 < total_steps)
+    def _():
+        ni = i + 1
+        wrap_i = ni == n_strips
+        ni = jnp.where(wrap_i, 0, ni)
+        nt = t + wrap_i.astype(jnp.int32)
+        wrap_t = nt == T
+        nt = jnp.where(wrap_t, 0, nt)
+        nb = b + wrap_t.astype(jnp.int32)
+        start_in(1 - p, nb, nt, ni)
+
     @pl.when(i == 0)
     def _():  # new (batch, column-tile) stream: clear the stencil state
         lb_ref[...] = jnp.zeros_like(lb_ref)
-
-    col0 = pl.multiple_of(t * CORE, 8)   # CORE is 8-aligned by builder
-    dma_in = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * S, S), pl.ds(col0, WW), :],
-        cur_ref.at[0],
-        in_sem,
-    )
-    dma_in.start()
 
     col_abs = (t * CORE - MARGIN) + jax.lax.broadcasted_iota(
         jnp.int32, (1, WW, 1), 1
@@ -68,39 +96,31 @@ def _kernel(x_hbm, w_ref, b_ref, a_ref, out_hbm, cur_ref, lb_ref,
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (S + 2, 1, 1), 0)
     zeros_hi = jnp.zeros((S, WW, 64), compute_dtype)
 
-    dma_in.wait()
+    # one static-index hot buffer: dynamic in_ref[p] addressing inside the
+    # layer loop lowers pathologically (~30x); a single 1 MB copy per step
+    # into cur_ref[0] is noise
+    cur_ref[0] = in_ref[p]
 
-    def layer_body(layer, _):
-        src = cur_ref[0]                              # (S, WW, 128)
-        lb = lb_ref[layer]                            # (2, WW, 128)
-        inr = jnp.concatenate([lb, src], axis=0)      # (S+2, WW, 128)
-        # mask rows/cols outside the frame -> exact SAME zero padding
-        row_abs = (i * S - layer - 2) + row_iota
-        row_ok = jnp.logical_and(row_abs >= 0, row_abs < H)
-        inr = jnp.where(jnp.logical_and(row_ok, col_ok), inr, 0)
-        lb_ref[layer] = inr[S:S + 2]                  # stencil tail for i+1
+    def process(layer, use_mask):
+        """One conv+PReLU layer over the strip, in place in cur_ref[0]."""
+        src = cur_ref[0]
+        inr = jnp.concatenate([lb_ref[layer], src], axis=0)  # (S+2, WW, 128)
+        if use_mask:
+            row_abs = (i * S - layer - 2) + row_iota
+            row_ok = jnp.logical_and(row_abs >= 0, row_abs < H)
+            inr = jnp.where(jnp.logical_and(row_ok, col_ok), inr, 0)
+        lb_ref[layer] = inr[S:S + 2]              # stencil tail for strip i+1
 
-        # Stack the 3 dy taps' real channels into K (S, WW, 192), FLATTEN
-        # rows, and realize each dx tap as one large (S*WW, 192) @ (192, 64)
-        # matmul — big M amortizes MXU launch overhead (a rank-3 dot
-        # decomposes into S tiny matmuls).  The dx shift is a row shift of
-        # the flattened matrix: it leaks one pixel between consecutive image
-        # rows at the window edge columns, and window edge columns also lack
-        # their true out-of-window neighbor — both live in the discarded
-        # margin (MARGIN > num_layers covers the growth).  No offset-1
-        # column slices anywhere: Mosaic requires concat operands aligned.
         astack = jnp.concatenate(
             [inr[0:S, :, :64], inr[1:S + 1, :, :64], inr[2:S + 2, :, :64]],
             axis=-1,
         )
         flat = jnp.pad(astack.reshape(S * WW, 192), ((1, 1), (0, 0)))
-        wl = w_ref[layer]                             # (3, 3, 64, 64)
+        wl = w_ref[layer]                          # (3, 3, 64, 64)
         acc = None
         for dx in range(3):
-            shifted = flat[dx:dx + S * WW]
-            wd = wl[:, dx].reshape(192, 64)
             m = jax.lax.dot_general(
-                shifted, wd,
+                flat[dx:dx + S * WW], wl[:, dx].reshape(192, 64),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -111,17 +131,38 @@ def _kernel(x_hbm, w_ref, b_ref, a_ref, out_hbm, cur_ref, lb_ref,
         cur_ref[0] = jnp.concatenate(
             [y.reshape(S, WW, 64), zeros_hi], axis=-1
         )
+
+    def body(layer, _):
+        process(layer, True)
         return 0
 
-    jax.lax.fori_loop(0, num_layers, layer_body, 0)
+    jax.lax.fori_loop(0, num_layers, body, 0)
 
-    dma_out = pltpu.make_async_copy(
-        cur_ref.at[0, :, pl.ds(MARGIN, CORE), :],
-        out_hbm.at[b, pl.ds(i * S, S), pl.ds(col0, CORE), :],
-        out_sem,
-    )
-    dma_out.start()
-    dma_out.wait()
+    # drain the out DMA issued two steps ago on this slot, then emit ours
+    @pl.when(step >= 2)
+    def _():
+        pltpu.make_async_copy(
+            out_ref.at[p], out_ref.at[p], out_sem.at[p]
+        ).wait()
+
+    out_ref[p] = cur_ref[0, :, MARGIN:MARGIN + CORE, :]
+    pltpu.make_async_copy(
+        out_ref.at[p],
+        out_hbm.at[b, pl.ds(i * S, S),
+                   pl.ds(pl.multiple_of(t * CORE, 8), CORE), :],
+        out_sem.at[p],
+    ).start()
+
+    @pl.when(step == total_steps - 1)
+    def _():
+        @pl.when(jnp.asarray(total_steps >= 2))
+        def _():
+            pltpu.make_async_copy(
+                out_ref.at[1 - p], out_ref.at[1 - p], out_sem.at[1 - p]
+            ).wait()
+        pltpu.make_async_copy(
+            out_ref.at[p], out_ref.at[p], out_sem.at[p]
+        ).wait()
 
 
 @functools.partial(
@@ -169,7 +210,8 @@ def fused_hidden_body(
 
     kernel = functools.partial(
         _kernel, num_layers=L, S=S, WW=WW, CORE=CORE, MARGIN=MARGIN,
-        H=H, W=W, compute_dtype=compute_dtype,
+        H=H, W=W, T=T, n_strips=n_strips, total_steps=B * T * n_strips,
+        compute_dtype=compute_dtype,
     )
     out = pl.pallas_call(
         kernel,
@@ -183,12 +225,15 @@ def fused_hidden_body(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((B, Hp, T * CORE, 128), compute_dtype),
         scratch_shapes=[
+            pltpu.VMEM((2, S, WW, 128), compute_dtype),    # in double buffer
+            pltpu.VMEM((2, S, CORE, 128), compute_dtype),  # out double buffer
             pltpu.VMEM((1, S, WW, 128), compute_dtype),    # current strip
             pltpu.VMEM((L, 2, WW, 128), compute_dtype),    # line buffers
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(xp, w_stack.astype(compute_dtype), b_stack.astype(jnp.float32),
       a_stack.astype(jnp.float32))
     return out[:, L:L + H, :W, :64]
