@@ -1,0 +1,67 @@
+"""Engine-level tests: tiled vs whole-frame equality, batch padding, stats."""
+
+import numpy as np
+import pytest
+
+from reve_tpu.pipeline.engine import UpscaleEngine
+
+
+def _engine(**kw):
+    base = dict(model="realesr-animevideov3", scale=2, batch_size=2,
+                compute_dtype="float32")
+    base.update(kw)
+    return UpscaleEngine(**base)
+
+
+def test_tiled_equals_whole_frame():
+    frames = np.random.RandomState(0).randint(0, 256, (2, 40, 56, 3),
+                                              np.uint8)
+    whole = _engine(tile=-1).submit(frames).result()
+    tiled = _engine(tile=24).submit(frames).result()
+    np.testing.assert_array_equal(whole, tiled)
+
+
+def test_auto_tile_threshold():
+    e = _engine(tile=0)
+    assert e._tile_size_for(100, 100) == 0          # small: whole frame
+    assert e._tile_size_for(2160, 3840) > 0         # 4K input: tiles
+
+
+def test_short_batch_padding():
+    e = _engine(batch_size=4)
+    frames = np.random.RandomState(1).randint(0, 256, (3, 16, 16, 3),
+                                              np.uint8)
+    out = e.submit(frames).result()
+    assert out.shape == (3, 32, 32, 3)  # padding cropped
+
+
+def test_oversized_batch_rejected():
+    e = _engine(batch_size=2)
+    frames = np.zeros((3, 16, 16, 3), np.uint8)
+    with pytest.raises(ValueError, match="batch 3 > batch_size 2"):
+        e.submit(frames)
+
+
+def test_stats_and_compile_reuse():
+    e = _engine(batch_size=2)
+    frames = np.zeros((2, 16, 16, 3), np.uint8)
+    e.submit(frames).result()
+    e.submit(frames).result()
+    assert e.stats.frames == 4
+    assert e.stats.batches == 2
+    assert e.stats.compile_count == 1  # same resolution -> one compile
+
+
+def test_upscale_frames_convenience():
+    e = _engine(batch_size=2)
+    frames = np.random.RandomState(2).randint(0, 256, (5, 12, 12, 3),
+                                              np.uint8)
+    out = e.upscale_frames(frames)
+    assert out.shape == (5, 24, 24, 3)
+    # same frames through submit path give identical results
+    ref = np.concatenate([
+        e.submit(frames[:2]).result(),
+        e.submit(frames[2:4]).result(),
+        e.submit(frames[4:]).result(),
+    ])
+    np.testing.assert_array_equal(out, ref)
