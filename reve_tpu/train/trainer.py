@@ -79,9 +79,11 @@ class Trainer:
         self.tx = make_optimizer(self.tc)
         if params is None:
             params = srvgg.init_params(jax.random.key(seed), cfg)
-        rep = mesh_lib.replicated(self.mesh)
-        self.params = jax.device_put(params, rep)
-        self.opt_state = jax.device_put(self.tx.init(self.params), rep)
+        # params: replicated on dp/sp; output-channel sharded over tp when
+        # the mesh has a tp axis.  Optimizer state inherits the shardings.
+        place = mesh_lib.conv_param_sharding(self.mesh)
+        self.params = place(params)
+        self.opt_state = self.tx.init(self.params)
         self._bs = mesh_lib.batch_sharding(self.mesh)
 
     def shard_batch(self, lr_batch, hr_batch):

@@ -16,10 +16,11 @@ from reve_tpu.io import writer, reader
 
 
 def test_mesh_factoring():
-    assert mesh_lib.factor_devices(8) == (4, 2)
-    assert mesh_lib.factor_devices(8, max_sp=1) == (8, 1)
-    assert mesh_lib.factor_devices(1) == (1, 1)
-    assert mesh_lib.factor_devices(7) == (7, 1)
+    assert mesh_lib.factor_devices(8) == (4, 2, 1)
+    assert mesh_lib.factor_devices(8, max_sp=1) == (8, 1, 1)
+    assert mesh_lib.factor_devices(8, max_sp=2, max_tp=2) == (2, 2, 2)
+    assert mesh_lib.factor_devices(1) == (1, 1, 1)
+    assert mesh_lib.factor_devices(7) == (7, 1, 1)
 
 
 def test_mesh_has_8_devices():
@@ -174,3 +175,24 @@ def test_two_workers_complete_job(tmp_path):
     assert len(lumas) == 24
     for i, v in enumerate(lumas):
         assert abs(v - (20 + 8 * i)) <= 2, (i, v)
+
+
+def test_trainer_with_tensor_parallel_axis():
+    """dp x sp x tp mesh: conv kernels sharded on output channels; the
+    training step compiles, runs, and converges like the unsharded one."""
+    from reve_tpu.models import srvgg
+    from reve_tpu.train.trainer import Trainer, TrainConfig
+
+    mesh = mesh_lib.make_mesh(jax.devices(), axis_names=("dp", "sp", "tp"),
+                              max_sp=2, max_tp=2)
+    assert mesh.shape["tp"] == 2
+    cfg = srvgg.SRVGGConfig(num_feat=8, num_conv=1, upscale=2)
+    tr = Trainer(cfg, TrainConfig(learning_rate=3e-3), mesh=mesh)
+    # verify a conv kernel is actually sharded over tp
+    w = tr.params["convs"][1]["w"]
+    assert "tp" in str(w.sharding.spec)
+    rs = np.random.RandomState(0)
+    hr = rs.rand(4, 32, 32, 3).astype(np.float32)
+    lr = hr[:, ::2, ::2, :]
+    losses = [tr.step(lr, hr) for _ in range(20)]
+    assert losses[-1] < losses[0] * 0.95, losses[::5]
