@@ -98,6 +98,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", default="realesr-animevideov3")
     p.add_argument("--weights", default=None,
                    help="path to .pth or ncnn .param weights")
+    p.add_argument("--weights-wdn", default=None,
+                   help="denoise-variant .pth for --denoise interpolation")
+    p.add_argument("--denoise", type=float, default=None, metavar="D",
+                   help="denoise strength 0..1 (needs --weights and "
+                        "--weights-wdn; upstream -dni)")
     p.add_argument("--batch", type=int, default=4, help="frames per TPU batch")
     p.add_argument("--tile", type=int, default=0,
                    help="tile size (0=auto, -1=never tile)")
@@ -198,6 +203,15 @@ def run(argv: Optional[List[str]] = None) -> int:
     from reve_tpu.pipeline.progress import ConsoleRenderer, ProgressTracker
     from reve_tpu.pipeline import scheduler
 
+    preloaded = None
+    if args.denoise is not None:
+        if not (args.weights and args.weights_wdn):
+            print("--denoise requires --weights and --weights-wdn",
+                  file=sys.stderr)
+            return 2
+        from reve_tpu.weights.interpolate import load_dni
+
+        preloaded = load_dni(args.weights_wdn, args.weights, args.denoise)
     engine = UpscaleEngine(
         model=state.model,
         scale=state.scale,
@@ -205,6 +219,7 @@ def run(argv: Optional[List[str]] = None) -> int:
         batch_size=args.batch,
         tile=args.tile,
         compute_dtype=args.dtype,
+        preloaded=preloaded,
     )
     renderer = ConsoleRenderer()
     remaining = sum(s.size for s in state.pending)

@@ -69,13 +69,17 @@ class UpscaleEngine:
         device: Optional[jax.Device] = None,
         mesh=None,
         fused: bool = False,
+        preloaded=None,
     ):
         """`mesh`: a jax.sharding.Mesh with a 'dp' axis to shard each batch
         of frames across devices (frames are independent — pure data
         parallelism, the idiomatic multi-chip strategy for this workload,
         SURVEY.md §2.3).  batch_size must be a multiple of the dp size.
         Without a mesh, runs on a single device."""
-        self.cfg, self.params = registry.load_model(model, scale, weights)
+        if preloaded is not None:  # (cfg, params), e.g. dni-interpolated
+            self.cfg, self.params = preloaded
+        else:
+            self.cfg, self.params = registry.load_model(model, scale, weights)
         self.scale = self.cfg.upscale
         self.batch_size = batch_size
         self.tile = tile

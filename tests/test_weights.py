@@ -153,3 +153,34 @@ def test_registry_loads_ncnn_from_models_dir(tmp_path, monkeypatch):
     monkeypatch.setenv("REVE_TPU_MODELS_DIR", str(tmp_path))
     cfg2, _ = registry.load_model("realesr-animevideov3", scale=2)
     assert cfg2.num_conv == 2  # proves it loaded our files, not the default
+
+
+def test_weight_interpolation():
+    from reve_tpu.weights import interpolate as interp
+
+    cfg = srvgg.SRVGGConfig(num_conv=1, num_feat=8, upscale=2)
+    pa = srvgg.init_params(jax.random.key(0), cfg)
+    pb = srvgg.init_params(jax.random.key(1), cfg)
+    mid = interp.interpolate(pa, pb, 0.5)
+    w = np.asarray(mid["convs"][0]["w"])
+    want = 0.5 * np.asarray(pa["convs"][0]["w"]) + \
+        0.5 * np.asarray(pb["convs"][0]["w"])
+    np.testing.assert_allclose(w, want, rtol=1e-6)
+    # endpoints
+    np.testing.assert_allclose(
+        np.asarray(interp.interpolate(pa, pb, 0.0)["convs"][0]["w"]),
+        np.asarray(pa["convs"][0]["w"]),
+    )
+    with pytest.raises(ValueError, match="weight must be"):
+        interp.interpolate(pa, pb, 1.5)
+
+
+def test_interpolation_shape_mismatch():
+    from reve_tpu.weights import interpolate as interp
+
+    cfg_a = srvgg.SRVGGConfig(num_conv=1, num_feat=8, upscale=2)
+    cfg_b = srvgg.SRVGGConfig(num_conv=1, num_feat=16, upscale=2)
+    pa = srvgg.init_params(jax.random.key(0), cfg_a)
+    pb = srvgg.init_params(jax.random.key(0), cfg_b)
+    with pytest.raises(ValueError, match="mismatch"):
+        interp.interpolate(pa, pb, 0.5)
