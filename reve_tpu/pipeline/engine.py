@@ -20,7 +20,6 @@ Design (TPU-first):
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import jax

@@ -19,7 +19,6 @@ API (cf. the six Tauri commands, reve-gui/src-tauri/src/main.rs:12-19):
 from __future__ import annotations
 
 import json
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
