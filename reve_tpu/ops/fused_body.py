@@ -49,62 +49,55 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_hbm, w_ref, b_ref, a_ref, out_hbm, in_ref, out_ref, cur_ref,
             lb_ref, in_sem, out_sem, *, num_layers, S, WW, CORE, MARGIN,
-            H, W, T, n_strips, total_steps, compute_dtype):
+            H, W, T, n_strips, compute_dtype):
+    """One grid step = one FULL column stream (all strips of one (b, t)).
+
+    Keeping the strip loop inside the kernel removes the per-grid-step
+    overhead that floored the previous version (~110 us/strip, equal to the
+    DMA-only ablation: grid boundaries serialize outstanding DMAs).  Strips
+    are processed in PAIRS so every buffer slot index is static — dynamic
+    slot indexing of the hot buffers lowers pathologically (CLAUDE.md).
+    Within a pair, slot-0's compute overlaps slot-1's input DMA and the
+    previous strip's output DMA.
+    """
     b = pl.program_id(0)
     t = pl.program_id(1)
-    i = pl.program_id(2)
-    step = (b * T + t) * n_strips + i
-    p = jax.lax.rem(step, 2)
+    col0 = pl.multiple_of(t * CORE, 8)
 
-    def start_in(slot, sb, st, si):
-        col0 = pl.multiple_of(st * CORE, 8)
-        pltpu.make_async_copy(
-            x_hbm.at[sb, pl.ds(si * S, S), pl.ds(col0, WW), :],
-            in_ref.at[slot],
-            in_sem.at[slot],
-        ).start()
-
-    @pl.when(step == 0)
-    def _():
-        start_in(0, b, t, i)
-
-    pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * S, S), pl.ds(pl.multiple_of(t * CORE, 8), WW), :],
-        in_ref.at[p], in_sem.at[p],
-    ).wait()
-
-    # prefetch next strip's input into the other slot
-    @pl.when(step + 1 < total_steps)
-    def _():
-        ni = i + 1
-        wrap_i = ni == n_strips
-        ni = jnp.where(wrap_i, 0, ni)
-        nt = t + wrap_i.astype(jnp.int32)
-        wrap_t = nt == T
-        nt = jnp.where(wrap_t, 0, nt)
-        nb = b + wrap_t.astype(jnp.int32)
-        start_in(1 - p, nb, nt, ni)
-
-    @pl.when(i == 0)
-    def _():  # new (batch, column-tile) stream: clear the stencil state
-        lb_ref[...] = jnp.zeros_like(lb_ref)
+    lb_ref[...] = jnp.zeros_like(lb_ref)
 
     col_abs = (t * CORE - MARGIN) + jax.lax.broadcasted_iota(
         jnp.int32, (1, WW, 1), 1
     )
     col_ok = jnp.logical_and(col_abs >= 0, col_abs < W)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (S + 2, 1, 1), 0)
-    zeros_hi = jnp.zeros((S, WW, 64), compute_dtype)
+    zeros_hi_out = jnp.zeros((S, CORE, 64), compute_dtype)
 
-    # one static-index hot buffer: dynamic in_ref[p] addressing inside the
-    # layer loop lowers pathologically (~30x); a single 1 MB copy per step
-    # into cur_ref[0] is noise
-    cur_ref[0] = in_ref[p]
+    del col0  # input/output are pre-tiled: strips are contiguous in HBM
+    # (a strided window copy explodes into one DMA descriptor per row at
+    # ~6 us each — 16 descriptors/strip was the ~100 us/strip floor)
 
-    def process(layer, use_mask):
-        """One conv+PReLU layer over the strip, in place in cur_ref[0]."""
+    def in_dma(slot, i):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, t, pl.ds(i * S, S)],
+            in_ref.at[slot], in_sem.at[slot],
+        )
+
+    def out_dma(slot, i):
+        return pltpu.make_async_copy(
+            out_ref.at[slot],
+            out_hbm.at[b, t, pl.ds(i * S, S)],
+            out_sem.at[slot],
+        )
+
+    def process(layer, i, use_mask):
+        """One conv+PReLU layer over strip i, in place in cur_ref[0].
+
+        The whole compute path carries the real 64 channels; only the DMA
+        buffers are 128-lane (Mosaic alignment), trimming ~1/3 of the VPU
+        copy traffic per layer."""
         src = cur_ref[0]
-        inr = jnp.concatenate([lb_ref[layer], src], axis=0)  # (S+2, WW, 128)
+        inr = jnp.concatenate([lb_ref[layer], src], axis=0)  # (S+2, WW, 64)
         if use_mask:
             row_abs = (i * S - layer - 2) + row_iota
             row_ok = jnp.logical_and(row_abs >= 0, row_abs < H)
@@ -112,8 +105,7 @@ def _kernel(x_hbm, w_ref, b_ref, a_ref, out_hbm, in_ref, out_ref, cur_ref,
         lb_ref[layer] = inr[S:S + 2]              # stencil tail for strip i+1
 
         astack = jnp.concatenate(
-            [inr[0:S, :, :64], inr[1:S + 1, :, :64], inr[2:S + 2, :, :64]],
-            axis=-1,
+            [inr[0:S], inr[1:S + 1], inr[2:S + 2]], axis=-1,
         )
         flat = jnp.pad(astack.reshape(S * WW, 192), ((1, 1), (0, 0)))
         wl = w_ref[layer]                          # (3, 3, 64, 64)
@@ -128,40 +120,62 @@ def _kernel(x_hbm, w_ref, b_ref, a_ref, out_hbm, in_ref, out_ref, cur_ref,
         y = (acc + b_ref[layer][None, :]).astype(compute_dtype)
         alpha = a_ref[layer].astype(compute_dtype)[None, :]
         y = jnp.maximum(y, 0) + alpha * jnp.minimum(y, 0)
-        cur_ref[0] = jnp.concatenate(
-            [y.reshape(S, WW, 64), zeros_hi], axis=-1
+        cur_ref[0] = y.reshape(S, WW, 64)
+
+    def compute_strip(slot, i):
+        cur_ref[0] = in_ref[slot][:, :, :64]
+
+        def body(layer, _):
+            process(layer, i, True)
+            return 0
+
+        jax.lax.fori_loop(0, num_layers, body, 0)
+        out_ref[slot] = jnp.concatenate(
+            [cur_ref[0, :, MARGIN:MARGIN + CORE, :], zeros_hi_out], axis=-1
         )
 
-    def body(layer, _):
-        process(layer, True)
+    in_dma(0, 0).start()
+
+    def pair_body(k, _):
+        a = 2 * k          # slot 0
+        bidx = 2 * k + 1   # slot 1
+
+        in_dma(0, a).wait()
+        @pl.when(bidx < n_strips)
+        def _():
+            in_dma(1, bidx).start()
+        @pl.when(k >= 1)
+        def _():
+            out_dma(0, a - 2).wait()   # descriptor match: same slot/size
+        compute_strip(0, a)
+        out_dma(0, a).start()
+
+        @pl.when(bidx < n_strips)
+        def _():
+            in_dma(1, bidx).wait()
+            @pl.when(bidx + 1 < n_strips)
+            def _():
+                in_dma(0, bidx + 1).start()
+            @pl.when(k >= 1)
+            def _():
+                out_dma(1, bidx - 2).wait()
+            compute_strip(1, bidx)
+            out_dma(1, bidx).start()
         return 0
 
-    jax.lax.fori_loop(0, num_layers, body, 0)
+    n_pairs = (n_strips + 1) // 2
+    jax.lax.fori_loop(0, n_pairs, pair_body, 0)
 
-    # drain the out DMA issued two steps ago on this slot, then emit ours
-    @pl.when(step >= 2)
-    def _():
-        pltpu.make_async_copy(
-            out_ref.at[p], out_ref.at[p], out_sem.at[p]
-        ).wait()
-
-    out_ref[p] = cur_ref[0, :, MARGIN:MARGIN + CORE, :]
+    # drain the trailing output DMAs
+    last = n_strips - 1
     pltpu.make_async_copy(
-        out_ref.at[p],
-        out_hbm.at[b, pl.ds(i * S, S),
-                   pl.ds(pl.multiple_of(t * CORE, 8), CORE), :],
-        out_sem.at[p],
-    ).start()
-
-    @pl.when(step == total_steps - 1)
+        out_ref.at[last % 2], out_ref.at[last % 2], out_sem.at[last % 2]
+    ).wait()
+    @pl.when(jnp.asarray(n_strips >= 2))
     def _():
-        @pl.when(jnp.asarray(total_steps >= 2))
-        def _():
-            pltpu.make_async_copy(
-                out_ref.at[1 - p], out_ref.at[1 - p], out_sem.at[1 - p]
-            ).wait()
+        prev = last - 1
         pltpu.make_async_copy(
-            out_ref.at[p], out_ref.at[p], out_sem.at[p]
+            out_ref.at[prev % 2], out_ref.at[prev % 2], out_sem.at[prev % 2]
         ).wait()
 
 
@@ -207,15 +221,20 @@ def fused_hidden_body(
     xp = jnp.pad(
         x, ((0, 0), (0, Hp - H), (MARGIN, Wp - W - MARGIN), (0, 64))
     )
+    # pre-tile into (B, T, Hp, WW, 128): one column-stream per (b, t) with
+    # every strip contiguous in HBM -> single-descriptor DMAs in-kernel
+    xt = jnp.stack(
+        [xp[:, :, ti * CORE:ti * CORE + WW] for ti in range(T)], axis=1
+    )
 
     kernel = functools.partial(
         _kernel, num_layers=L, S=S, WW=WW, CORE=CORE, MARGIN=MARGIN,
-        H=H, W=W, T=T, n_strips=n_strips, total_steps=B * T * n_strips,
+        H=H, W=W, T=T, n_strips=n_strips,
         compute_dtype=compute_dtype,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(B, T, n_strips),
+        grid=(B, T),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),         # x: manual DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),     # weights resident
@@ -223,19 +242,21 @@ def fused_hidden_body(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((B, Hp, T * CORE, 128), compute_dtype),
+        out_shape=jax.ShapeDtypeStruct((B, T, Hp, CORE, 128), compute_dtype),
         scratch_shapes=[
             pltpu.VMEM((2, S, WW, 128), compute_dtype),    # in double buffer
             pltpu.VMEM((2, S, CORE, 128), compute_dtype),  # out double buffer
-            pltpu.VMEM((1, S, WW, 128), compute_dtype),    # current strip
-            pltpu.VMEM((L, 2, WW, 128), compute_dtype),    # line buffers
+            pltpu.VMEM((1, S, WW, 64), compute_dtype),     # current strip
+            pltpu.VMEM((L, 2, WW, 64), compute_dtype),     # line buffers
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(xp, w_stack.astype(compute_dtype), b_stack.astype(jnp.float32),
+    )(xt, w_stack.astype(compute_dtype), b_stack.astype(jnp.float32),
       a_stack.astype(jnp.float32))
+    # un-tile: (B, T, Hp, CORE, 128) -> (B, Hp, T*CORE, 128)
+    out = out.transpose(0, 2, 1, 3, 4).reshape(B, Hp, T * CORE, 128)
     return out[:, L:L + H, :W, :64]
 
 
