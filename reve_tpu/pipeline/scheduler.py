@@ -241,6 +241,13 @@ class PipelineJob:
 
     # -- driver ------------------------------------------------------------
 
+    def cancel(self) -> None:
+        """Request a cooperative stop; run() raises PipelineError.  Already
+        committed segments stay on disk, so a cancelled job resumes like a
+        crashed one."""
+        self.errors.append(PipelineError("cancelled"))
+        self._stop.set()
+
     def run(self) -> JobState:
         """Process all pending segments; returns the final (empty-pending)
         state. Raises the first stage error if any stage failed."""

@@ -35,10 +35,11 @@ class Job:
     output_path: str
     model: str
     scale: int
-    status: str = "queued"    # queued | running | done | error
+    status: str = "queued"    # queued | running | done | error | cancelled
     error: str = ""
     progress: Optional[ProgressTracker] = None
     result: Optional[dict] = None
+    pipeline: object = None   # live PipelineJob while running
 
     def to_json(self) -> dict:
         return {
@@ -99,6 +100,21 @@ class JobManager:
     def get(self, job_id: int) -> Optional[Job]:
         return self.jobs.get(job_id)
 
+    def cancel(self, job_id: int) -> bool:
+        """Cancel a queued or running job; completed parts remain so the
+        job can be re-submitted and resume."""
+        job = self.jobs.get(job_id)
+        if job is None:
+            return False
+        with self._lock:
+            if job.status == "queued":
+                job.status = "cancelled"
+                return True
+        if job.status == "running" and job.pipeline is not None:
+            job.pipeline.cancel()
+            return True
+        return False
+
     def shutdown(self):
         self._stop = True
         self._wake.set()
@@ -124,8 +140,13 @@ class JobManager:
                 job.result = self._run_job(job)
                 job.status = "done"
             except Exception as e:  # surfaced via the API, like the
-                job.error = f"{e}\n{traceback.format_exc(limit=3)}"
-                job.status = "error"  # reference's commands.rs:86-94
+                if "cancelled" in str(e):
+                    job.status = "cancelled"
+                else:
+                    job.error = f"{e}\n{traceback.format_exc(limit=3)}"
+                    job.status = "error"  # reference's commands.rs:86-94
+            finally:
+                job.pipeline = None
 
     def _run_job(self, job: Job) -> dict:
         from fractions import Fraction
@@ -160,6 +181,7 @@ class JobManager:
             st, ws, engine, io_backend=self.io_backend,
             part_ext=part_ext, progress=job.progress,
         )
+        job.pipeline = pipeline
         final = pipeline.run()
         report = scheduler.finalize(
             final, ws, io_backend=self.io_backend, part_ext=part_ext

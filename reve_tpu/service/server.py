@@ -149,6 +149,20 @@ class Handler(BaseHTTPRequestHandler):
             self._json({"error": "not found"}, 404)
 
 
+    def do_DELETE(self):
+        if self.path.startswith("/api/jobs/"):
+            try:
+                job_id = int(self.path.rsplit("/", 1)[1])
+            except ValueError:
+                return self._json({"error": "bad job id"}, 400)
+            if self.manager.cancel(job_id):
+                self._json({"cancelled": job_id})
+            else:
+                self._json({"error": "not cancellable"}, 409)
+        else:
+            self._json({"error": "not found"}, 404)
+
+
 def make_server(host="127.0.0.1", port=8321, cfg=None, manager=None,
                 io_backend: Optional[str] = None) -> ThreadingHTTPServer:
     cfg = cfg or config_mod.load()

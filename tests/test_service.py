@@ -175,3 +175,38 @@ def test_index_page(server):
     with urllib.request.urlopen(server + "/", timeout=10) as r:
         html = r.read().decode()
     assert "reve-tpu" in html
+
+
+def test_api_job_cancel_queued(server, tmp_path):
+    # a job with a nonexistent-but-created input that will sit queued briefly
+    inp = str(tmp_path / "q.y4m")
+    with writer.Y4MWriter(inp, 32, 24, fractions.Fraction(24)) as wr:
+        for i in range(60):
+            wr.write(np.full((24, 32, 3), 100, np.uint8))
+    # submit two: the second stays queued while the first runs
+    j1 = _post(server + "/api/jobs",
+               {"input": inp, "scale": 2,
+                "output": str(tmp_path / "o1.y4m")})
+    j2 = _post(server + "/api/jobs",
+               {"input": inp, "scale": 2,
+                "output": str(tmp_path / "o2.y4m")})
+    req = urllib.request.Request(
+        server + f"/api/jobs/{j2['id']}", method="DELETE")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        assert json.loads(r.read())["cancelled"] == j2["id"]
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        s2 = _get(server + f"/api/jobs/{j2['id']}")["status"]
+        s1 = _get(server + f"/api/jobs/{j1['id']}")["status"]
+        if s2 == "cancelled" and s1 in ("done", "error"):
+            break
+        time.sleep(0.2)
+    assert s2 == "cancelled"
+    assert s1 == "done"
+
+
+def test_api_cancel_unknown_job(server):
+    req = urllib.request.Request(server + "/api/jobs/9999", method="DELETE")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=10)
+    assert ei.value.code == 409
