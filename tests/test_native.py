@@ -169,3 +169,25 @@ def test_counters():
     assert lib.rc_counter_get(c, 1) == 0
     assert lib.rc_counter_get(c, 2) == 1
     lib.rc_counters_destroy(c)
+
+
+def test_concat_corrupt_part_rejected(tmp_path):
+    """Fault injection: a torn/corrupt part file must surface an error, not
+    a silent bad output (SURVEY.md §5: failure detection the reference
+    lacked beyond exit codes)."""
+    parts = _write_parts(tmp_path, [4])
+    bad = str(tmp_path / "bad.mp4")
+    with open(parts[0], "rb") as f:
+        data = f.read()
+    with open(bad, "wb") as f:
+        f.write(data[: len(data) // 3])  # truncated mid-mdat/moov
+    with pytest.raises(native.NativeError):
+        native.concat_mp4([parts[0], bad], None, str(tmp_path / "o.mp4"))
+
+
+def test_concat_garbage_part_rejected(tmp_path):
+    bad = str(tmp_path / "junk.mp4")
+    with open(bad, "wb") as f:
+        f.write(b"\x00" * 4096)
+    with pytest.raises(native.NativeError):
+        native.concat_mp4([bad], None, str(tmp_path / "o.mp4"))
