@@ -166,3 +166,78 @@ def test_progress_rates_present(tmp_path):
     job.run()
     snap = tracker.snapshot()
     assert snap["encode"]["done"] == 6 and snap["encode"]["rate"] >= 0
+
+
+def test_pipeline_stress_tiny_queues(tmp_path):
+    """Race shakeout: minimal queue depths, many small segments, jittery
+    stage timing — output must still be frame-exact (the synchronization
+    audit the reference never had, SURVEY.md §5 'race detection')."""
+    import random
+    import time as time_mod
+
+    class JitteryEngine:
+        batch_size = 2
+        scale = 2
+
+        def submit(self, frames):
+            out = np.repeat(np.repeat(frames, 2, axis=1), 2, axis=2)
+            rng = random.Random(int(frames[0, 0, 0, 0]))
+
+            class _P:
+                def result(self_inner):
+                    time_mod.sleep(rng.random() * 0.003)
+                    return out
+
+            return _P()
+
+    num_frames = 120
+    inp = str(tmp_path / "in.y4m")
+    with writer.Y4MWriter(inp, 32, 16, fractions.Fraction(24)) as wr:
+        for i in range(num_frames):
+            wr.write(np.full((16, 32, 3), (i * 2 + 10) % 250, np.uint8))
+    ws = state.Workspace(str(tmp_path / "work"))
+    ws.create()
+    st = state.JobState(
+        input_path=inp, output_path=str(tmp_path / "out.y4m"),
+        scale=2, segment_size=3, frame_count=num_frames,
+        fps_num=24, fps_den=1, width=32, height=16,
+        pending=planner.plan_segments(num_frames, 3),  # 40 segments
+    )
+    job = scheduler.PipelineJob(
+        st, ws, JitteryEngine(), io_backend="y4m", part_ext=".y4m",
+        decode_queue_depth=1, device_queue_depth=1,
+    )
+    final = job.run()
+    assert final.pending == []
+    scheduler.finalize(final, ws, io_backend="y4m", part_ext=".y4m")
+    lumas = _read_lumas(str(tmp_path / "out.y4m"))
+    assert len(lumas) == num_frames
+    for i, v in enumerate(lumas):
+        assert abs(v - ((i * 2 + 10) % 250)) <= 2, (i, v)
+
+
+def test_pipeline_cancel(tmp_path):
+    """Cooperative cancel mid-run leaves resumable state."""
+    import threading as threading_mod
+
+    inp = _make_input(tmp_path, num_frames=200)
+    ws, st = _make_state(tmp_path, inp, num_frames=200, seg=10)
+
+    class SlowEngine(FakeEngine):
+        def submit(self, frames):
+            import time as t
+
+            t.sleep(0.02)
+            return super().submit(frames)
+
+    job = scheduler.PipelineJob(st, ws, SlowEngine(batch_size=3),
+                                io_backend="y4m", part_ext=".y4m")
+    timer = threading_mod.Timer(0.4, job.cancel)
+    timer.start()
+    with pytest.raises(Exception, match="cancelled"):
+        job.run()
+    timer.cancel()
+    # committed parts are intact and state is resumable
+    done = ws.completed_parts(".y4m")
+    st2 = state.repair_pending(ws.load(), ws, ext=".y4m")
+    assert len(st2.pending) == 20 - len(done)
