@@ -48,6 +48,12 @@ class PendingBatch:
     def __init__(self, device_out: jax.Array, valid: int):
         self._out = device_out
         self._valid = valid
+        try:
+            # start the device->host copy as soon as the compute finishes,
+            # overlapping D2H of batch k with compute of batch k+1
+            device_out.copy_to_host_async()
+        except AttributeError:
+            pass
 
     def result(self) -> np.ndarray:
         """Block until done; returns (valid, H*s, W*s, 3) uint8."""

@@ -196,3 +196,12 @@ def test_trainer_with_tensor_parallel_axis():
     lr = hr[:, ::2, ::2, :]
     losses = [tr.step(lr, hr) for _ in range(20)]
     assert losses[-1] < losses[0] * 0.95, losses[::5]
+
+
+def test_distributed_identity_single_process():
+    from reve_tpu.parallel import distributed
+
+    ident = distributed.initialize()  # no coordinator env -> no-op path
+    assert ident.process_index == 0
+    assert ident.process_count == 1
+    assert ident.worker_id.endswith("-p0")
