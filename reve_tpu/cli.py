@@ -116,6 +116,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume without asking (non-interactive)")
     p.add_argument("--keep-workspace", action="store_true",
                    help="do not delete the workspace after success")
+    p.add_argument("--scene-align", action="store_true",
+                   help="snap segment boundaries to detected scene cuts "
+                        "(one extra decode pre-pass)")
     p.add_argument("--trace", default=None, metavar="FILE",
                    help="write JSONL stage-timing events to FILE")
     p.add_argument("--profile-dir", default=None, metavar="DIR",
@@ -141,6 +144,22 @@ def _fresh_state(args) -> JobState:
     if info.frame_count <= 0:
         raise SystemExit("could not determine frame count")
     fps = info.fps if info.fps else Fraction(30, 1)
+    if getattr(args, "scene_align", False):
+        from reve_tpu.io import reader as reader_mod
+        from reve_tpu.pipeline import scenes
+
+        with reader_mod.open_reader(
+            args.inputpath, backend=args.io_backend,
+            width=info.width, height=info.height,
+        ) as rd:
+            cuts = scenes.detect_cuts(rd, info.frame_count)
+        print(f"scene-align: {len(cuts)} cut(s) detected", file=sys.stderr)
+        pending = scenes.plan_segments_aligned(
+            info.frame_count, args.segmentsize, cuts
+        )
+    else:
+        pending = plan_segments(info.frame_count, args.segmentsize)
+    plan = list(pending)
     return JobState(
         input_path=os.path.abspath(args.inputpath),
         output_path=os.path.abspath(args.outputpath),
@@ -151,7 +170,8 @@ def _fresh_state(args) -> JobState:
         fps_den=fps.denominator,
         width=info.width,
         height=info.height,
-        pending=plan_segments(info.frame_count, args.segmentsize),
+        pending=pending,
+        plan=plan,
         encode={
             "crf": args.crf,
             "preset": args.preset,

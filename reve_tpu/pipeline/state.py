@@ -49,6 +49,10 @@ class JobState:
     width: int
     height: int
     pending: List[Segment]
+    #: the full segment plan (pending + completed).  Needed on resume when
+    #: the plan is not derivable from (frame_count, segment_size) — e.g.
+    #: scene-aligned boundaries.  None -> uniform plan (re-derived).
+    plan: Optional[List[Segment]] = None
     encode: dict = dataclasses.field(default_factory=dict)
     model: str = "realesr-animevideov3"
     version: int = STATE_VERSION
@@ -56,6 +60,7 @@ class JobState:
     def to_json(self) -> dict:
         d = dataclasses.asdict(self)
         d["pending"] = [s.to_json() for s in self.pending]
+        d["plan"] = [s.to_json() for s in self.plan] if self.plan else None
         return d
 
     @staticmethod
@@ -64,6 +69,8 @@ class JobState:
             raise ValueError(f"unsupported state version {d.get('version')}")
         d = dict(d)
         d["pending"] = [Segment.from_json(s) for s in d["pending"]]
+        if d.get("plan"):
+            d["plan"] = [Segment.from_json(s) for s in d["plan"]]
         return JobState(**d)
 
 
@@ -171,7 +178,9 @@ def repair_pending(state: JobState, workspace: Workspace,
 
     workspace.clean_stale_tmp()
     if all_segments is None:
-        all_segments = plan_segments(state.frame_count, state.segment_size)
+        all_segments = state.plan or plan_segments(
+            state.frame_count, state.segment_size
+        )
     done = set(workspace.completed_parts(ext))
     pending = [s for s in all_segments if s.index not in done]
     return dataclasses.replace(state, pending=pending)
