@@ -29,9 +29,15 @@ import numpy as np
 from reve_tpu.models import registry, srvgg
 from reve_tpu.ops import tiling
 
-#: Above this many input pixels per frame the engine tiles spatially.
-#: A whole 1080p frame (2.07 MP) runs un-tiled; 4K input tiles into 4.
-_TILE_THRESHOLD_PIXELS = 2_200_000
+#: HBM budget for whole-frame inference. Measured: whole-frame beats halo
+#: tiling by ~40% whenever it fits (PERF.md 720p sweep), so tile only when
+#: the activation working set would not fit. Peak live activations for the
+#: conv stack ≈ a few (B, H, W, feat) buffers plus the f32 pre-shuffle
+#: epilogue; 6x the single-buffer size is a conservative envelope.
+#: calibrated against the measured working config: batch 8 @ 1080p bf16
+#: runs whole-frame on a 16 GB v5e (bench.py), batch 12 does not compile
+_HBM_BUDGET_BYTES = 12 << 30
+_ACT_BUFFERS = 3
 _DEFAULT_TILE = 768
 
 
@@ -130,12 +136,24 @@ class UpscaleEngine:
         return rrdb.apply(params, x, cfg=self.cfg,
                           compute_dtype=self.compute_dtype)
 
+    def _whole_frame_bytes(self, h: int, w: int) -> int:
+        """Rough peak HBM for an un-tiled batch at (h, w) input."""
+        feat = getattr(self.cfg, "num_feat", 64)
+        bpe = 2 if self.compute_dtype == jnp.bfloat16 else 4
+        act = self.batch_size * h * w * feat * bpe * _ACT_BUFFERS
+        # f32 epilogue at input res x out_ch*scale^2 channels
+        out_ch = getattr(self.cfg, "num_out_ch", 3)
+        epi = self.batch_size * h * w * out_ch * self.scale ** 2 * 4
+        return act + epi
+
     def _tile_size_for(self, h: int, w: int) -> int:
         if self.tile == -1:
             return 0
         if self.tile > 0:
             return self.tile
-        return _DEFAULT_TILE if h * w > _TILE_THRESHOLD_PIXELS else 0
+        if self._whole_frame_bytes(h, w) <= _HBM_BUDGET_BYTES:
+            return 0
+        return _DEFAULT_TILE
 
     @property
     def halo(self) -> int:

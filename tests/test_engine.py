@@ -24,7 +24,13 @@ def test_tiled_equals_whole_frame():
 def test_auto_tile_threshold():
     e = _engine(tile=0)
     assert e._tile_size_for(100, 100) == 0          # small: whole frame
-    assert e._tile_size_for(2160, 3840) > 0         # 4K input: tiles
+    assert e._tile_size_for(2160, 3840) > 0         # 4K f32 batch2: tiles
+    # HBM-budget decision: 4K fits whole-frame at batch 1 bf16, not batch 8
+    b1 = _engine(tile=0, batch_size=1, compute_dtype="bfloat16")
+    b8 = _engine(tile=0, batch_size=8, compute_dtype="bfloat16")
+    assert b1._tile_size_for(2160, 3840) == 0
+    assert b8._tile_size_for(2160, 3840) > 0
+    assert b8._tile_size_for(1080, 1920) == 0       # the bench config
 
 
 def test_short_batch_padding():
