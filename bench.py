@@ -33,9 +33,9 @@ def main():
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
     if on_tpu:
-        h, w, batch, iters, warmup = 1080, 1920, 8, 10, 2
+        h, w, batches, iters, warmup = 1080, 1920, (8, 4, 2), 10, 2
     else:  # smoke-test mode off-TPU: tiny shapes, report but don't compare
-        h, w, batch, iters, warmup = 144, 256, 2, 4, 1
+        h, w, batches, iters, warmup = 144, 256, (2,), 4, 1
 
     import logging
 
@@ -55,24 +55,33 @@ def main():
 
     fn = jax.jit(step)
     rs = np.random.RandomState(0)
-    u8 = jax.device_put(
-        rs.randint(0, 256, size=(batch, h, w, 3), dtype=np.uint8)
-    )
+    fps = None
+    for batch in batches:  # fall back on compile flakiness/OOM
+        try:
+            u8 = jax.device_put(
+                rs.randint(0, 256, size=(batch, h, w, 3), dtype=np.uint8)
+            )
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(params, u8))
+            compile_s = time.perf_counter() - t0
+            for _ in range(warmup):
+                r = fn(params, u8)
+            _ = float(r)
 
-    t0 = time.perf_counter()
-    jax.block_until_ready(fn(params, u8))
-    compile_s = time.perf_counter() - t0
-    for _ in range(warmup):
-        r = fn(params, u8)
-    _ = float(r)
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn(params, u8)
-    _ = float(r)  # sync
-    dt = time.perf_counter() - t0
-
-    fps = batch * iters / dt
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                r = fn(params, u8)
+            _ = float(r)  # sync
+            dt = time.perf_counter() - t0
+            fps = batch * iters / dt
+            break
+        except Exception as e:
+            print(f"batch {batch} failed ({str(e)[:120]}); falling back",
+                  file=sys.stderr)
+    if fps is None:
+        print(json.dumps({"metric": "fps_1080p_to_4k_x4", "value": 0.0,
+                          "unit": "fps/chip", "vs_baseline": 0.0}))
+        return
     print(
         f"backend={backend} shape={batch}x{h}x{w} compile={compile_s:.1f}s "
         f"steady={dt:.2f}s for {batch * iters} frames",

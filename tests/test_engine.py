@@ -71,3 +71,17 @@ def test_upscale_frames_convenience():
         e.submit(frames[4:]).result(),
     ])
     np.testing.assert_array_equal(out, ref)
+
+
+def test_rrdb_tiled_seams_bounded():
+    """RRDB halo is an approximation (engine.halo docstring); seams must be
+    visually negligible — bounded by ~1 u8 step on random content."""
+    frames = np.random.RandomState(3).randint(0, 256, (1, 48, 48, 3),
+                                              np.uint8)
+    kw = dict(model="realesrgan-x4plus-anime", scale=4, batch_size=1,
+              compute_dtype="float32")
+    whole = UpscaleEngine(tile=-1, **kw).submit(frames).result()
+    tiled = UpscaleEngine(tile=24, **kw).submit(frames).result()
+    diff = np.abs(whole.astype(int) - tiled.astype(int))
+    assert diff.max() <= 2, diff.max()
+    assert (diff > 0).mean() < 0.02  # <2% of pixels differ at all
