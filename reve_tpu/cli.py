@@ -182,6 +182,14 @@ def _fresh_state(args) -> JobState:
 
 
 def run(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    if "--list-models" in argv:
+        from reve_tpu.models import registry
+
+        for name, spec in registry.list_models():
+            scales = spec.upscale or "2|3|4"
+            print(f"{name}  [{spec.arch}, x{scales}]")
+        return 0
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(message)s")
 

@@ -50,6 +50,11 @@ _SPECS = {
 }
 
 
+def list_models():
+    """[(name, spec)] for every registered model (CLI --list-models)."""
+    return sorted(_SPECS.items())
+
+
 def parse_model_name(name: str) -> Tuple[ModelSpec, Optional[int]]:
     """Accepts 'realesr-animevideov3', 'realesr-animevideov3-x2', etc."""
     base, scale = name, None

@@ -40,15 +40,19 @@ _PAGE = """<!doctype html>
 <h2>reve-tpu <small id=v></small></h2>
 <div>
  <input id=path placeholder="/path/to/video.mp4" size=42>
+ <select id=model></select>
  <select id=scale><option>2</option><option>3</option><option>4</option></select>x
  <button onclick="go()">Upscale</button>
 </div>
 <div id=jobs></div>
 <script>
 fetch('/api/version').then(r=>r.json()).then(d=>v.textContent=d.version);
+fetch('/api/models').then(r=>r.json()).then(ms=>{
+ model.innerHTML=ms.map(m=>`<option>${m.name}</option>`).join('');
+});
 async function go(){
  await fetch('/api/jobs',{method:'POST',headers:{'Content-Type':'application/json'},
-  body:JSON.stringify({input:path.value,scale:+scale.value})});
+  body:JSON.stringify({input:path.value,scale:+scale.value,model:model.value})});
  refresh();
 }
 async function refresh(){
@@ -96,6 +100,14 @@ class Handler(BaseHTTPRequestHandler):
             self.wfile.write(body)
         elif self.path == "/api/version":
             self._json({"version": __version__})
+        elif self.path == "/api/models":
+            from reve_tpu.models import registry
+
+            self._json([
+                {"name": name, "arch": spec.arch,
+                 "scales": [spec.upscale] if spec.upscale else [2, 3, 4]}
+                for name, spec in registry.list_models()
+            ])
         elif self.path == "/api/config":
             self._json(self.cfg.to_json())
         elif self.path == "/api/jobs":

@@ -158,3 +158,11 @@ def test_cli_end_to_end_mkv(tmp_path):
     assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 128
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 8
     cap.release()
+
+
+def test_list_models(capsys):
+    rc = cli.run(["--list-models"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "realesr-animevideov3" in out
+    assert "realesrgan-x4plus" in out

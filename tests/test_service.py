@@ -210,3 +210,10 @@ def test_api_cancel_unknown_job(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req, timeout=10)
     assert ei.value.code == 409
+
+
+def test_api_models(server):
+    models = _get(server + "/api/models")
+    names = [m["name"] for m in models]
+    assert "realesr-animevideov3" in names
+    assert any(m["arch"] == "rrdb" for m in models)
