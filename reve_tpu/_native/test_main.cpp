@@ -1,0 +1,73 @@
+// Sanitizer test harness for the native core (built with ASan/UBSan by
+// tests/test_native_sanitized.py).  Exercises probe, video-only concat,
+// audio remux, and corrupt-input rejection on files passed via argv.
+//
+// Usage: reve_core_test <part1.mp4> <part2.mp4> <original_or_-> <out.mp4>
+//        [corrupt1] [corrupt2] ...
+// Exits 0 on success (including expected failures on corrupt inputs).
+
+#include <cstdio>
+#include <cstring>
+
+extern "C" {
+const char* rc_last_error();
+int rc_concat_mp4(const char** parts, int n_parts, const char* original,
+                  const char* out_path);
+int rc_probe_mp4(const char* path, int* width, int* height,
+                 long long* video_samples, long long* timescale,
+                 long long* duration, int* n_tracks, int* has_audio);
+long rc_plan_segments(long frames, long segsize, long* starts, long* sizes,
+                      long cap);
+}
+
+static int probe(const char* path, bool expect_ok) {
+  int w, h, ntracks, has_audio;
+  long long samples, ts, dur;
+  int rc = rc_probe_mp4(path, &w, &h, &samples, &ts, &dur, &ntracks,
+                        &has_audio);
+  if (expect_ok && rc != 0) {
+    std::fprintf(stderr, "probe(%s) failed: %s\n", path, rc_last_error());
+    return 1;
+  }
+  if (!expect_ok && rc == 0) {
+    std::fprintf(stderr, "probe(%s) unexpectedly succeeded\n", path);
+    return 1;
+  }
+  return 0;
+}
+
+int main(int argc, char** argv) {
+  if (argc < 5) {
+    std::fprintf(stderr, "need part1 part2 original|- out [corrupt...]\n");
+    return 2;
+  }
+  const char* parts[2] = {argv[1], argv[2]};
+  const char* original = std::strcmp(argv[3], "-") ? argv[3] : nullptr;
+  const char* out = argv[4];
+
+  long starts[64], sizes[64];
+  if (rc_plan_segments(1001, 250, starts, sizes, 64) != 5) return 1;
+  if (starts[4] != 1000 || sizes[4] != 1) return 1;
+
+  if (probe(parts[0], true)) return 1;
+  if (rc_concat_mp4(parts, 2, original, out) != 0) {
+    std::fprintf(stderr, "concat failed: %s\n", rc_last_error());
+    return 1;
+  }
+  if (probe(out, true)) return 1;
+
+  // corrupt inputs must FAIL CLEANLY (no crash, no sanitizer report)
+  for (int i = 5; i < argc; i++) {
+    const char* bad[1] = {argv[i]};
+    if (rc_concat_mp4(bad, 1, nullptr, "/dev/null") == 0) {
+      std::fprintf(stderr, "corrupt %s unexpectedly concatenated\n", argv[i]);
+      return 1;
+    }
+    if (probe(argv[i], false)) {
+      // corrupt probes MAY succeed partially (truncated mdat with full
+      // moov) — only crashes are failures, so ignore the status here.
+    }
+  }
+  std::puts("sanitized native core: ok");
+  return 0;
+}

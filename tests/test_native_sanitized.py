@@ -1,0 +1,79 @@
+"""Run the native core under AddressSanitizer + UBSan.
+
+Builds a standalone test binary from the same sources and drives
+probe/concat/remux/corrupt-input paths; any heap overflow, use-after-free,
+or UB in the MP4 parser aborts the binary with a sanitizer report.
+"""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "reve_tpu",
+                          "_native")
+TEST_MP4 = "/root/reference/reve-cli/assets/test.mp4"
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("g++") is None, reason="g++ unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def san_binary(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("san") / "reve_core_test")
+    cmd = [
+        "g++", "-std=c++17", "-g", "-O1",
+        "-fsanitize=address,undefined", "-fno-omit-frame-pointer",
+        os.path.join(NATIVE_DIR, "mp4.cpp"),
+        os.path.join(NATIVE_DIR, "core.cpp"),
+        os.path.join(NATIVE_DIR, "test_main.cpp"),
+        "-o", out,
+    ]
+    res = subprocess.run(cmd, capture_output=True, text=True)
+    if res.returncode != 0:
+        pytest.skip(f"sanitized build failed: {res.stderr[:300]}")
+    return out
+
+
+def _mk_parts(tmp_path):
+    import cv2
+
+    parts = []
+    for i in range(2):
+        p = str(tmp_path / f"p{i}.mp4")
+        wr = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 24, (64, 48))
+        for j in range(6):
+            wr.write(np.full((48, 64, 3), 30 + i * 60 + j * 5, np.uint8))
+        wr.release()
+        parts.append(p)
+    return parts
+
+
+def test_sanitized_concat_and_corrupt(san_binary, tmp_path):
+    parts = _mk_parts(tmp_path)
+    # corrupt variants: truncations at several points + garbage
+    corrupts = []
+    data = open(parts[0], "rb").read()
+    for frac_i, frac in enumerate((0.1, 0.5, 0.9)):
+        p = str(tmp_path / f"trunc{frac_i}.mp4")
+        with open(p, "wb") as f:
+            f.write(data[: int(len(data) * frac)])
+        corrupts.append(p)
+    junk = str(tmp_path / "junk.mp4")
+    with open(junk, "wb") as f:
+        f.write(os.urandom(8192))
+    corrupts.append(junk)
+
+    original = TEST_MP4 if os.path.exists(TEST_MP4) else "-"
+    out = str(tmp_path / "out.mp4")
+    res = subprocess.run(
+        [san_binary, parts[0], parts[1], original, out] + corrupts,
+        capture_output=True, text=True, timeout=120,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "sanitized native core: ok" in res.stdout
+    assert "ERROR: AddressSanitizer" not in res.stderr
+    assert "runtime error" not in res.stderr  # UBSan
