@@ -142,6 +142,7 @@ class Y4MReader(FrameReader):
             raise ValueError(f"not a y4m file: {path!r}")
         self.width = self.height = 0
         self.fps = (30, 1)
+        self.bits = 8
         for tok in header.split()[1:]:
             if tok[0] == "W":
                 self.width = int(tok[1:])
@@ -150,9 +151,14 @@ class Y4MReader(FrameReader):
             elif tok[0] == "F":
                 n, d = tok[1:].split(":")
                 self.fps = (int(n), int(d))
-            elif tok[0] == "C" and not tok[1:].startswith("420"):
-                raise ValueError(f"only 420 chroma supported, got {tok}")
-        self._frame_size = self.width * self.height * 3 // 2
+            elif tok[0] == "C":
+                chroma = tok[1:]
+                if not chroma.startswith("420"):
+                    raise ValueError(f"only 420 chroma supported, got {tok}")
+                if "p10" in chroma:
+                    self.bits = 10
+        bpe = 1 if self.bits == 8 else 2
+        self._frame_size = self.width * self.height * 3 // 2 * bpe
 
     def frame_count(self) -> int:
         size = os.path.getsize(self.path) - self._data_start
@@ -173,14 +179,15 @@ class Y4MReader(FrameReader):
                 raw = f.read(self._frame_size)
                 if len(raw) < self._frame_size:
                     return
-                y = np.frombuffer(raw[: h * w], np.uint8).reshape(h, w)
-                u = np.frombuffer(
-                    raw[h * w: h * w * 5 // 4], np.uint8
-                ).reshape(h // 2, w // 2)
-                v = np.frombuffer(raw[h * w * 5 // 4:], np.uint8).reshape(
-                    h // 2, w // 2
-                )
-                yield color.yuv420_to_rgb_np(y, u, v, matrix="bt601")
+                dt = np.uint8 if self.bits == 8 else np.dtype("<u2")
+                bpe = dt.itemsize if self.bits == 10 else 1
+                ys = h * w * bpe
+                cs = (h // 2) * (w // 2) * bpe
+                y = np.frombuffer(raw[:ys], dt).reshape(h, w)
+                u = np.frombuffer(raw[ys:ys + cs], dt).reshape(h // 2, w // 2)
+                v = np.frombuffer(raw[ys + cs:], dt).reshape(h // 2, w // 2)
+                yield color.yuv420_to_rgb_np(y, u, v, matrix="bt601",
+                                             bits=self.bits)
 
 
 class SyntheticReader(FrameReader):

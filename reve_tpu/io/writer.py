@@ -143,24 +143,35 @@ class Cv2Writer(FrameWriter):
 
 
 class Y4MWriter(FrameWriter):
-    """Uncompressed YUV4MPEG2 writer (420, 8-bit) for hermetic tests."""
+    """Uncompressed YUV4MPEG2 writer — 420 chroma, 8-bit (C420) or 10-bit
+    (C420p10, the bit depth of the reference's yuv420p10le encode,
+    reve-cli/src/main.rs:317-318).  Hermetic-test backend AND the
+    codec-free 10-bit output path."""
 
     def __init__(self, path: str, width: int, height: int,
-                 fps: fractions.Fraction):
+                 fps: fractions.Fraction, bits: int = 8):
+        if bits not in (8, 10):
+            raise ValueError(f"bits must be 8 or 10, got {bits}")
         self.width, self.height = width, height
+        self.bits = bits
+        chroma = "C420" if bits == 8 else "C420p10"
         self._f = open(path, "wb")
         self._f.write(
             f"YUV4MPEG2 W{width} H{height} "
-            f"F{fps.numerator}:{fps.denominator} Ip A1:1 C420\n".encode()
+            f"F{fps.numerator}:{fps.denominator} Ip A1:1 {chroma}\n".encode()
         )
 
     def write(self, frame: np.ndarray) -> None:
         from reve_tpu.ops import color_np as color
 
-        y, u, v = color.rgb_to_yuv420_np(frame, matrix="bt601", bits=8)
+        y, u, v = color.rgb_to_yuv420_np(frame, matrix="bt601",
+                                         bits=self.bits)
         self._f.write(b"FRAME\n")
         for plane in (y, u, v):
-            self._f.write(plane.tobytes())
+            if self.bits == 8:
+                self._f.write(plane.tobytes())
+            else:
+                self._f.write(plane.astype("<u2").tobytes())
 
     def close(self):
         self._f.close()

@@ -115,3 +115,80 @@ def test_rewrite_concat(tmp_path):
     assert rd.frame_count() == 12
     lumas = [int(f[16, 16, 0]) for f in rd.read_range(0, 12)]
     assert all(b >= a for a, b in zip(lumas, lumas[1:]))  # monotone sequence
+
+
+def test_y4m_10bit_roundtrip(tmp_path):
+    """C420p10 write/read — the reference's 10-bit pixel format
+    (yuv420p10le, main.rs:317-318) without any codec binary."""
+    path = str(tmp_path / "clip10.y4m")
+    fps = fractions.Fraction(24)
+    # chroma-flat frames (constant 2x2 blocks): 4:2:0 subsampling is then
+    # lossless and quantization depth is the only error source
+    rs = np.random.RandomState(0)
+    frames = [
+        np.repeat(np.repeat(rs.randint(0, 256, (16, 24, 3)), 2, 0), 2, 1)
+        .astype(np.uint8)
+        for _ in range(4)
+    ]
+    with writer.Y4MWriter(path, 48, 32, fps, bits=10) as w:
+        for f in frames:
+            w.write(f)
+    rd = reader.Y4MReader(path)
+    assert rd.bits == 10
+    got = list(rd.read_range(0, 4))
+    assert len(got) == 4
+    # 10-bit quantization error should be ~4x smaller than 8-bit
+    err10 = np.mean([
+        np.abs(g.astype(int) - f.astype(int)).mean()
+        for g, f in zip(got, frames)
+    ])
+    path8 = str(tmp_path / "clip8.y4m")
+    with writer.Y4MWriter(path8, 48, 32, fps, bits=8) as w:
+        for f in frames:
+            w.write(f)
+    err8 = np.mean([
+        np.abs(g.astype(int) - f.astype(int)).mean()
+        for g, f in zip(reader.Y4MReader(path8).read_range(0, 4), frames)
+    ])
+    assert err10 < err8 * 0.7, (err10, err8)
+    assert err10 < 1.0
+
+
+def test_y4m_10bit_pipeline(tmp_path):
+    """Pipeline end-to-end with 10-bit parts."""
+    import dataclasses
+
+    from reve_tpu.pipeline import planner as planner_mod
+    from reve_tpu.pipeline import scheduler, state
+
+    inp = str(tmp_path / "in.y4m")
+    with writer.Y4MWriter(inp, 32, 16, fractions.Fraction(24), bits=10) as w:
+        for i in range(6):
+            w.write(np.full((16, 32, 3), 40 + i * 20, np.uint8))
+
+    class FakeEngine:
+        batch_size = 3
+        scale = 2
+
+        def submit(self, frames):
+            out = np.repeat(np.repeat(frames, 2, axis=1), 2, axis=2)
+
+            class _P:
+                def result(self):
+                    return out
+
+            return _P()
+
+    ws = state.Workspace(str(tmp_path / "w"))
+    ws.create()
+    st = state.JobState(
+        input_path=inp, output_path=str(tmp_path / "out.y4m"),
+        scale=2, segment_size=3, frame_count=6,
+        fps_num=24, fps_den=1, width=32, height=16,
+        pending=planner_mod.plan_segments(6, 3),
+    )
+    job = scheduler.PipelineJob(st, ws, FakeEngine(), io_backend="y4m",
+                                part_ext=".y4m")
+    scheduler.finalize(job.run(), ws, io_backend="y4m", part_ext=".y4m")
+    rd = reader.Y4MReader(str(tmp_path / "out.y4m"))
+    assert rd.frame_count() == 6
