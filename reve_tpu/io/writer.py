@@ -184,7 +184,8 @@ def open_writer(path: str, width: int, height: int, fps: fractions.Fraction,
     'ffmpeg' | 'cv2' | 'y4m'."""
     settings = settings or EncodeSettings()
     if path.endswith(".y4m") or backend == "y4m":
-        return Y4MWriter(path, width, height, fps)
+        bits = 10 if "10" in settings.pix_fmt else 8
+        return Y4MWriter(path, width, height, fps, bits=bits)
     if backend in (None, "ffmpeg") and shutil.which("ffmpeg"):
         return FfmpegX265Writer(path, width, height, fps, settings)
     if backend == "ffmpeg":
