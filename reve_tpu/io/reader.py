@@ -49,6 +49,11 @@ class Cv2Reader(FrameReader):
     forward motion always decodes sequentially, so ranges are exact.
     """
 
+    #: forward jumps larger than this use a container seek (verified, with
+    #: skip-decode fallback) instead of per-frame skip-decoding — matters
+    #: when resuming deep into a long episode
+    SEEK_THRESHOLD = 240
+
     def __init__(self, path: str):
         import cv2
 
@@ -59,11 +64,26 @@ class Cv2Reader(FrameReader):
             raise RuntimeError(f"cannot open video {path!r}")
         self._pos = 0
 
+    def _try_seek(self, start: int) -> None:
+        """Container seek with verification; falls back to skip-decode by
+        leaving _pos wherever the stream verifiably is."""
+        cv2 = self._cv2
+        if self.cap.set(cv2.CAP_PROP_POS_FRAMES, float(start)):
+            landed = int(self.cap.get(cv2.CAP_PROP_POS_FRAMES))
+            if 0 <= landed <= start:
+                self._pos = landed
+                return
+        # unverifiable seek: rewind to a known-exact position
+        self.cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+        self._pos = 0
+
     def read_range(self, start: int, stop: int) -> Iterator[np.ndarray]:
         cv2 = self._cv2
         if start < self._pos:
             self.cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
             self._pos = 0
+        if start - self._pos > self.SEEK_THRESHOLD:
+            self._try_seek(start)
         while self._pos < start:  # skip-decode up to start
             ok, _ = self.cap.read()
             if not ok:

@@ -192,3 +192,18 @@ def test_y4m_10bit_pipeline(tmp_path):
     scheduler.finalize(job.run(), ws, io_backend="y4m", part_ext=".y4m")
     rd = reader.Y4MReader(str(tmp_path / "out.y4m"))
     assert rd.frame_count() == 6
+
+
+@pytest.mark.skipif(not _have_test_asset(), reason="reference asset missing")
+def test_cv2_reader_far_seek_frame_exact():
+    """Deep forward seeks (resume scenario) must stay frame-exact: the
+    seeked read of a far range equals the sequential read."""
+    with reader.Cv2Reader(TEST_MP4) as rd_seq:
+        rd_seq.SEEK_THRESHOLD = 10 ** 9   # force pure skip-decode baseline
+        seq = list(rd_seq.read_range(1200, 1204))
+    with reader.Cv2Reader(TEST_MP4) as rd_seek:
+        rd_seek.SEEK_THRESHOLD = 100      # force the container-seek path
+        via_seek = list(rd_seek.read_range(1200, 1204))
+    assert len(seq) == len(via_seek) == 4
+    for a, b in zip(seq, via_seek):
+        np.testing.assert_array_equal(a, b)
