@@ -75,11 +75,15 @@ def _preset_validation(s: str) -> str:
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from reve_tpu.version import __version__
+
     p = argparse.ArgumentParser(
         prog="reve",
         description="Real-ESRGAN video upscaler with resumability "
                     "(TPU-native rebuild)",
     )
+    p.add_argument("--version", action="version",
+                   version=f"reve-tpu {__version__}")
     p.add_argument("-i", "--inputpath", required=True,
                    type=_input_validation, help="input video path (mp4/mkv)")
     p.add_argument("outputpath", help="output video path (mp4/mkv)")
