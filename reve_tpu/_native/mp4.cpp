@@ -198,40 +198,51 @@ static void parse_stbl(const uint8_t* data, const BoxRef& stbl, Track& t,
   auto cs = children(data, stbl.payload_off, stbl.payload_off + stbl.payload_len);
   for (auto& b : cs) {
     const uint8_t* p = data + b.payload_off;
+    // Entry counts come from the file; clamp each to what the payload can
+    // actually hold so corrupt/crafted tables (reachable via CLI concat and
+    // the web service) cannot drive reads past the box.
+    auto entries = [&](uint64_t count_off, uint64_t entry_size) -> uint32_t {
+      if (b.payload_len < count_off + 4) return 0;
+      uint64_t n = rd32(p + count_off);
+      uint64_t cap = (b.payload_len - (count_off + 4)) / entry_size;
+      return uint32_t(n > cap ? cap : n);
+    };
     if (b.type == "stsd") {
       t.stsd.assign(data + b.box_off, data + b.box_off + b.box_len);
     } else if (b.type == "stts") {
-      uint32_t n = rd32(p + 4);
+      uint32_t n = entries(4, 8);
       for (uint32_t i = 0; i < n; i++)
         t.stts.push_back({rd32(p + 8 + i * 8), rd32(p + 12 + i * 8)});
     } else if (b.type == "ctts") {
-      uint32_t n = rd32(p + 4);
+      uint32_t n = entries(4, 8);
       for (uint32_t i = 0; i < n; i++)
         t.ctts.push_back({rd32(p + 8 + i * 8), int32_t(rd32(p + 12 + i * 8))});
     } else if (b.type == "stss") {
       t.has_stss = true;
-      uint32_t n = rd32(p + 4);
+      uint32_t n = entries(4, 4);
       for (uint32_t i = 0; i < n; i++) t.stss.push_back(rd32(p + 8 + i * 4));
     } else if (b.type == "stsc") {
-      uint32_t n = rd32(p + 4);
+      uint32_t n = entries(4, 12);
       for (uint32_t i = 0; i < n; i++)
         t.stsc.push_back({rd32(p + 8 + i * 12), rd32(p + 12 + i * 12),
                           rd32(p + 16 + i * 12)});
     } else if (b.type == "stsz") {
+      if (b.payload_len < 12) continue;
       t.fixed_sample_size = rd32(p + 4);
-      uint32_t n = rd32(p + 8);
-      if (t.fixed_sample_size == 0)
+      if (t.fixed_sample_size == 0) {
+        uint32_t n = entries(8, 4);
         for (uint32_t i = 0; i < n; i++)
           t.sample_sizes.push_back(rd32(p + 12 + i * 4));
+      }
     } else if (b.type == "stco") {
-      uint32_t n = rd32(p + 4);
+      uint32_t n = entries(4, 4);
       for (uint32_t i = 0; i < n; i++)
         t.chunk_offsets.push_back(rd32(p + 8 + i * 4));
       t.co_off_in_trak = b.payload_off - trak_box_off;
       t.co_is_64 = false;
       t.co_count = n;
     } else if (b.type == "co64") {
-      uint32_t n = rd32(p + 4);
+      uint32_t n = entries(4, 8);
       for (uint32_t i = 0; i < n; i++)
         t.chunk_offsets.push_back(rd64(p + 8 + i * 8));
       t.co_off_in_trak = b.payload_off - trak_box_off;
@@ -246,29 +257,33 @@ static Track parse_trak(const uint8_t* data, const BoxRef& trak) {
   t.trak_raw.assign(data + trak.box_off, data + trak.box_off + trak.box_len);
   auto cs = children(data, trak.payload_off, trak.payload_off + trak.payload_len);
   if (auto* tkhd = find(cs, "tkhd")) {
+    // min payloads: v0 = 84 bytes, v1 = 96 (ver/flags, times, id, ...)
     const uint8_t* p = data + tkhd->payload_off;
-    uint8_t ver = p[0];
-    t.track_id = ver == 1 ? rd32(p + 20) : rd32(p + 12);
-    // width/height are the last 8 bytes of tkhd payload
-    t.width16 = rd32(data + tkhd->payload_off + tkhd->payload_len - 8);
-    t.height16 = rd32(data + tkhd->payload_off + tkhd->payload_len - 4);
+    uint8_t ver = tkhd->payload_len >= 1 ? p[0] : 0;
+    if (tkhd->payload_len >= uint64_t(ver == 1 ? 96 : 84)) {
+      t.track_id = ver == 1 ? rd32(p + 20) : rd32(p + 12);
+      // width/height are the last 8 bytes of tkhd payload
+      t.width16 = rd32(data + tkhd->payload_off + tkhd->payload_len - 8);
+      t.height16 = rd32(data + tkhd->payload_off + tkhd->payload_len - 4);
+    }
   }
   if (auto* mdia = find(cs, "mdia")) {
     auto ms = children(data, mdia->payload_off,
                        mdia->payload_off + mdia->payload_len);
     if (auto* mdhd = find(ms, "mdhd")) {
       const uint8_t* p = data + mdhd->payload_off;
-      if (p[0] == 1) {
+      if (mdhd->payload_len >= 32 && p[0] == 1) {
         t.timescale = rd32(p + 20);
         t.duration = rd64(p + 24);
-      } else {
+      } else if (mdhd->payload_len >= 20 && p[0] == 0) {
         t.timescale = rd32(p + 12);
         t.duration = rd32(p + 16);
       }
     }
     if (auto* hdlr = find(ms, "hdlr")) {
       const uint8_t* p = data + hdlr->payload_off;
-      t.handler.assign(reinterpret_cast<const char*>(p + 8), 4);
+      if (hdlr->payload_len >= 12)
+        t.handler.assign(reinterpret_cast<const char*>(p + 8), 4);
     }
     if (auto* minf = find(ms, "minf")) {
       auto fs = children(data, minf->payload_off,
@@ -302,10 +317,10 @@ static Movie parse_movie(File& f) {
         if (b.type == "mvhd") {
           m.mvhd.assign(moov.data() + b.box_off, moov.data() + b.box_off + b.box_len);
           const uint8_t* p = moov.data() + b.payload_off;
-          if (p[0] == 1) {
+          if (b.payload_len >= 32 && p[0] == 1) {
             m.movie_timescale = rd32(p + 20);
             m.movie_duration = rd64(p + 24);
-          } else {
+          } else if (b.payload_len >= 20 && p[0] == 0) {
             m.movie_timescale = rd32(p + 12);
             m.movie_duration = rd32(p + 16);
           }
@@ -478,18 +493,23 @@ static void emit_video_trak(Buf& moov, const MergedVideo& v,
   moov.close(trak);
 }
 
-// patch mvhd duration (+ next_track_id) in a raw mvhd box copy
+// patch mvhd duration (+ next_track_id) in a raw mvhd box copy.
+// Payload layouts (ISO 14496-12 §8.2.2): ver/flags(4) ctime/mtime(8 or 16)
+// timescale(4) duration(4 or 8) rate(4) volume(2) reserved(10) matrix(36)
+// pre_defined(24) next_track_ID(4) — so v0 payload is 100 bytes with
+// next_track_ID at offset 96, v1 is 112 bytes with it at offset 108.
 static void patch_mvhd(std::vector<uint8_t>& mvhd, uint64_t duration,
                        uint32_t next_track_id) {
+  if (mvhd.size() < 8 + 4) throw Error("mvhd box too small");
   uint8_t* p = mvhd.data() + 8;  // skip box header
   if (p[0] == 1) {
+    if (mvhd.size() < 8 + 112) throw Error("mvhd v1 payload too small");
     wr64(p + 24, duration);
-    wr32(p + 4 + 28 + 80 + 4 * 6, next_track_id);  // v1 layout
+    wr32(p + 108, next_track_id);
   } else {
+    if (mvhd.size() < 8 + 100) throw Error("mvhd v0 payload too small");
     wr32(p + 16, uint32_t(duration));
-    // v0: ver/flags(4) ctime(4) mtime(4) ts(4) dur(4) rate(4) vol(2) res(10)
-    // matrix(36) predefined(24) next_track_id(4)
-    wr32(p + 4 + 12 + 4 + 4 + 2 + 10 + 36 + 24, next_track_id);
+    wr32(p + 96, next_track_id);
   }
 }
 

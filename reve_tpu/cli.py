@@ -131,12 +131,26 @@ def build_parser() -> argparse.ArgumentParser:
                    help="participate as a lease-queue worker (multi-host "
                         "segment sharding over a shared workspace); the "
                         "worker that finds all parts complete finalizes")
+    p.add_argument("--lease-stale-after", type=float, default=None,
+                   metavar="SECONDS",
+                   help="declare a worker's segment lease stale (stealable) "
+                        "after this many seconds without a heartbeat "
+                        "(default 600; leases renew every few seconds while "
+                        "a worker is alive)")
     return p
 
 
 def _confirm(prompt: str, assume_yes: bool) -> bool:
-    if assume_yes or not sys.stdin.isatty():
+    """Explicit consent, mirroring the reference's interactive confirms
+    (reve-cli/src/main.rs:47-90).  A non-interactive run (no tty) must not
+    silently resume or discard prior work: it aborts unless --yes was
+    given."""
+    if assume_yes:
         return True
+    if not sys.stdin.isatty():
+        raise SystemExit(
+            f"{prompt} — non-interactive session; pass --yes to confirm"
+        )
     answer = input(f"{prompt} [Y/n] ").strip().lower()
     return answer in ("", "y", "yes")
 
@@ -269,19 +283,27 @@ def run(argv: Optional[List[str]] = None) -> int:
     if args.shard_worker:
         from reve_tpu.pipeline import leases
 
+        stale = args.lease_stale_after or leases.DEFAULT_STALE_AFTER
         with profile_ctx:
             done = leases.run_sharded(
                 state, ws, engine, args.shard_worker,
                 io_backend=args.io_backend, part_ext=_part_ext(args),
-                progress=tracker,
+                progress=tracker, stale_after=stale,
             )
         q = leases.SegmentLeaseQueue(ws, args.shard_worker,
+                                     stale_after=stale,
                                      part_ext=_part_ext(args))
         print(f"worker {args.shard_worker}: {done} segment(s)",
               file=sys.stderr)
         if not q.all_done(state.pending):
             print("other workers still running; not finalizing",
                   file=sys.stderr)
+            return 0
+        # every worker that observes all_done reaches here — elect exactly
+        # one finalizer so two near-simultaneous finishers don't both write
+        # the output (O_EXCL finalize lease; stale+no-output is stealable)
+        if not q.claim_finalize(state.output_path):
+            print("another worker is finalizing; exiting", file=sys.stderr)
             return 0
         state = dataclasses_replace_pending(state)
     else:

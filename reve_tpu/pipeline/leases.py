@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import errno
 import os
+import threading
 import time
 from typing import List, Optional
 
@@ -29,10 +30,20 @@ from reve_tpu.pipeline.state import Workspace
 
 LEASES_DIR = "leases"
 
+#: Leases are heartbeat-renewed every few seconds while a segment runs
+#: (see _Heartbeat), so staleness only needs to cover a crashed worker's
+#: detection latency — but it must also survive a worker whose *process*
+#: is alive while a single renewal is delayed (GC pause, NFS hiccup,
+#: first-compile stalls of 10-150 s that block the dispatch thread).
+#: 10 min is comfortably above anything observed.
+DEFAULT_STALE_AFTER = 600.0
+HEARTBEAT_INTERVAL = 5.0
+
 
 class SegmentLeaseQueue:
     def __init__(self, workspace: Workspace, worker_id: str,
-                 stale_after: float = 120.0, part_ext: str = ".mp4"):
+                 stale_after: float = DEFAULT_STALE_AFTER,
+                 part_ext: str = ".mp4"):
         self.ws = workspace
         self.worker_id = worker_id
         self.stale_after = stale_after
@@ -96,6 +107,27 @@ class SegmentLeaseQueue:
         done = set(self.ws.completed_parts(self.part_ext))
         return all(s.index in done for s in segments)
 
+    # -- single-finalizer election ---------------------------------------
+
+    def _finalize_lease_path(self) -> str:
+        return os.path.join(self.dir, "finalize.lease")
+
+    def claim_finalize(self, output_path: str) -> bool:
+        """Elect exactly one finalizer among workers that all observe
+        `all_done` (two workers finishing near-simultaneously must not both
+        write the output).  O_EXCL create wins; a stale finalize lease with
+        no output yet means the elected finalizer crashed — steal it."""
+        path = self._finalize_lease_path()
+        if self._try_create(path):
+            return True
+        if self._is_stale(path) and not os.path.exists(output_path):
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+            return self._try_create(path)
+        return False
+
     def wait_all_done(self, segments: List[Segment],
                       timeout: float = 3600.0, poll: float = 0.5) -> bool:
         deadline = time.monotonic() + timeout
@@ -106,13 +138,41 @@ class SegmentLeaseQueue:
         return False
 
 
+class _Heartbeat:
+    """Daemon thread that touches a segment's lease file while the owning
+    worker runs it, so a live worker is never mistaken for a crashed one
+    and its lease stolen mid-segment (which would let two workers write the
+    same part file)."""
+
+    def __init__(self, queue: SegmentLeaseQueue, seg: Segment,
+                 interval: float = HEARTBEAT_INTERVAL):
+        self._queue = queue
+        self._seg = seg
+        self._interval = interval
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        while not self._stop.wait(self._interval):
+            self._queue.renew(self._seg)
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=10)
+
+
 def run_sharded(state, workspace: Workspace, engine, worker_id: str,
                 io_backend: Optional[str] = None, part_ext: str = ".mp4",
-                progress=None, stale_after: float = 120.0) -> int:
+                progress=None,
+                stale_after: float = DEFAULT_STALE_AFTER) -> int:
     """Worker loop: claim segments one at a time and run them through the
-    standard pipeline until the queue is exhausted.  Returns the number of
-    segments this worker completed.  Any worker can then `finalize` once
-    `SegmentLeaseQueue.all_done` holds."""
+    standard pipeline until the queue is exhausted, heartbeat-renewing the
+    lease throughout.  Returns the number of segments this worker
+    completed.  Exactly one worker then finalizes (claim_finalize)."""
     import dataclasses
 
     from reve_tpu.pipeline.scheduler import PipelineJob
@@ -126,12 +186,14 @@ def run_sharded(state, workspace: Workspace, engine, worker_id: str,
         if seg is None:
             return completed
         try:
-            job = PipelineJob(
-                dataclasses.replace(state, pending=[seg]),
-                workspace, engine, io_backend=io_backend,
-                part_ext=part_ext, progress=progress,
-            )
-            job.run()
+            hb_interval = min(HEARTBEAT_INTERVAL, stale_after / 4)
+            with _Heartbeat(queue, seg, interval=hb_interval):
+                job = PipelineJob(
+                    dataclasses.replace(state, pending=[seg]),
+                    workspace, engine, io_backend=io_backend,
+                    part_ext=part_ext, progress=progress,
+                )
+                job.run()
             completed += 1
         finally:
             queue.release(seg)

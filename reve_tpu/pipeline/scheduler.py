@@ -152,11 +152,18 @@ class PipelineJob:
                 "x265_params", "psy-rd=2:aq-strength=1:deblock=0,0:bframes=8"
             ),
         )
+        # test hook: slow each encoded batch so fault-injection tests can
+        # land kill signals mid-segment deterministically
+        slow_s = float(os.environ.get("REVE_TEST_SLOW_SEGMENT", 0) or 0)
         try:
             while True:
                 item = self._get(self.encode_q)
                 if item is _SENTINEL or item is _ABORT:
                     break
+                if slow_s:
+                    import time
+
+                    time.sleep(slow_s)
                 with self.tracer.span("device_wait", seg=item.seg_index):
                     frames = item.pending.result()  # blocks on device
                 if item.seg_index != cur_seg:

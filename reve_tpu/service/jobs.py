@@ -18,7 +18,7 @@ from typing import Dict, List, Optional
 
 from reve_tpu.pipeline.planner import plan_segments
 from reve_tpu.pipeline.progress import ProgressTracker
-from reve_tpu.pipeline.state import JobState, Workspace
+from reve_tpu.pipeline.state import JobState, Workspace, repair_pending
 
 
 def replace_file_suffix(path: str, factor: int, ext: str = "mp4") -> str:
@@ -154,27 +154,37 @@ class JobManager:
         from reve_tpu.io import probe
         from reve_tpu.pipeline import scheduler
 
-        info = probe.probe(job.input_path, backend=self.io_backend)
-        fps = info.fps or Fraction(30, 1)
-        st = JobState(
-            input_path=os.path.abspath(job.input_path),
-            output_path=os.path.abspath(job.output_path),
-            scale=job.scale,
-            segment_size=self.cfg.segment_size,
-            frame_count=info.frame_count,
-            fps_num=fps.numerator, fps_den=fps.denominator,
-            width=info.width, height=info.height,
-            pending=plan_segments(info.frame_count, self.cfg.segment_size),
-            encode={"crf": self.cfg.crf, "preset": self.cfg.preset},
-            model=job.model,
+        part_ext = ".y4m" if self.io_backend == "y4m" else ".mp4"
+        ws = Workspace(
+            os.path.abspath(job.output_path) + ".revework"
         )
-        ws = Workspace(st.output_path + ".revework")
-        ws.create()
+        if ws.has_state():
+            # re-submitted after cancel/crash: resume from completed parts,
+            # mirroring the CLI path (cancel() documents this contract)
+            st = ws.load()
+            ws.create(keep_parts=True)
+            st = repair_pending(st, ws, ext=part_ext)
+        else:
+            info = probe.probe(job.input_path, backend=self.io_backend)
+            fps = info.fps or Fraction(30, 1)
+            st = JobState(
+                input_path=os.path.abspath(job.input_path),
+                output_path=os.path.abspath(job.output_path),
+                scale=job.scale,
+                segment_size=self.cfg.segment_size,
+                frame_count=info.frame_count,
+                fps_num=fps.numerator, fps_den=fps.denominator,
+                width=info.width, height=info.height,
+                pending=plan_segments(info.frame_count,
+                                      self.cfg.segment_size),
+                encode={"crf": self.cfg.crf, "preset": self.cfg.preset},
+                model=job.model,
+            )
+            ws.create()
         ws.save(st)
         engine = self.engine_factory(job.model, job.scale)
-        part_ext = ".y4m" if self.io_backend == "y4m" else ".mp4"
         job.progress = ProgressTracker(
-            total_frames=info.frame_count,
+            total_frames=sum(s.size for s in st.pending),
             total_segments=len(st.pending),
         )
         pipeline = scheduler.PipelineJob(

@@ -31,12 +31,14 @@ def interpolate(params_a, params_b, weight_b: float):
 
 
 def load_dni(path_wdn: str, path_plain: str, denoise_strength: float):
-    """Load both .pth checkpoints and blend: denoise_strength 1.0 = full
-    denoising (pure wdn), 0.0 = none (pure plain)."""
+    """Load both .pth checkpoints and blend per the upstream dni
+    convention (params = (1-d)*wdn + d*plain): denoise_strength 1.0 =
+    pure plain model (full denoising), 0.0 = pure wdn twin (weak-denoise,
+    preserves grain/detail)."""
     from reve_tpu.weights.torch_loader import load_srvgg_pth
 
     cfg_w, params_w = load_srvgg_pth(path_wdn)
     cfg_p, params_p = load_srvgg_pth(path_plain)
     if cfg_w != cfg_p:
         raise ValueError(f"config mismatch: {cfg_w} vs {cfg_p}")
-    return cfg_w, interpolate(params_p, params_w, denoise_strength)
+    return cfg_w, interpolate(params_w, params_p, denoise_strength)

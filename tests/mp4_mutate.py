@@ -1,0 +1,102 @@
+"""Helpers that mutate real mp4 files into hostile/edge-case fixtures for
+the native ISO-BMFF core (reve_tpu/_native/mp4.cpp).  Used by both the
+Python-level tests and the ASan/UBSan harness."""
+
+import struct
+
+
+def _walk_boxes(data, start, end):
+    """Yield (offset, size, type) for each box in data[start:end]."""
+    off = start
+    while off + 8 <= end:
+        size = struct.unpack(">I", data[off:off + 4])[0]
+        typ = bytes(data[off + 4:off + 8])
+        if size == 1:
+            size = struct.unpack(">Q", data[off + 8:off + 16])[0]
+        elif size == 0:
+            size = end - off
+        if size < 8:
+            return
+        yield off, size, typ
+        off += size
+
+
+def _find_box(data, start, end, typ):
+    for off, size, t in _walk_boxes(data, start, end):
+        if t == typ:
+            return off, size
+    return None, None
+
+
+def find_box_path(data, path):
+    """Locate a nested box by path, e.g. [b'moov', b'trak', b'mdia',
+    b'minf', b'stbl', b'stts'].  Returns (offset, size) of the final box or
+    (None, None)."""
+    start, end = 0, len(data)
+    off = size = None
+    for typ in path:
+        off, size = _find_box(data, start, end, typ)
+        if off is None:
+            return None, None
+        start, end = off + 8, off + size
+    return off, size
+
+
+def mvhd_v0_to_v1(path):
+    """Rewrite an mp4 in place, upgrading its moov/mvhd box from version 0
+    (100-byte payload) to version 1 (112-byte: 64-bit times/duration).
+    Requires moov to come after mdat (cv2's layout) so expanding it does
+    not shift chunk offsets."""
+    data = bytearray(open(path, "rb").read())
+    moov_off, moov_size = _find_box(data, 0, len(data), b"moov")
+    assert moov_off is not None, "no moov"
+    mvhd_off, mvhd_size = _find_box(
+        data, moov_off + 8, moov_off + moov_size, b"mvhd")
+    assert mvhd_off is not None and mvhd_size == 108, (mvhd_off, mvhd_size)
+    p = mvhd_off + 8
+    assert data[p] == 0, "mvhd already v1"
+    ctime, mtime, ts, dur = struct.unpack(">IIII", data[p + 4:p + 20])
+    rest = bytes(data[p + 20:p + 100])  # rate .. next_track_ID (80 bytes)
+    payload = struct.pack(">B3sQQIQ", 1, b"\0\0\0", ctime, mtime, ts,
+                          dur) + rest
+    assert len(payload) == 112
+    data[mvhd_off:mvhd_off + mvhd_size] = (
+        struct.pack(">I", 8 + 112) + b"mvhd" + payload)
+    struct.pack_into(">I", data, moov_off, moov_size + 12)
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+_TABLE_COUNT_OFF = {  # offset of the entry-count field within the payload
+    b"stts": 4, b"ctts": 4, b"stss": 4, b"stsc": 4, b"stsz": 8,
+    b"stco": 4, b"co64": 4,
+}
+
+
+def lie_table_count(src, dst, table, count=0xFFFFFFFF):
+    """Copy src->dst, then overwrite the named sample-table box's in-file
+    entry count with `count` (far larger than the payload holds) — the
+    heap-overread shape ADVICE.md flagged for parse_stbl."""
+    data = bytearray(open(src, "rb").read())
+    off, size = find_box_path(
+        data, [b"moov", b"trak", b"mdia", b"minf", b"stbl", table])
+    if off is None:
+        return False
+    struct.pack_into(">I", data, off + 8 + _TABLE_COUNT_OFF[table], count)
+    with open(dst, "wb") as f:
+        f.write(data)
+    return True
+
+
+def truncate_box(src, dst, path, new_payload_len):
+    """Copy src->dst shrinking a box's declared size so fixed-offset reads
+    (tkhd/mdhd/mvhd) would fall past it if unchecked.  Only the size field
+    is changed; following boxes become garbage — parsers must fail cleanly."""
+    data = bytearray(open(src, "rb").read())
+    off, size = find_box_path(data, path)
+    if off is None:
+        return False
+    struct.pack_into(">I", data, off, 8 + new_payload_len)
+    with open(dst, "wb") as f:
+        f.write(data)
+    return True

@@ -166,3 +166,24 @@ def test_list_models(capsys):
     out = capsys.readouterr().out
     assert "realesr-animevideov3" in out
     assert "realesrgan-x4plus" in out
+
+
+def test_non_tty_resume_requires_yes(tmp_path, monkeypatch):
+    """A non-interactive run (no tty) that finds prior work must abort with
+    a message instead of silently resuming — the reference requires an
+    explicit confirm (reve-cli/src/main.rs:47-90); --yes is the scripted
+    consent."""
+    monkeypatch.chdir(tmp_path)
+    inp = _small_y4m(tmp_path)
+    out = str(tmp_path / "out.y4m")
+    args = ["-i", inp, "-s", "2", out, "--io-backend", "y4m", "-S", "4",
+            "--batch", "3", "--dtype", "float32"]
+    # plant an interrupted job
+    rc = cli.run(args + ["--yes", "--keep-workspace"])
+    assert rc == 0
+    os.unlink(out)
+    with pytest.raises(SystemExit, match="pass --yes"):
+        cli.run(args)  # pytest runs without a tty stdin
+    # with --yes it resumes (all parts already present)
+    assert cli.run(args + ["--yes"]) == 0
+    assert reader.Y4MReader(out).frame_count() == 10

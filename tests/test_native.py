@@ -191,3 +191,65 @@ def test_concat_garbage_part_rejected(tmp_path):
         f.write(b"\x00" * 4096)
     with pytest.raises(native.NativeError):
         native.concat_mp4([bad], None, str(tmp_path / "o.mp4"))
+
+
+def test_concat_v1_mvhd(tmp_path):
+    """A version-1 mvhd (64-bit times) first part: the output movie header
+    is copied from it and patched in place — next_track_ID lives at payload
+    offset 108 in v1, not 136 (ADVICE.md round-1 heap-overflow finding)."""
+    import mp4_mutate
+
+    parts = _write_parts(tmp_path, [6, 6])
+    mp4_mutate.mvhd_v0_to_v1(parts[0])
+    info0 = native.probe_mp4(parts[0])  # still parseable after the upgrade
+    assert info0["video_samples"] == 6
+    out = str(tmp_path / "out.mp4")
+    native.concat_mp4(parts, None, out)
+    info = native.probe_mp4(out)
+    assert info["video_samples"] == 12 and info["width"] == 64
+
+
+def test_table_count_lies_do_not_overread(tmp_path):
+    """Sample tables whose in-file entry count exceeds the box payload must
+    be clamped (parse_stbl), never read past the box: probe/concat may
+    reject the file but must not crash or mis-size."""
+    import mp4_mutate
+
+    parts = _write_parts(tmp_path, [4])
+    for table in (b"stts", b"ctts", b"stss", b"stsc", b"stsz", b"stco",
+                  b"co64"):
+        bad = str(tmp_path / f"lie_{table.decode()}.mp4")
+        if not mp4_mutate.lie_table_count(parts[0], bad, table):
+            continue  # table absent from this encoding
+        try:
+            native.probe_mp4(bad)
+        except native.NativeError:
+            pass
+        try:
+            native.concat_mp4([bad], None, str(tmp_path / "o.mp4"))
+        except native.NativeError:
+            pass
+
+
+def test_short_header_boxes_rejected_cleanly(tmp_path):
+    """tkhd/mdhd/mvhd boxes too small for their fixed-offset fields must
+    not be read past (parse_trak/parse_movie minimum-size checks)."""
+    import mp4_mutate
+
+    parts = _write_parts(tmp_path, [4])
+    cases = [
+        ([b"moov", b"mvhd"], 4),
+        ([b"moov", b"trak", b"tkhd"], 2),
+        ([b"moov", b"trak", b"mdia", b"mdhd"], 3),
+    ]
+    for path, plen in cases:
+        bad = str(tmp_path / ("short_" + path[-1].decode() + ".mp4"))
+        assert mp4_mutate.truncate_box(parts[0], bad, path, plen)
+        try:
+            native.probe_mp4(bad)
+        except native.NativeError:
+            pass
+        try:
+            native.concat_mp4([bad], None, str(tmp_path / "o.mp4"))
+        except native.NativeError:
+            pass

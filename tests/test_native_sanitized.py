@@ -53,7 +53,12 @@ def _mk_parts(tmp_path):
 
 
 def test_sanitized_concat_and_corrupt(san_binary, tmp_path):
+    import mp4_mutate
+
     parts = _mk_parts(tmp_path)
+    # parts[0] gets a version-1 mvhd so patch_mvhd's v1 layout (the round-1
+    # out-of-bounds-write finding) runs under ASan in the video-only concat
+    mp4_mutate.mvhd_v0_to_v1(parts[0])
     # corrupt variants: truncations at several points + garbage
     corrupts = []
     data = open(parts[0], "rb").read()
@@ -66,6 +71,19 @@ def test_sanitized_concat_and_corrupt(san_binary, tmp_path):
     with open(junk, "wb") as f:
         f.write(os.urandom(8192))
     corrupts.append(junk)
+    # sample tables whose in-file entry counts exceed the box payload
+    for table in (b"stts", b"ctts", b"stss", b"stsc", b"stsz", b"stco",
+                  b"co64"):
+        p = str(tmp_path / f"lie_{table.decode()}.mp4")
+        if mp4_mutate.lie_table_count(parts[1], p, table):
+            corrupts.append(p)
+    # boxes too small for their fixed-offset fields
+    for path, plen in [([b"moov", b"mvhd"], 4),
+                       ([b"moov", b"trak", b"tkhd"], 2),
+                       ([b"moov", b"trak", b"mdia", b"mdhd"], 3)]:
+        p = str(tmp_path / ("short_" + path[-1].decode() + ".mp4"))
+        if mp4_mutate.truncate_box(parts[1], p, path, plen):
+            corrupts.append(p)
 
     original = TEST_MP4 if os.path.exists(TEST_MP4) else "-"
     out = str(tmp_path / "out.mp4")

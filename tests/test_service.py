@@ -217,3 +217,56 @@ def test_api_models(server):
     names = [m["name"] for m in models]
     assert "realesr-animevideov3" in names
     assert any(m["arch"] == "rrdb" for m in models)
+
+def test_resubmit_resumes_from_parts(tmp_path):
+    """cancel() documents that completed parts remain so a re-submitted job
+    resumes; _run_job must keep the workspace's parts and repair the queue
+    instead of wiping and restarting from frame 0 (round-1 advisor
+    finding)."""
+    from reve_tpu.pipeline import state as state_mod
+    from reve_tpu.pipeline.planner import plan_segments as plan
+
+    inp = str(tmp_path / "in.y4m")
+    with writer.Y4MWriter(inp, 32, 24, fractions.Fraction(24)) as wr:
+        for i in range(12):
+            wr.write(np.full((24, 32, 3), 30 + i * 10, np.uint8))
+    out = str(tmp_path / "out.y4m")
+
+    # plant an interrupted workspace: segment 0 (5 frames) already encoded
+    ws = state_mod.Workspace(out + ".revework")
+    ws.create()
+    st = state_mod.JobState(
+        input_path=inp, output_path=out, scale=2, segment_size=5,
+        frame_count=12, fps_num=24, fps_den=1, width=32, height=24,
+        pending=plan(12, 5),
+    )
+    with writer.Y4MWriter(ws.part_tmp_path(0, ".y4m"), 64, 48,
+                          fractions.Fraction(24)) as wr:
+        for i in range(5):
+            up = np.full((24, 32, 3), 30 + i * 10, np.uint8)
+            wr.write(np.repeat(np.repeat(up, 2, axis=0), 2, axis=1))
+    ws.commit_part(0, ".y4m")
+    ws.save(st)
+
+    class CountingEngine(FakeEngine):
+        frames_seen = 0
+
+        def submit(self, frames):
+            CountingEngine.frames_seen += len(frames)
+            return super().submit(frames)
+
+    cfg = config_mod.ServiceConfig(segment_size=5)
+    manager = JobManager(cfg, engine_factory=lambda m, s: CountingEngine(),
+                         io_backend="y4m")
+    try:
+        job = manager.submit(inp, 2, output_path=out)
+        deadline = time.time() + 60
+        while time.time() < deadline and job.status not in ("done", "error"):
+            time.sleep(0.1)
+        assert job.status == "done", job.error
+        rd = reader.Y4MReader(out)
+        assert rd.frame_count() == 12
+        # only segments 1..2 (7 frames) were re-processed, not all 12
+        assert CountingEngine.frames_seen < 12
+    finally:
+        manager.shutdown()
