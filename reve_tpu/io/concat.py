@@ -77,13 +77,29 @@ def rewrite_concat(parts: List[str], output: str,
 
 
 def native_concat(parts: List[str], original: str, output: str) -> bool:
-    """Attempt the in-process C++ remux path; returns False if unusable."""
+    """Attempt the in-process C++ remux path; returns False if unusable.
+
+    .mp4 output: ISO-BMFF sample-copy concat (mp4.cpp); the original's
+    audio/subs/chapters are remuxed when it is an mp4.
+    .mkv output: Matroska mux of the mp4 parts (mkv.cpp); the original's
+    non-video tracks are copied verbatim from an mkv original, or remuxed
+    with a codec map from an mp4 original — the reference's
+    `ffmpeg -f concat ... -c copy out.mkv` equivalence
+    (reve-shared/src/lib.rs:181-204)."""
     from reve_tpu import native
 
     if not native.available():
         return False
-    if not all(p.endswith(".mp4") for p in parts) or \
-            not output.endswith(".mp4"):
+    if not all(p.endswith(".mp4") for p in parts):
+        return False
+    if output.endswith(".mkv"):
+        orig = original if (
+            original and os.path.exists(original)
+            and original.lower().endswith((".mp4", ".mkv"))
+        ) else None
+        native.concat_mkv(parts, orig, output)
+        return True
+    if not output.endswith(".mp4"):
         return False
     orig = original if (original and os.path.exists(original)
                         and original.endswith(".mp4")) else None
@@ -101,8 +117,10 @@ def concatenate(parts: List[str], original: str, output: str,
     if backend in (None, "native", "cv2"):
         try:
             if native_concat(parts, original, output):
+                ok_exts = (".mp4", ".mkv") if output.endswith(".mkv") \
+                    else (".mp4",)
                 has_orig = bool(original) and os.path.exists(original) \
-                    and original.endswith(".mp4")
+                    and original.lower().endswith(ok_exts)
                 return {"backend": "native", "audio_copied": has_orig}
         except Exception:
             if backend == "native":

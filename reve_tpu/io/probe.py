@@ -82,6 +82,35 @@ def _probe_cv2(path: str) -> Optional[VideoInfo]:
     return info
 
 
+def _probe_native_mkv(path: str) -> Optional[VideoInfo]:
+    """Exact mkv probe via the native EBML walker.  FFmpeg-family probes
+    ESTIMATE mkv frame counts from container duration x fps (Matroska has
+    no frame-count header), which over-counts whenever audio outlives the
+    video; the native walk counts actual video blocks."""
+    try:
+        from reve_tpu import native
+
+        if not native.available():
+            return None
+        info = native.probe_mkv(path)
+    except Exception:
+        return None
+    if info["video_blocks"] <= 0 or info["width"] <= 0:
+        return None
+    # fps is not a Matroska header field; derive from duration when sane,
+    # else fall back to the cv2 estimate
+    cv2_info = _probe_cv2(path)
+    fps = cv2_info.fps if cv2_info else fractions.Fraction(30, 1)
+    return VideoInfo(
+        path=path,
+        width=info["width"],
+        height=info["height"],
+        frame_count=int(info["video_blocks"]),
+        fps=fps,
+        has_audio=info["has_audio"],
+    )
+
+
 def _probe_y4m(path: str) -> VideoInfo:
     from reve_tpu.io.reader import Y4MReader
 
@@ -99,6 +128,10 @@ def probe(path: str, backend: Optional[str] = None) -> VideoInfo:
     """Probe a video file. backend: None (auto) | 'ffprobe' | 'cv2' | 'y4m'."""
     if path.endswith(".y4m") or backend == "y4m":
         return _probe_y4m(path)
+    if path.lower().endswith(".mkv") and backend in (None, "cv2"):
+        info = _probe_native_mkv(path)
+        if info is not None:
+            return info
     if backend in (None, "ffprobe"):
         info = _probe_ffprobe(path)
         if info is not None:

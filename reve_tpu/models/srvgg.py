@@ -157,7 +157,7 @@ def _epilogue(h: jax.Array, orig: jax.Array, cfg: SRVGGConfig) -> jax.Array:
 )
 def apply_fused(params: Params, x: jax.Array, *, cfg: SRVGGConfig,
                 compute_dtype=jnp.bfloat16, strip: int = 8,
-                core: int = 480) -> jax.Array:
+                core: int = 640) -> jax.Array:
     """Forward pass with the hidden convs running in the Pallas fused
     line-buffer kernel (reve_tpu.ops.fused_body); first/last conv and the
     epilogue stay in XLA (~10% of FLOPs).  Numerics match `apply` to

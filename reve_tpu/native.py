@@ -49,6 +49,16 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
             ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         )
     ]
+    lib.rc_concat_mkv.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_char_p,
+    ]
+    lib.rc_probe_mkv.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.rc_plan_segments.restype = ctypes.c_long
     lib.rc_plan_segments.argtypes = [
         ctypes.c_long, ctypes.c_long,
@@ -133,6 +143,47 @@ def concat_mp4(parts: List[str], original: Optional[str],
         original.encode() if original else None,
         out_path.encode(),
     ))
+
+
+def concat_mkv(parts: List[str], original: Optional[str],
+               out_path: str) -> None:
+    """Mux mp4 video parts into a Matroska file without re-encoding,
+    remuxing audio/subtitles/chapters from the original (.mkv tracks are
+    copied verbatim; .mp4 audio is remuxed with a codec map).  This closes
+    the reference's mkv concat flow (reve-shared/src/lib.rs:181-204)
+    natively.  Native-only capability."""
+    lib = load()
+    if lib is None:
+        raise NativeError("native core unavailable")
+    arr = (ctypes.c_char_p * len(parts))(*[p.encode() for p in parts])
+    _check(lib, lib.rc_concat_mkv(
+        arr, len(parts),
+        original.encode() if original else None,
+        out_path.encode(),
+    ))
+
+
+def probe_mkv(path: str) -> dict:
+    """Structural probe of a Matroska file (native EBML walk)."""
+    lib = load()
+    if lib is None:
+        raise NativeError("native core unavailable")
+    w = ctypes.c_int32()
+    h = ctypes.c_int32()
+    blocks = ctypes.c_int64()
+    dur = ctypes.c_double()
+    ntracks = ctypes.c_int32()
+    has_audio = ctypes.c_int32()
+    _check(lib, lib.rc_probe_mkv(
+        path.encode(), ctypes.byref(w), ctypes.byref(h),
+        ctypes.byref(blocks), ctypes.byref(dur),
+        ctypes.byref(ntracks), ctypes.byref(has_audio),
+    ))
+    return {
+        "width": w.value, "height": h.value,
+        "video_blocks": blocks.value, "duration_s": dur.value,
+        "n_tracks": ntracks.value, "has_audio": bool(has_audio.value),
+    }
 
 
 def probe_mp4(path: str) -> dict:

@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_hbm, w_ref, b_ref, a_ref, out_hbm, in_ref, out_ref, cur_ref,
             lb_ref, in_sem, out_sem, *, num_layers, S, WW, CORE, MARGIN,
-            H, W, T, n_strips, compute_dtype):
+            H, W, T, n_strips, compute_dtype, kdim, msplit, fast_interior):
     """One grid step = one FULL column stream (all strips of one (b, t)).
 
     Keeping the strip loop inside the kernel removes the per-grid-step
@@ -59,10 +59,21 @@ def _kernel(x_hbm, w_ref, b_ref, a_ref, out_hbm, in_ref, out_ref, cur_ref,
     slot indexing of the hot buffers lowers pathologically (CLAUDE.md).
     Within a pair, slot-0's compute overlaps slot-1's input DMA and the
     previous strip's output DMA.
+
+    v4 restructure (PERF.md round-2 plan):
+      * K zero-padded to `kdim` (256 = 2 lane tiles): K=192 dots pay a ~2x
+        non-128-multiple slow path (measured 9.3 vs 4.3 us), padding with
+        zero weight rows buys the aligned path for 1/3 more MXU work.
+      * `msplit` row-chunks per dot keep the im2col operand small so the
+        strip height S can grow (amortizing the ~30 us/strip machinery
+        floor and the 3-4 us per-dot fixed cost) under the 16 MB VMEM cap.
+        Chunk-seam pad rows only corrupt wrap-junk positions (outermost
+        margin columns), exactly like the strip-edge pad rows.
+      * interior fast path: strips/tiles whose stencil halo never touches a
+        frame border skip the zero-pad masking entirely (lax.cond).
     """
     b = pl.program_id(0)
     t = pl.program_id(1)
-    col0 = pl.multiple_of(t * CORE, 8)
 
     lb_ref[...] = jnp.zeros_like(lb_ref)
 
@@ -70,10 +81,15 @@ def _kernel(x_hbm, w_ref, b_ref, a_ref, out_hbm, in_ref, out_ref, cur_ref,
         jnp.int32, (1, WW, 1), 1
     )
     col_ok = jnp.logical_and(col_abs >= 0, col_abs < W)
+    # column-interior: this tile's whole window (incl. margins) is inside
+    # the frame, so column masking is a no-op
+    col_interior = jnp.logical_and(
+        t * CORE - MARGIN >= 0, t * CORE + CORE + MARGIN <= W
+    )
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (S + 2, 1, 1), 0)
     zeros_hi_out = jnp.zeros((S, CORE, 64), compute_dtype)
 
-    del col0  # input/output are pre-tiled: strips are contiguous in HBM
+    # input/output are pre-tiled: strips are contiguous in HBM
     # (a strided window copy explodes into one DMA descriptor per row at
     # ~6 us each — 16 descriptors/strip was the ~100 us/strip floor)
 
@@ -90,7 +106,10 @@ def _kernel(x_hbm, w_ref, b_ref, a_ref, out_hbm, in_ref, out_ref, cur_ref,
             out_sem.at[slot],
         )
 
-    def process(layer, i, use_mask):
+    Sc = S // msplit
+    Mc = Sc * WW
+
+    def process(layer, i):
         """One conv+PReLU layer over strip i, in place in cur_ref[0].
 
         The whole compute path carries the real 64 channels; only the DMA
@@ -98,35 +117,57 @@ def _kernel(x_hbm, w_ref, b_ref, a_ref, out_hbm, in_ref, out_ref, cur_ref,
         copy traffic per layer."""
         src = cur_ref[0]
         inr = jnp.concatenate([lb_ref[layer], src], axis=0)  # (S+2, WW, 64)
-        if use_mask:
+
+        def masked(v):
             row_abs = (i * S - layer - 2) + row_iota
             row_ok = jnp.logical_and(row_abs >= 0, row_abs < H)
-            inr = jnp.where(jnp.logical_and(row_ok, col_ok), inr, 0)
+            return jnp.where(jnp.logical_and(row_ok, col_ok), v, 0)
+
+        if fast_interior:
+            # rows of every layer's stencil stay inside [0, H) iff
+            # i*S >= L+1 and i*S + S <= H (lag: layer l reads rows
+            # [i*S - l - 2, i*S - l - 2 + S + 1])
+            row_interior = jnp.logical_and(
+                i * S >= num_layers + 1, i * S + S <= H
+            )
+            inr = jax.lax.cond(
+                jnp.logical_and(row_interior, col_interior),
+                lambda v: v, masked, inr,
+            )
+        else:
+            inr = masked(inr)
         lb_ref[layer] = inr[S:S + 2]              # stencil tail for strip i+1
 
-        astack = jnp.concatenate(
-            [inr[0:S], inr[1:S + 1], inr[2:S + 2]], axis=-1,
+        wl = w_ref[layer]                          # (3, kdim, 64)
+        kpad = (
+            [jnp.zeros((Sc, WW, kdim - 192), compute_dtype)]
+            if kdim > 192 else []
         )
-        flat = jnp.pad(astack.reshape(S * WW, 192), ((1, 1), (0, 0)))
-        wl = w_ref[layer]                          # (3, 3, 64, 64)
-        acc = None
-        for dx in range(3):
-            m = jax.lax.dot_general(
-                flat[dx:dx + S * WW], wl[:, dx].reshape(192, 64),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        for c in range(msplit):                    # static unroll
+            r0 = c * Sc
+            sub = inr[r0:r0 + Sc + 2]              # (Sc+2, WW, 64)
+            astack = jnp.concatenate(
+                [sub[0:Sc], sub[1:Sc + 1], sub[2:Sc + 2]] + kpad, axis=-1,
             )
-            acc = m if acc is None else acc + m
-        y = (acc + b_ref[layer][None, :]).astype(compute_dtype)
-        alpha = a_ref[layer].astype(compute_dtype)[None, :]
-        y = jnp.maximum(y, 0) + alpha * jnp.minimum(y, 0)
-        cur_ref[0] = y.reshape(S, WW, 64)
+            flat = jnp.pad(astack.reshape(Mc, kdim), ((1, 1), (0, 0)))
+            acc = None
+            for dx in range(3):
+                m = jax.lax.dot_general(
+                    flat[dx:dx + Mc], wl[dx],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = m if acc is None else acc + m
+            y = (acc + b_ref[layer][None, :]).astype(compute_dtype)
+            alpha = a_ref[layer].astype(compute_dtype)[None, :]
+            y = jnp.maximum(y, 0) + alpha * jnp.minimum(y, 0)
+            cur_ref[0, pl.ds(r0, Sc)] = y.reshape(Sc, WW, 64)
 
     def compute_strip(slot, i):
         cur_ref[0] = in_ref[slot][:, :, :64]
 
         def body(layer, _):
-            process(layer, i, True)
+            process(layer, i)
             return 0
 
         jax.lax.fori_loop(0, num_layers, body, 0)
@@ -182,7 +223,7 @@ def _kernel(x_hbm, w_ref, b_ref, a_ref, out_hbm, in_ref, out_ref, cur_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "strip", "core", "compute_dtype",
-                     "interpret"),
+                     "interpret", "kdim", "msplit", "fast_interior"),
 )
 def fused_hidden_body(
     x: jax.Array,            # (B, H, W, 64) compute dtype
@@ -193,15 +234,26 @@ def fused_hidden_body(
     height: int,
     width: int,
     strip: int = 8,
-    core: int = 480,
+    core: int = 640,
     compute_dtype=jnp.bfloat16,
     interpret: bool | None = None,
+    kdim: int = 256,
+    msplit: int = 2,
+    fast_interior: bool = False,
 ) -> jax.Array:
-    """Apply L fused conv3x3+PReLU layers; returns (B, H, W, 64)."""
+    """Apply L fused conv3x3+PReLU layers; returns (B, H, W, 64).
+
+    kdim: im2col contraction size per dx tap — 192 (exact, non-128-multiple
+    slow path) or 256 (zero-padded to 2 lane tiles, aligned MXU path).
+    msplit: split each strip's dot into msplit row chunks (VMEM headroom
+    for larger strips).  fast_interior: skip border masking on strips/tiles
+    whose stencil never touches a frame border.
+    """
     if interpret is None:  # Mosaic compiles on TPU only; interpret elsewhere
         interpret = jax.default_backend() != "tpu"
     B, H, W, C = x.shape
     assert (H, W, C) == (height, width, 64), (x.shape, height, width)
+    assert kdim in (192, 256) and strip % msplit == 0, (kdim, strip, msplit)
     L = w_stack.shape[0]
     S = strip
     CORE = min(core, _round_up(W, 8))
@@ -227,10 +279,17 @@ def fused_hidden_body(
         [xp[:, :, ti * CORE:ti * CORE + WW] for ti in range(T)], axis=1
     )
 
+    # weights: (L, 3dy, 3dx, 64, 64) -> per-dx im2col matrices
+    # (L, 3dx, kdim, 64) with K index = dy*64 + ci, zero rows above 192
+    wmat = w_stack.transpose(0, 2, 1, 3, 4).reshape(L, 3, 192, 64)
+    if kdim > 192:
+        wmat = jnp.pad(wmat, ((0, 0), (0, 0), (0, kdim - 192), (0, 0)))
+
     kernel = functools.partial(
         _kernel, num_layers=L, S=S, WW=WW, CORE=CORE, MARGIN=MARGIN,
         H=H, W=W, T=T, n_strips=n_strips,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, kdim=kdim, msplit=msplit,
+        fast_interior=fast_interior,
     )
     out = pl.pallas_call(
         kernel,
@@ -253,7 +312,7 @@ def fused_hidden_body(
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(xt, w_stack.astype(compute_dtype), b_stack.astype(jnp.float32),
+    )(xt, wmat.astype(compute_dtype), b_stack.astype(jnp.float32),
       a_stack.astype(jnp.float32))
     # un-tile: (B, T, Hp, CORE, 128) -> (B, Hp, T*CORE, 128)
     out = out.transpose(0, 2, 1, 3, 4).reshape(B, Hp, T * CORE, 128)

@@ -138,14 +138,22 @@ def test_cli_end_to_end_mp4(tmp_path):
 
 def test_cli_end_to_end_mkv(tmp_path):
     """mkv -> mkv through the cv2 stack (the reference's second container;
-    mkv output requires mkv input rule already covered above)."""
+    mkv output requires mkv input rule already covered above).  The input
+    mkv carries an audio track, which must survive into the output with no
+    re-encode and no ffmpeg binary (reve-shared/src/lib.rs:181-204)."""
     import cv2
 
-    clip = str(tmp_path / "clip.mkv")
-    wr = cv2.VideoWriter(clip, cv2.VideoWriter_fourcc(*"mp4v"), 24, (64, 48))
+    from reve_tpu import native
+
+    clip_mp4 = str(tmp_path / "clip.mp4")
+    wr = cv2.VideoWriter(clip_mp4, cv2.VideoWriter_fourcc(*"mp4v"), 24,
+                         (64, 48))
     for i in range(8):
         wr.write(np.full((48, 64, 3), 30 + i * 20, np.uint8))
     wr.release()
+    clip = str(tmp_path / "clip.mkv")
+    audio_src = TEST_MP4 if os.path.exists(TEST_MP4) else None
+    native.concat_mkv([clip_mp4], audio_src, clip)
 
     out = str(tmp_path / "out.mkv")
     rc = cli.run([
@@ -156,8 +164,17 @@ def test_cli_end_to_end_mkv(tmp_path):
     cap = cv2.VideoCapture(out)
     assert cap.isOpened()
     assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 128
-    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 8
+    # NB: CAP_PROP_FRAME_COUNT estimates from duration x fps for mkv (the
+    # audio track outlives the video) — count actual decoded frames instead
+    decoded = 0
+    while cap.read()[0]:
+        decoded += 1
     cap.release()
+    assert decoded == 8
+    info = native.probe_mkv(out)
+    assert info["video_blocks"] == 8
+    if audio_src:
+        assert info["has_audio"] is True  # audio carried, no re-encode
 
 
 def test_list_models(capsys):

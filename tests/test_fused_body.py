@@ -79,3 +79,27 @@ def test_strip_not_dividing_height():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=2e-6, rtol=1e-5
     )
+
+
+@pytest.mark.parametrize("kdim", [192, 256])
+@pytest.mark.parametrize("msplit", [1, 2])
+@pytest.mark.parametrize("fast_interior", [False, True])
+def test_v4_knobs_match_reference(kdim, msplit, fast_interior):
+    """The v4 tuning knobs (K padding, row-chunked dots, interior fast
+    path) are numerics-neutral: all combinations must equal the XLA path.
+    H is large enough that interior strips exist (i*S >= L+1)."""
+    H, W = 24, 20
+    num_conv = 2
+    cfg = srvgg.SRVGGConfig(num_conv=num_conv, num_feat=64, upscale=2)
+    params = srvgg.init_params(jax.random.key(3), cfg)
+    x = jnp.asarray(np.random.RandomState(4).rand(1, H, W, 64), jnp.float32)
+    want = _reference_hidden(params, x, num_conv, jnp.float32)
+    ws, bs, as_ = fused_body.stack_hidden_params(params, num_conv)
+    got = fused_body.fused_hidden_body(
+        x, ws, bs, as_, height=H, width=W, strip=4, core=16,
+        compute_dtype=jnp.float32, interpret=True,
+        kdim=kdim, msplit=msplit, fast_interior=fast_interior,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-6, rtol=1e-5
+    )

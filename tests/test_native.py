@@ -253,3 +253,89 @@ def test_short_header_boxes_rejected_cleanly(tmp_path):
             native.concat_mp4([bad], None, str(tmp_path / "o.mp4"))
         except native.NativeError:
             pass
+
+
+# -- Matroska (mkv) muxing ---------------------------------------------------
+
+def _cv2_lumas(path):
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    assert cap.isOpened(), path
+    vals = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        vals.append(int(f[24, 32, 0]))
+    cap.release()
+    return vals
+
+
+def test_concat_mkv_video_only(tmp_path):
+    """mp4 parts -> mkv without re-encoding; cv2's bundled FFmpeg demuxer
+    is the conformance check (it must decode every frame in order)."""
+    parts = _write_parts(tmp_path, [8, 8, 5])
+    out = str(tmp_path / "out.mkv")
+    native.concat_mkv(parts, None, out)
+    info = native.probe_mkv(out)
+    assert info["video_blocks"] == 21 and info["width"] == 64
+    assert info["has_audio"] is False
+    vals = _cv2_lumas(out)
+    assert len(vals) == 21
+    for i, v in enumerate(vals):
+        assert abs(v - (20 + i * 9)) < 12, (i, v)
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(TEST_MP4),
+                    reason="reference asset missing")
+def test_concat_mkv_mp4_original_audio(tmp_path):
+    """Audio (AAC) remuxed sample-by-sample from an mp4 original into the
+    mkv output — the reference's `-map 1:a? -c copy` behavior
+    (reve-shared/src/lib.rs:181-204) without ffmpeg."""
+    parts = _write_parts(tmp_path, [6, 6])
+    out = str(tmp_path / "out.mkv")
+    native.concat_mkv(parts, TEST_MP4, out)
+    info = native.probe_mkv(out)
+    assert info["has_audio"] is True and info["n_tracks"] == 2
+    assert info["video_blocks"] == 12
+    assert len(_cv2_lumas(out)) == 12
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(TEST_MP4),
+                    reason="reference asset missing")
+def test_concat_mkv_mkv_original_verbatim_tracks(tmp_path):
+    """mkv original: non-video TrackEntry + blocks are copied verbatim."""
+    parts = _write_parts(tmp_path, [6, 6])
+    orig_mkv = str(tmp_path / "orig.mkv")
+    native.concat_mkv(parts, TEST_MP4, orig_mkv)  # mkv WITH audio
+    out = str(tmp_path / "out.mkv")
+    native.concat_mkv(parts, orig_mkv, out)
+    info = native.probe_mkv(out)
+    assert info["has_audio"] is True and info["n_tracks"] == 2
+    assert len(_cv2_lumas(out)) == 12
+
+
+def test_io_concat_routes_mkv_to_native(tmp_path):
+    parts = _write_parts(tmp_path, [4, 4])
+    from fractions import Fraction
+
+    from reve_tpu.io import concat as concat_mod
+
+    out = str(tmp_path / "out.mkv")
+    report = concat_mod.concatenate(parts, parts[0], out, Fraction(24))
+    assert report["backend"] == "native"
+    assert native.probe_mkv(out)["video_blocks"] == 8
+
+
+def test_concat_mkv_corrupt_part_rejected(tmp_path):
+    parts = _write_parts(tmp_path, [4])
+    bad = str(tmp_path / "bad.mp4")
+    with open(parts[0], "rb") as f:
+        data = f.read()
+    with open(bad, "wb") as f:
+        f.write(data[: len(data) // 3])
+    with pytest.raises(native.NativeError):
+        native.concat_mkv([parts[0], bad], None, str(tmp_path / "o.mkv"))
+    with pytest.raises(native.NativeError):
+        native.concat_mkv(parts, bad, str(tmp_path / "o2.mkv"))
