@@ -24,6 +24,14 @@ class ServiceLogger:
             config_mod.config_dir(), "reve-tpu.log"
         )
 
+    def tail(self, lines: int = 200) -> str:
+        """Last `lines` lines of the log file ('' when absent)."""
+        try:
+            with open(self.path) as f:
+                return "".join(f.readlines()[-lines:])
+        except OSError:
+            return ""
+
     def write(self, message: str) -> bool:
         """Append a log entry; returns False when logging is disabled."""
         if not self.cfg.application_logs:

@@ -27,46 +27,165 @@ from reve_tpu.service.jobs import JobManager, replace_file_suffix
 from reve_tpu.service.logger import ServiceLogger
 from reve_tpu.version import __version__
 
+# Full-featured embedded frontend: hash-routed pages mirroring the
+# reference GUI's flows — Index (multi-file batch with a server-side file
+# browser + drag-drop, reve-gui/src/pages/Index.vue:120,340-353), Config
+# bound to the config store (Config.vue:1-66), a log viewer, and About.
 _PAGE = """<!doctype html>
 <html><head><meta charset="utf-8"><title>reve-tpu</title>
 <style>
- body{font-family:system-ui;margin:2rem;max-width:720px;background:#14141a;color:#eee}
- input,select,button{font-size:1rem;margin:.25rem;padding:.35rem;background:#232330;color:#eee;border:1px solid #444}
- .job{border:1px solid #333;padding:.6rem;margin:.5rem 0;border-radius:6px}
+ body{font-family:system-ui;margin:0;background:#14141a;color:#eee}
+ nav{background:#1d1d26;padding:.6rem 2rem;display:flex;gap:1.2rem;align-items:baseline}
+ nav a{color:#9ab;cursor:pointer;text-decoration:none}nav a.on{color:#4a9eff;font-weight:600}
+ main{margin:1.5rem 2rem;max-width:860px}
+ input,select,button{font-size:1rem;margin:.25rem;padding:.35rem;background:#232330;color:#eee;border:1px solid #444;border-radius:4px}
+ button{cursor:pointer}button:hover{border-color:#4a9eff}
+ .job,.card{border:1px solid #333;padding:.6rem;margin:.5rem 0;border-radius:6px}
  .bar{height:8px;background:#333;border-radius:4px;overflow:hidden}
  .bar>div{height:100%;background:#4a9eff}
- .err{color:#f66;white-space:pre-wrap}
+ .err{color:#f66;white-space:pre-wrap}.ok{color:#6d6}
+ .drop{border:2px dashed #444;border-radius:8px;padding:1.2rem;text-align:center;color:#89a;margin:.5rem 0}
+ .drop.over{border-color:#4a9eff;color:#4a9eff}
+ .sel{display:flex;justify-content:space-between;border-bottom:1px solid #2a2a33;padding:.25rem .4rem}
+ .browser{max-height:320px;overflow:auto;border:1px solid #333;border-radius:6px;padding:.3rem;margin:.4rem 0}
+ .browser div{padding:.15rem .4rem;cursor:pointer;border-radius:4px}
+ .browser div:hover{background:#232336}
+ .browser .dir{color:#9ab}.browser .vid{color:#cde}
+ label{display:block;margin:.5rem 0}
+ pre{background:#0d0d12;border:1px solid #333;border-radius:6px;padding:.8rem;max-height:420px;overflow:auto;white-space:pre-wrap}
+ small{color:#789}
 </style></head><body>
-<h2>reve-tpu <small id=v></small></h2>
-<div>
- <input id=path placeholder="/path/to/video.mp4" size=42>
- <select id=model></select>
- <select id=scale><option>2</option><option>3</option><option>4</option></select>x
- <button onclick="go()">Upscale</button>
-</div>
-<div id=jobs></div>
+<nav><b>reve-tpu</b><small id=v></small>
+ <a data-p=home>Upscale</a><a data-p=config>Settings</a>
+ <a data-p=log>Log</a><a data-p=about>About</a></nav>
+<main>
+<section id=home>
+ <div class=drop id=drop>drop file paths here, or
+  <button onclick="openBrowser()">Browse&hellip;</button></div>
+ <div id=browser style="display:none">
+  <div><input id=bdir size=50><button onclick="browse(bdir.value)">Go</button>
+   <button onclick="browser.style.display='none'">Close</button></div>
+  <div class=browser id=blist></div>
+ </div>
+ <div id=selected></div>
+ <div>
+  <input id=path placeholder="/path/to/video.mp4 (or add files above)" size=42>
+  <button onclick="addPath()">Add</button>
+  <select id=model></select>
+  <select id=scale><option>2</option><option>3</option><option>4</option></select>x
+  <button onclick="go()">Upscale all</button>
+ </div>
+ <div id=jobs></div>
+</section>
+<section id=config style="display:none">
+ <h3>Settings</h3><div class=card id=cfgform></div>
+ <button onclick="saveCfg()">Save</button> <span id=cfgmsg></span>
+</section>
+<section id=log style="display:none">
+ <h3>Service log</h3>
+ <button onclick="loadLog()">Refresh</button><pre id=logbox></pre>
+</section>
+<section id=about style="display:none">
+ <h3>About</h3>
+ <div class=card>reve-tpu <span id=v2></span> &mdash; TPU-native video
+ upscaling (Real-ESRGAN family), segmented &amp; resumable. The service runs
+ every job through the same pipeline as the CLI (segments, checkpoints,
+ native concat/remux).</div>
+</section>
+</main>
 <script>
-fetch('/api/version').then(r=>r.json()).then(d=>v.textContent=d.version);
+const PAGES=['home','config','log','about'];
+function route(){
+ const p=(location.hash||'#home').slice(1);
+ PAGES.forEach(x=>{document.getElementById(x).style.display=x===p?'':'none'});
+ document.querySelectorAll('nav a').forEach(a=>a.classList.toggle('on',a.dataset.p===p));
+ if(p==='config')loadCfg(); if(p==='log')loadLog();
+}
+document.querySelectorAll('nav a').forEach(a=>a.onclick=()=>location.hash='#'+a.dataset.p);
+window.onhashchange=route;
+fetch('/api/version').then(r=>r.json()).then(d=>{v.textContent=d.version;v2.textContent=d.version});
 fetch('/api/models').then(r=>r.json()).then(ms=>{
  model.innerHTML=ms.map(m=>`<option>${m.name}</option>`).join('');
 });
-async function go(){
- await fetch('/api/jobs',{method:'POST',headers:{'Content-Type':'application/json'},
-  body:JSON.stringify({input:path.value,scale:+scale.value,model:model.value})});
- refresh();
+// ---- batch selection ----
+let files=[];
+function renderSel(){
+ selected.innerHTML=files.map((f,i)=>`<div class=sel><span>${f}</span>
+  <button onclick="files.splice(${i},1);renderSel()">remove</button></div>`).join('');
 }
+function addPath(){ if(path.value){files.push(path.value);path.value='';renderSel();} }
+drop.ondragover=e=>{e.preventDefault();drop.classList.add('over')};
+drop.ondragleave=()=>drop.classList.remove('over');
+drop.ondrop=e=>{
+ e.preventDefault();drop.classList.remove('over');
+ const t=e.dataTransfer.getData('text');
+ if(t)t.split(/\\n/).forEach(x=>{x=x.trim();if(x)files.push(x)});
+ renderSel();
+};
+// ---- server-side file browser ----
+function openBrowser(){browser.style.display='';browse(bdir.value||'.')}
+async function browse(dir){
+ const d=await (await fetch('/api/browse?dir='+encodeURIComponent(dir||'.'))).json();
+ if(d.error){blist.innerHTML=`<div class=err>${d.error}</div>`;return;}
+ bdir.value=d.dir;
+ blist.innerHTML=(d.parent?`<div class=dir onclick="browse('${d.parent}')">&#8617; ..</div>`:'')+
+  d.entries.map(e=>e.is_dir
+   ?`<div class=dir onclick="browse('${e.path}')">&#128193; ${e.name}</div>`
+   :(e.is_video?`<div class=vid onclick="files.push('${e.path}');renderSel()">&#127916; ${e.name}</div>`:'')
+  ).join('');
+}
+// ---- jobs ----
+async function go(){
+ const batch=files.length?files:(path.value?[path.value]:[]);
+ for(const f of batch){
+  const r=await fetch('/api/jobs',{method:'POST',headers:{'Content-Type':'application/json'},
+   body:JSON.stringify({input:f,scale:+scale.value,model:model.value})});
+  if(!r.ok){const e=await r.json();jobs.insertAdjacentHTML('afterbegin',
+   `<div class="job err">${f}: ${e.error}</div>`);}
+ }
+ files=[];renderSel();refresh();
+}
+async function cancel(id){await fetch('/api/jobs/'+id,{method:'DELETE'});refresh();}
 async function refresh(){
  const js=await (await fetch('/api/jobs')).json();
  jobs.innerHTML=js.map(j=>{
   const p=j.progress?j.progress.encode:null;
   const pct=p&&p.total?Math.round(100*p.done/p.total):0;
+  const live=j.status==='running'||j.status==='queued';
   return `<div class=job><b>#${j.id}</b> ${j.input} &rarr; x${j.scale} [${j.status}]
+   ${live?`<button style="float:right" onclick="cancel(${j.id})">cancel</button>`:''}
    <div class=bar><div style="width:${pct}%"></div></div>
    ${p?`${p.done}/${p.total} frames (${p.rate} fps)`:''}
    ${j.error?`<div class=err>${j.error}</div>`:''}</div>`;
  }).join('');
 }
-setInterval(refresh,1000);refresh();
+setInterval(()=>{if((location.hash||'#home')==='#home')refresh()},1000);refresh();
+// ---- config ----
+const CFG_FIELDS=[['application-logs','checkbox','enable the service log'],
+ ['default-upscale-type','text','default model'],
+ ['default-scale','number','default scale (2/3/4)'],
+ ['segment-size','number','frames per segment'],
+ ['crf','number','x265 crf (0-51)'],['preset','text','x265 preset']];
+async function loadCfg(){
+ const c=await (await fetch('/api/config')).json();
+ cfgform.innerHTML=CFG_FIELDS.map(([k,t,h])=>`<label>${k}
+  <input id="cfg_${k}" type=${t} ${t==='checkbox'?(c[k]?'checked':''):`value="${c[k]}"`}>
+  <small>${h}</small></label>`).join('');
+}
+async function saveCfg(){
+ const body={};
+ CFG_FIELDS.forEach(([k,t])=>{const el=document.getElementById('cfg_'+k);
+  body[k]=t==='checkbox'?el.checked:(t==='number'?+el.value:el.value)});
+ const r=await fetch('/api/config',{method:'POST',
+  headers:{'Content-Type':'application/json'},body:JSON.stringify(body)});
+ cfgmsg.className=r.ok?'ok':'err';
+ cfgmsg.textContent=r.ok?'saved':(await r.json()).error;
+}
+// ---- log ----
+async function loadLog(){
+ logbox.textContent=(await (await fetch('/api/log?lines=300')).json()).log||'(empty)';
+}
+route();
 </script></body></html>"""
 
 
@@ -110,6 +229,40 @@ class Handler(BaseHTTPRequestHandler):
             ])
         elif self.path == "/api/config":
             self._json(self.cfg.to_json())
+        elif self.path.startswith("/api/log"):
+            from urllib.parse import parse_qs, urlparse
+
+            q = parse_qs(urlparse(self.path).query)
+            lines = int(q.get("lines", ["200"])[0])
+            self._json({"log": self.logger.tail(lines),
+                        "path": self.logger.path,
+                        "enabled": self.cfg.application_logs})
+        elif self.path.startswith("/api/browse"):
+            import os
+            from urllib.parse import parse_qs, urlparse
+
+            q = parse_qs(urlparse(self.path).query)
+            d = os.path.abspath(q.get("dir", ["."])[0] or ".")
+            if not os.path.isdir(d):
+                return self._json({"error": f"not a directory: {d}"}, 400)
+            video_exts = (".mp4", ".mkv", ".avi", ".y4m", ".webm", ".mov")
+            try:
+                names = sorted(os.listdir(d))
+            except OSError as e:
+                return self._json({"error": str(e)}, 400)
+            entries = []
+            for name in names:
+                if name.startswith("."):
+                    continue
+                p = os.path.join(d, name)
+                is_dir = os.path.isdir(p)
+                entries.append({
+                    "name": name, "path": p, "is_dir": is_dir,
+                    "is_video": (not is_dir and
+                                 name.lower().endswith(video_exts)),
+                })
+            parent = os.path.dirname(d) if d != "/" else None
+            self._json({"dir": d, "parent": parent, "entries": entries})
         elif self.path == "/api/jobs":
             self._json(self.manager.list_jobs())
         elif self.path.startswith("/api/jobs/"):

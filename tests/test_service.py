@@ -270,3 +270,75 @@ def test_resubmit_resumes_from_parts(tmp_path):
         assert CountingEngine.frames_seen < 12
     finally:
         manager.shutdown()
+
+def test_api_batch_of_three_sequential(server, tmp_path):
+    """The GUI's multi-select batch flow (reve-gui Index.vue:340-353): three
+    files submitted together process sequentially with per-job progress and
+    all complete."""
+    inputs = []
+    for k in range(3):
+        p = str(tmp_path / f"b{k}.y4m")
+        with writer.Y4MWriter(p, 32, 24, fractions.Fraction(24)) as wr:
+            for i in range(6):
+                wr.write(np.full((24, 32, 3), 40 + 10 * i, np.uint8))
+        inputs.append(p)
+    jobs = [
+        _post(server + "/api/jobs",
+              {"input": p, "scale": 2,
+               "output": str(tmp_path / f"o{k}.y4m")})
+        for k, p in enumerate(inputs)
+    ]
+    deadline = time.time() + 120
+    done = {}
+    while time.time() < deadline and len(done) < 3:
+        for j in jobs:
+            s = _get(server + f"/api/jobs/{j['id']}")
+            if s["status"] in ("done", "error"):
+                done[j["id"]] = s
+        time.sleep(0.2)
+    assert len(done) == 3
+    for s in done.values():
+        assert s["status"] == "done", s["error"]
+        assert s["progress"]["encode"]["done"] == 6
+    for k in range(3):
+        rd = reader.Y4MReader(str(tmp_path / f"o{k}.y4m"))
+        assert rd.frame_count() == 6
+
+
+def test_api_browse(server, tmp_path):
+    sub = tmp_path / "clips"
+    sub.mkdir()
+    with writer.Y4MWriter(str(sub / "a.y4m"), 16, 16,
+                          fractions.Fraction(24)) as wr:
+        wr.write(np.zeros((16, 16, 3), np.uint8))
+    (sub / "notes.txt").write_text("x")
+    d = _get(server + "/api/browse?dir=" + str(tmp_path))
+    names = {e["name"]: e for e in d["entries"]}
+    assert names["clips"]["is_dir"] is True
+    d2 = _get(server + "/api/browse?dir=" + str(sub))
+    names2 = {e["name"]: e for e in d2["entries"]}
+    assert names2["a.y4m"]["is_video"] is True
+    assert names2["notes.txt"]["is_video"] is False
+    assert d2["parent"] == str(tmp_path)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server + "/api/browse?dir=" + str(tmp_path / "nope"))
+    assert ei.value.code == 400
+
+
+def test_api_log_tail(server, tmp_path):
+    # enable logging, write, then read the tail back
+    cfg = _get(server + "/api/config")
+    cfg["application-logs"] = True
+    _post(server + "/api/config", cfg)
+    _post(server + "/api/log", {"message": "hello from the ui"})
+    out = _get(server + "/api/log?lines=50")
+    assert "hello from the ui" in out["log"]
+    assert out["enabled"] is True
+
+
+def test_index_page_has_all_sections(server):
+    with urllib.request.urlopen(server + "/", timeout=10) as r:
+        html = r.read().decode()
+    for needle in ("Settings", "Log", "About", "Browse", "drop file paths",
+                   "Upscale all", "api/browse", "api/config"):
+        assert needle in html, needle
