@@ -93,3 +93,16 @@ def test_pixel_shuffle_matches_torch():
         .numpy()
     )
     np.testing.assert_allclose(got, want, atol=0, rtol=0)
+
+
+def test_quantize_u8_epilogue_exact():
+    """quantize-before-shuffle is a pure permutation-commute: the u8 output
+    must be bit-identical to quantizing the f32 output."""
+    cfg = srvgg.SRVGGConfig(num_conv=2, num_feat=16, upscale=3)
+    params = srvgg.init_params(jax.random.key(1), cfg)
+    x = jnp.asarray(np.random.RandomState(5).rand(2, 11, 13, 3), jnp.float32)
+    y32 = srvgg.apply(params, x, cfg=cfg)
+    want = np.asarray(jnp.clip(y32 * 255.0 + 0.5, 0, 255).astype(jnp.uint8))
+    got = np.asarray(srvgg.apply(params, x, cfg=cfg, quantize_u8=True))
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
