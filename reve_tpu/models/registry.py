@@ -42,8 +42,10 @@ _SPECS = {
     "realesr-animevideov3": ModelSpec("srvgg", "realesr-animevideov3", 64, 16, None),
     # GUI alias (configuration.rs:28-39) — maps to the same net in reference
     "realesr-realvideo": ModelSpec("srvgg", "realesr-animevideov3", 64, 16, None),
-    # upstream general model, S-size SRVGG
+    # upstream general model, S-size SRVGG (+ its weak-denoise twin for
+    # -dni interpolation, reve_tpu.weights.interpolate.load_dni)
     "realesr-general-x4v3": ModelSpec("srvgg", "realesr-general-x4v3", 64, 32, 4),
+    "realesr-general-wdn-x4v3": ModelSpec("srvgg", "realesr-general-wdn-x4v3", 64, 32, 4),
     # RRDBNet stretch models (BASELINE.json config #4)
     "realesrgan-x4plus": ModelSpec("rrdb", "RealESRGAN_x4plus", 64, 23, 4),
     "realesrgan-x4plus-anime": ModelSpec("rrdb", "RealESRGAN_x4plus_anime_6B", 64, 6, 4),

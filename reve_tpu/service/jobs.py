@@ -40,6 +40,31 @@ class Job:
     progress: Optional[ProgressTracker] = None
     result: Optional[dict] = None
     pipeline: object = None   # live PipelineJob while running
+    part_ext: str = ".mp4"
+
+    @property
+    def workspace_path(self) -> str:
+        return os.path.abspath(self.output_path) + ".revework"
+
+    def committed_parts(self) -> list:
+        """Progressive output: segment part files already committed to the
+        workspace (streamable while the job is still running)."""
+        from reve_tpu.pipeline.state import Workspace
+
+        ws = Workspace(self.workspace_path)
+        try:
+            idxs = ws.completed_parts(self.part_ext)
+        except OSError:
+            return []
+        out = []
+        for i in idxs:
+            p = ws.part_path(i, self.part_ext)
+            try:
+                out.append({"index": i, "path": p,
+                            "size": os.path.getsize(p)})
+            except OSError:
+                pass
+        return out
 
     def to_json(self) -> dict:
         return {
@@ -155,6 +180,7 @@ class JobManager:
         from reve_tpu.pipeline import scheduler
 
         part_ext = ".y4m" if self.io_backend == "y4m" else ".mp4"
+        job.part_ext = part_ext
         ws = Workspace(
             os.path.abspath(job.output_path) + ".revework"
         )

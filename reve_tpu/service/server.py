@@ -266,14 +266,40 @@ class Handler(BaseHTTPRequestHandler):
         elif self.path == "/api/jobs":
             self._json(self.manager.list_jobs())
         elif self.path.startswith("/api/jobs/"):
+            # /api/jobs/<id> | /api/jobs/<id>/parts | /api/jobs/<id>/parts/<i>
+            rest = self.path[len("/api/jobs/"):].split("/")
             try:
-                job = self.manager.get(int(self.path.rsplit("/", 1)[1]))
+                job = self.manager.get(int(rest[0]))
             except ValueError:
                 job = None
             if job is None:
-                self._json({"error": "no such job"}, 404)
-            else:
+                return self._json({"error": "no such job"}, 404)
+            if len(rest) == 1:
                 self._json(job.to_json())
+            elif rest[1] == "parts" and len(rest) == 2:
+                # progressive output: parts committed so far, streamable
+                # while the job is still running
+                self._json({"parts": job.committed_parts(),
+                            "ext": job.part_ext})
+            elif rest[1] == "parts" and len(rest) == 3:
+                try:
+                    idx = int(rest[2])
+                except ValueError:
+                    return self._json({"error": "bad part index"}, 400)
+                parts = {p["index"]: p for p in job.committed_parts()}
+                if idx not in parts:
+                    return self._json({"error": "part not committed"}, 404)
+                ctype = ("video/mp4" if job.part_ext == ".mp4"
+                         else "application/octet-stream")
+                with open(parts[idx]["path"], "rb") as f:
+                    body = f.read()
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self._json({"error": "not found"}, 404)
         else:
             self._json({"error": "not found"}, 404)
 

@@ -342,3 +342,69 @@ def test_index_page_has_all_sections(server):
     for needle in ("Settings", "Log", "About", "Browse", "drop file paths",
                    "Upscale all", "api/browse", "api/config"):
         assert needle in html, needle
+
+
+def test_progressive_parts_streaming(tmp_path):
+    """Progressive output (ROADMAP #7): committed segment parts are listed
+    and downloadable while the job is still running."""
+    import urllib.request as rq
+
+    from reve_tpu.service import server as server_mod
+
+    inp = str(tmp_path / "in.y4m")
+    with writer.Y4MWriter(inp, 32, 24, fractions.Fraction(24)) as wr:
+        for i in range(30):
+            wr.write(np.full((24, 32, 3), 30 + i * 5, np.uint8))
+
+    class SlowEngine(FakeEngine):
+        def submit(self, frames):
+            time.sleep(0.15)
+            return super().submit(frames)
+
+    cfg = config_mod.ServiceConfig(segment_size=5)
+    manager = JobManager(cfg, engine_factory=lambda m, s: SlowEngine(),
+                         io_backend="y4m")
+    srv = server_mod.make_server("127.0.0.1", 0, cfg=cfg, manager=manager)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        out = str(tmp_path / "o.y4m")
+        job = _post(base + "/api/jobs", {"input": inp, "scale": 2,
+                                         "output": out})
+        # poll until at least one part commits while the job still runs
+        deadline = time.time() + 60
+        got_partial = None
+        while time.time() < deadline:
+            s = _get(base + f"/api/jobs/{job['id']}")
+            parts = _get(base + f"/api/jobs/{job['id']}/parts")["parts"]
+            if parts and s["status"] == "running":
+                got_partial = parts
+                break
+            if s["status"] in ("done", "error"):
+                break
+            time.sleep(0.05)
+        assert got_partial, "no part committed while running"
+        # download the first committed part: a decodable upscaled segment
+        with rq.urlopen(
+            base + f"/api/jobs/{job['id']}/parts/{got_partial[0]['index']}",
+            timeout=10,
+        ) as r:
+            data = r.read()
+        assert data.startswith(b"YUV4MPEG2")
+        part_file = tmp_path / "part0.y4m"
+        part_file.write_bytes(data)
+        rd = reader.Y4MReader(str(part_file))
+        assert rd.frame_count() == 5 and rd.width == 64
+        # and the job still finishes correctly
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            s = _get(base + f"/api/jobs/{job['id']}")
+            if s["status"] in ("done", "error"):
+                break
+            time.sleep(0.1)
+        assert s["status"] == "done", s["error"]
+        assert reader.Y4MReader(out).frame_count() == 30
+    finally:
+        srv.shutdown()
+        manager.shutdown()
