@@ -113,3 +113,44 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def temporal_consistency(frames: "list[np.ndarray]",
+                         ref_frames: "list[np.ndarray] | None" = None,
+                         scale: int = 1) -> dict:
+    """Temporal-stability metrics for an upscaled sequence (ROADMAP #8).
+
+    Flicker = mean |frame[t+1] - frame[t]|.  An upscaler that hallucinates
+    differently per frame inflates output flicker relative to the input's
+    own motion energy; the reference's engine processes frames
+    independently (reve-shared/src/lib.rs:129-155 runs ncnn per frame), so
+    this ratio is the honest apples-to-apples comparison axis.
+
+    Args:
+      frames: output frames (uint8 HxWx3), >= 2.
+      ref_frames: optional input frames; when given, `flicker_ratio` =
+        output flicker / input flicker after nearest-upsampling the input
+        by `scale` (ratio ~1.0 = no added temporal noise).
+    """
+    assert len(frames) >= 2, "need at least 2 frames"
+    diffs = [
+        float(np.mean(np.abs(a.astype(np.float32) - b.astype(np.float32))))
+        for a, b in zip(frames, frames[1:])
+    ]
+    out = {
+        "flicker_mean": round(float(np.mean(diffs)), 4),
+        "flicker_max": round(float(np.max(diffs)), 4),
+    }
+    if ref_frames is not None:
+        ups = [np.repeat(np.repeat(f, scale, 0), scale, 1)
+               for f in ref_frames]
+        ref_diffs = [
+            float(np.mean(np.abs(a.astype(np.float32) -
+                                 b.astype(np.float32))))
+            for a, b in zip(ups, ups[1:])
+        ]
+        ref_mean = float(np.mean(ref_diffs))
+        out["input_flicker_mean"] = round(ref_mean, 4)
+        out["flicker_ratio"] = round(
+            out["flicker_mean"] / ref_mean, 4) if ref_mean > 1e-9 else None
+    return out

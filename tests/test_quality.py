@@ -49,3 +49,24 @@ def test_upscale_beats_nearest_baseline(tmp_path):
     base = reader.SyntheticReader.frame(3, 48, 64)
     shifted = np.roll(base, 2, axis=1)
     assert quality.psnr(base, base) > quality.psnr(base, shifted)
+
+
+def test_temporal_consistency_metric():
+    from reve_tpu.utils.quality import temporal_consistency
+
+    rs = np.random.RandomState(0)
+    base = rs.randint(0, 200, (16, 16, 3)).astype(np.uint8)
+    steady = [base + i for i in range(5)]  # smooth ramp
+    noisy = [
+        (base.astype(np.int32) + rs.randint(-40, 40, base.shape)).clip(
+            0, 255).astype(np.uint8)
+        for _ in range(5)
+    ]
+    m_steady = temporal_consistency(steady)
+    m_noisy = temporal_consistency(noisy)
+    assert m_noisy["flicker_mean"] > 5 * m_steady["flicker_mean"]
+    # ratio vs an input: identical content upsampled -> ratio ~ 1
+    inp = [f[::2, ::2] for f in steady]
+    m = temporal_consistency(steady, inp, scale=2)
+    assert m["flicker_ratio"] is not None
+    assert 0.5 < m["flicker_ratio"] < 2.0
