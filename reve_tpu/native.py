@@ -100,7 +100,7 @@ def load() -> Optional[ctypes.CDLL]:
                 os.path.getmtime(os.path.join(_NATIVE_DIR, f)) >
                 os.path.getmtime(_SO_PATH)
                 for f in os.listdir(_NATIVE_DIR)
-                if f.endswith(".cpp")
+                if f.endswith((".cpp", ".h"))
             )
         )
         if src_newer and not _build():

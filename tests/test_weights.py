@@ -184,3 +184,29 @@ def test_interpolation_shape_mismatch():
     pb = srvgg.init_params(jax.random.key(0), cfg_b)
     with pytest.raises(ValueError, match="mismatch"):
         interp.interpolate(pa, pb, 0.5)
+
+
+def test_load_dni_direction(tmp_path):
+    """Pin the upstream dni convention (round-1 advisor finding: it was
+    inverted): params = (1-d)*wdn + d*plain, so strength 1.0 returns the
+    plain (full-denoise) model and 0.0 the wdn twin."""
+    torch = pytest.importorskip("torch")
+    from test_acceptance import make_pth
+    from reve_tpu.weights.interpolate import load_dni
+
+    cfg = srvgg.SRVGGConfig(num_conv=1, num_feat=8, upscale=2)
+    p_plain = srvgg.init_params(jax.random.key(0), cfg)
+    p_wdn = srvgg.init_params(jax.random.key(1), cfg)
+    f_plain = tmp_path / "plain.pth"
+    f_wdn = tmp_path / "wdn.pth"
+    make_pth(cfg, p_plain, f_plain)
+    make_pth(cfg, p_wdn, f_wdn)
+
+    _, at_one = load_dni(str(f_wdn), str(f_plain), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(at_one["convs"][0]["w"]),
+        np.asarray(p_plain["convs"][0]["w"]), rtol=1e-6)
+    _, at_zero = load_dni(str(f_wdn), str(f_plain), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(at_zero["convs"][0]["w"]),
+        np.asarray(p_wdn["convs"][0]["w"]), rtol=1e-6)
