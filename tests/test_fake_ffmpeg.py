@@ -132,3 +132,26 @@ def test_encoder_error_surfaces(fakebin, tmp_path, monkeypatch):
     wr._proc.stdin.write(b"\0" * 10)
     with pytest.raises(RuntimeError, match="exited with"):
         wr.close()
+
+
+@pytest.mark.parametrize("crf,preset,params", [
+    (15, "slow", "psy-rd=2:aq-strength=1:deblock=0,0:bframes=8"),
+    (0, "ultrafast", "bframes=0"),
+    (28, "medium", "aq-mode=3"),
+    (51, "veryslow", "psy-rd=1"),
+])
+def test_x265_knob_matrix(fakebin, tmp_path, crf, preset, params):
+    """BASELINE config #3's crf/preset matrix: every knob combination lands
+    verbatim in the encoder argv (reve-cli/src/main.rs:306-328 passthrough)."""
+    out = str(tmp_path / f"m{crf}{preset}.mp4")
+    wr = writer_mod.open_writer(
+        out, 16, 16, fractions.Fraction(30),
+        settings=writer_mod.EncodeSettings(crf=crf, preset=preset,
+                                           x265_params=params),
+        backend="ffmpeg",
+    )
+    wr.write(np.zeros((16, 16, 3), np.uint8))
+    wr.close()
+    argv = json.load(open(out + ".argv.json"))["argv"]
+    s = " ".join(argv)
+    assert f"-crf {crf} -preset {preset} -x265-params {params}" in s
