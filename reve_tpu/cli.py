@@ -123,6 +123,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scene-align", action="store_true",
                    help="snap segment boundaries to detected scene cuts "
                         "(one extra decode pre-pass)")
+    p.add_argument("--fused", action="store_true",
+                   help="run the conv body in the experimental Pallas "
+                        "line-buffer kernel (TPU only; PERF.md for current "
+                        "measurements — XLA is the faster default on the "
+                        "tested stack)")
     p.add_argument("--trace", default=None, metavar="FILE",
                    help="write JSONL stage-timing events to FILE")
     p.add_argument("--profile-dir", default=None, metavar="DIR",
@@ -266,6 +271,7 @@ def run(argv: Optional[List[str]] = None) -> int:
         tile=args.tile,
         compute_dtype=args.dtype,
         preloaded=preloaded,
+        fused=args.fused,
     )
     renderer = ConsoleRenderer()
     remaining = sum(s.size for s in state.pending)
