@@ -317,8 +317,18 @@ def run(argv: Optional[List[str]] = None) -> int:
             state, ws, engine, io_backend=args.io_backend,
             part_ext=_part_ext(args), progress=tracker, tracer=tracer,
         )
-        with profile_ctx:
-            state = job.run()
+        try:
+            with profile_ctx:
+                state = job.run()
+        except KeyboardInterrupt:
+            # graceful interrupt: committed parts + state are already on
+            # disk (checkpoint after every segment) — same guarantee the
+            # reference gets from kill+resume, with a clean message
+            job.cancel()
+            done = len(ws.completed_parts(_part_ext(args)))
+            print(f"\ninterrupted — {done} segment(s) committed; rerun the "
+                  f"same command to resume", file=sys.stderr)
+            return 130
     report = scheduler.finalize(
         state, ws, io_backend=args.io_backend, part_ext=_part_ext(args)
     )

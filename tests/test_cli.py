@@ -204,3 +204,59 @@ def test_non_tty_resume_requires_yes(tmp_path, monkeypatch):
     # with --yes it resumes (all parts already present)
     assert cli.run(args + ["--yes"]) == 0
     assert reader.Y4MReader(out).frame_count() == 10
+
+
+def test_ctrl_c_graceful_interrupt(tmp_path):
+    """SIGINT mid-job: clean message, exit 130, committed parts + state
+    survive, and rerunning the same command resumes to a frame-exact
+    output."""
+    import signal
+    import subprocess
+    import sys
+    import time as time_mod
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    inp = str(tmp_path / "in.y4m")
+    with writer.Y4MWriter(inp, 32, 24, fractions.Fraction(24)) as wr:
+        for i in range(36):
+            wr.write(np.full((24, 32, 3), 10 + 5 * i, np.uint8))
+    out = str(tmp_path / "out.y4m")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    env["REVE_TEST_SLOW_SEGMENT"] = "0.4"
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import sys\nfrom reve_tpu import cli\n"
+        f"sys.exit(cli.run(['-i', {inp!r}, '-s', '2', {out!r}, '--yes',"
+        "'--io-backend', 'y4m', '-S', '6', '--batch', '4',"
+        "'--dtype', 'float32']))"
+    )
+    p = subprocess.Popen([sys.executable, "-c", code], env=env,
+                         cwd=str(tmp_path), stdout=subprocess.PIPE,
+                         stderr=subprocess.PIPE, text=True)
+    ws_parts = os.path.join(out + ".revework", "parts")
+    deadline = time_mod.time() + 90
+    while time_mod.time() < deadline:
+        if os.path.isdir(ws_parts) and any(
+            f.endswith(".y4m") for f in os.listdir(ws_parts)
+        ):
+            break
+        time_mod.sleep(0.05)
+    else:
+        p.kill()
+        raise AssertionError("no part committed in time")
+    p.send_signal(signal.SIGINT)
+    stdout, stderr = p.communicate(timeout=60)
+    assert p.returncode == 130, (p.returncode, stderr[-800:])
+    assert "interrupted" in stderr and "resume" in stderr
+    assert os.path.exists(os.path.join(out + ".revework", "state.json"))
+
+    env.pop("REVE_TEST_SLOW_SEGMENT")
+    p2 = subprocess.run([sys.executable, "-c", code], env=env,
+                        cwd=str(tmp_path), capture_output=True, text=True,
+                        timeout=120)
+    assert p2.returncode == 0, p2.stderr[-800:]
+    assert "resuming" in p2.stderr
+    rd = reader.Y4MReader(out)
+    assert rd.frame_count() == 36
