@@ -85,6 +85,40 @@ def test_sanitized_concat_and_corrupt(san_binary, tmp_path):
         p = str(tmp_path / ("short_" + path[-1].decode() + ".mp4"))
         if mp4_mutate.truncate_box(parts[1], p, path, plen):
             corrupts.append(p)
+    # hostile Matroska inputs: a valid mkv (from our own muxer) truncated,
+    # bit-flipped, and with a lying EBML size vint — exercised through
+    # rc_concat_mkv's original-parsing and rc_probe_mkv under the sanitizers
+    from reve_tpu import native
+
+    if native.available():
+        import numpy as np_  # noqa: F401 (rs below)
+
+        mkv_src = str(tmp_path / "src.mkv")
+        native.concat_mkv([parts[1]], None, mkv_src)
+        data = open(mkv_src, "rb").read()
+        for frac_i, frac in enumerate((0.2, 0.6, 0.95)):
+            p = str(tmp_path / f"mkv_trunc{frac_i}.mkv")
+            with open(p, "wb") as f:
+                f.write(data[: int(len(data) * frac)])
+            corrupts.append(p)
+        rs = np.random.RandomState(7)
+        for k in range(3):
+            buf = bytearray(data)
+            for pos in rs.randint(4, len(buf), 40):
+                buf[pos] ^= 1 << rs.randint(8)
+            p = str(tmp_path / f"mkv_flip{k}.mkv")
+            with open(p, "wb") as f:
+                f.write(bytes(buf))
+            corrupts.append(p)
+        # size-vint lie: make the Segment claim 8 bytes
+        buf = bytearray(data)
+        seg = buf.find(bytes.fromhex("18538067"))
+        if seg >= 0:
+            buf[seg + 4:seg + 12] = bytes([0x01, 0, 0, 0, 0, 0, 0, 8])
+            p = str(tmp_path / "mkv_sizelie.mkv")
+            with open(p, "wb") as f:
+                f.write(bytes(buf))
+            corrupts.append(p)
 
     original = TEST_MP4 if os.path.exists(TEST_MP4) else "-"
     out = str(tmp_path / "out.mp4")
