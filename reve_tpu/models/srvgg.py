@@ -113,11 +113,59 @@ def _prelu(x: jax.Array, alpha: jax.Array) -> jax.Array:
     return jnp.maximum(x, 0) + a * jnp.minimum(x, 0)
 
 
+# -- row space-to-depth reformulation of the hidden stack --------------------
+#
+# Every hidden conv has N = 64 output channels; an MXU output tile is
+# M x 128, so HALF the systolic-array columns idle (PERF.md roofline: the
+# bf16 wall is 98 of 197 TF/s).  Folding pairs of image ROWS into channels
+# makes every hidden conv a 3x3 over 128 channels at half height: N = 128
+# fills the MXU.  The reformulation is EXACT (not an approximation):
+#
+#   y[2i+q, n, d] = sum_{u,v} x[2i+q+u, n+v, c] W[u,v,c,d]
+#
+# substituting 2(i+p)+s = 2i+q+u gives exactly one (p, s) per (q, u) with
+# u = 2p+s-q, so W'[p, v, (s,c), (q,d)] = W[2p+s-q, v, c, d] where the
+# index is in range and 0 otherwise; zero taps land on rows the original
+# SAME padding also zeroes, so borders match bit-for-bit in f32.
+# Measured on v5e: the 128-channel half-height stack runs at ~121 TF/s vs
+# ~46 for the 64-channel original — 2x the FLOPs at 2.6x the rate, a 1.3x
+# net win (PERF.md round-2 findings).
+
+
+def _s2d_rows(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H/2, W, 2C); channel layout (q, c), q = row%2."""
+    B, H, W, C = x.shape
+    return x.reshape(B, H // 2, 2, W, C).transpose(0, 1, 3, 2, 4).reshape(
+        B, H // 2, W, 2 * C)
+
+
+def _d2s_rows(y: jax.Array) -> jax.Array:
+    B, H2, W, C2 = y.shape
+    C = C2 // 2
+    return y.reshape(B, H2, W, 2, C).transpose(0, 1, 3, 2, 4).reshape(
+        B, H2 * 2, W, C)
+
+
+def _s2d_kernel(w: jax.Array) -> jax.Array:
+    """(3, 3, Ci, Co) HWIO -> (3, 3, 2Ci, 2Co) row-s2d equivalent kernel."""
+    ci, co = w.shape[2], w.shape[3]
+    wp = jnp.zeros((3, 3, 2, ci, 2, co), w.dtype)  # [p, v, s, c, q, d]
+    for p in (-1, 0, 1):
+        for s in (0, 1):
+            for q in (0, 1):
+                u = 2 * p + s - q
+                if -1 <= u <= 1:
+                    wp = wp.at[p + 1, :, s, :, q, :].set(w[u + 1])
+    return wp.reshape(3, 3, 2 * ci, 2 * co)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "compute_dtype", "quantize_u8")
+    jax.jit,
+    static_argnames=("cfg", "compute_dtype", "quantize_u8", "s2d"),
 )
 def apply(params: Params, x: jax.Array, *, cfg: SRVGGConfig,
-          compute_dtype=jnp.float32, quantize_u8: bool = False) -> jax.Array:
+          compute_dtype=jnp.float32, quantize_u8: bool = False,
+          s2d: bool = True) -> jax.Array:
     """Forward pass.
 
     Args:
@@ -126,6 +174,8 @@ def apply(params: Params, x: jax.Array, *, cfg: SRVGGConfig,
       cfg: static model config.
       compute_dtype: jnp.float32 or jnp.bfloat16.
       quantize_u8: emit uint8 in [0, 255] directly (see _epilogue).
+      s2d: run the hidden stack in the row space-to-depth domain (exact
+        reformulation; 1.3x faster on the MXU — see _s2d_kernel).
 
     Returns:
       (B, H*scale, W*scale, C) float32 in ~[0, 1] (not clipped), or uint8
@@ -134,15 +184,82 @@ def apply(params: Params, x: jax.Array, *, cfg: SRVGGConfig,
     orig = x
     h = x.astype(compute_dtype)
     convs, prelus = params["convs"], params["prelus"]
+    if s2d:
+        # The ENTIRE conv stack runs in the row-s2d domain: the transpose
+        # into it touches only the 3-channel input, and the transpose out
+        # happens on quantized uint8 in the epilogue — the two
+        # 64-channel full-resolution permutes a naive s2d would pay are
+        # what erased the MXU win when measured.
+        H = h.shape[1]
+        pad_mask = None
+        if H % 2:
+            # pad one zero row standing in for the SAME zero padding; it
+            # must be RE-ZEROED after every conv (a plain stack re-zeroes
+            # its virtual pad rows per conv) — mask the (q=1) channels of
+            # the last s2d row between layers
+            h = jnp.pad(h, ((0, 0), (0, 1), (0, 0), (0, 0)))
+            H2 = (H + 1) // 2
+
+            def _mask(c):
+                row = jax.lax.broadcasted_iota(jnp.int32, (1, H2, 1, 1), 1)
+                ch = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, 1, 1, 2 * c), 3)
+                return jnp.logical_or(row < H2 - 1, ch < c).astype(
+                    compute_dtype)
+
+            pad_mask = _mask
+        hs = _s2d_rows(h)
+        hs = _prelu(
+            _conv3x3(hs, _s2d_kernel(convs[0]["w"].astype(compute_dtype)),
+                     jnp.tile(convs[0]["b"], 2)),
+            jnp.tile(prelus[0]["alpha"], 2),
+        )
+        if pad_mask is not None:
+            hs = hs * pad_mask(cfg.num_feat)
+        for i in range(cfg.num_conv):
+            hs = _prelu(
+                _conv3x3(
+                    hs,
+                    _s2d_kernel(convs[i + 1]["w"].astype(compute_dtype)),
+                    jnp.tile(convs[i + 1]["b"], 2),
+                ),
+                jnp.tile(prelus[i + 1]["alpha"], 2),
+            )
+            if pad_mask is not None:
+                hs = hs * pad_mask(cfg.num_feat)
+        hs = _conv3x3(hs, _s2d_kernel(convs[-1]["w"].astype(compute_dtype)),
+                      jnp.tile(convs[-1]["b"], 2))
+        return _epilogue_s2d(hs, orig, cfg, H, quantize_u8=quantize_u8)
     h = _prelu(_conv3x3(h, convs[0]["w"].astype(compute_dtype), convs[0]["b"]),
                prelus[0]["alpha"])
     for i in range(cfg.num_conv):
         h = _prelu(
-            _conv3x3(h, convs[i + 1]["w"].astype(compute_dtype), convs[i + 1]["b"]),
+            _conv3x3(h, convs[i + 1]["w"].astype(compute_dtype),
+                     convs[i + 1]["b"]),
             prelus[i + 1]["alpha"],
         )
     h = _conv3x3(h, convs[-1]["w"].astype(compute_dtype), convs[-1]["b"])
     return _epilogue(h, orig, cfg, quantize_u8=quantize_u8)
+
+
+def _epilogue_s2d(hs: jax.Array, orig: jax.Array, cfg: SRVGGConfig,
+                  H: int, quantize_u8: bool = False) -> jax.Array:
+    """_epilogue for a row-s2d-domain head output (B, H2, W, 2*out*r^2).
+
+    The residual base is built by s2d-ing the 3-channel input (cheap) and
+    repeating channels — repeat(s2d(x)) and s2d(repeat(x)) agree because
+    both layouts are (q, (c, r^2)).  When quantizing, the d2s transpose
+    back to image rows runs on uint8 (4x fewer bytes than f32)."""
+    r = cfg.upscale
+    o = orig.astype(jnp.float32)
+    if H % 2:
+        o = jnp.pad(o, ((0, 0), (0, 1), (0, 0), (0, 0)))
+    base = jnp.repeat(_s2d_rows(o), r * r, axis=-1)
+    y = hs.astype(jnp.float32) + base
+    if quantize_u8:
+        y = jnp.clip(y * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+    y = _d2s_rows(y)[:, :H]
+    return pixel_shuffle(y, r)
 
 
 def _epilogue(h: jax.Array, orig: jax.Array, cfg: SRVGGConfig,

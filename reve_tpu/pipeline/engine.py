@@ -124,7 +124,7 @@ class UpscaleEngine:
 
     # -- jitted core -------------------------------------------------------
 
-    def _arch_apply(self, params, x, quantize_u8=False):
+    def _arch_apply(self, params, x, quantize_u8=False, s2d=True):
         from reve_tpu.models import rrdb
 
         if isinstance(self.cfg, srvgg.SRVGGConfig):
@@ -134,7 +134,7 @@ class UpscaleEngine:
                                          quantize_u8=quantize_u8)
             return srvgg.apply(params, x, cfg=self.cfg,
                                compute_dtype=self.compute_dtype,
-                               quantize_u8=quantize_u8)
+                               quantize_u8=quantize_u8, s2d=s2d)
         y = rrdb.apply(params, x, cfg=self.cfg,
                        compute_dtype=self.compute_dtype)
         if quantize_u8:
@@ -176,8 +176,10 @@ class UpscaleEngine:
             x = u8.astype(jnp.float32) * (1.0 / 255.0)
 
             if tile:
+                # classic stack in tiles: bit-exact seams need identical
+                # reduction order regardless of a tile's row parity
                 y = tiling.upscale_tiled(
-                    lambda t: self._arch_apply(params, t),
+                    lambda t: self._arch_apply(params, t, s2d=False),
                     x, scale=self.scale, tile=tile, halo=self.halo,
                 )
                 y = jnp.clip(y * 255.0 + 0.5, 0.0, 255.0)

@@ -106,3 +106,19 @@ def test_quantize_u8_epilogue_exact():
     got = np.asarray(srvgg.apply(params, x, cfg=cfg, quantize_u8=True))
     assert got.dtype == np.uint8
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("hw", [(16, 20), (13, 19), (9, 8), (17, 23)])
+def test_s2d_hidden_stack_exact(hw):
+    """The row space-to-depth reformulation of the hidden stack is exact
+    (not an approximation): f32 outputs must match the classic path to
+    accumulation-reassociation rounding, for even AND odd heights."""
+    H, W = hw
+    cfg = srvgg.SRVGGConfig(num_conv=3, num_feat=16, upscale=2)
+    params = srvgg.init_params(jax.random.key(4), cfg)
+    x = jnp.asarray(np.random.RandomState(6).rand(2, H, W, 3), jnp.float32)
+    y_classic = srvgg.apply(params, x, cfg=cfg, s2d=False)
+    y_s2d = srvgg.apply(params, x, cfg=cfg, s2d=True)
+    np.testing.assert_allclose(
+        np.asarray(y_s2d), np.asarray(y_classic), atol=1e-5, rtol=1e-5
+    )

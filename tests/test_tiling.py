@@ -17,7 +17,9 @@ from reve_tpu.ops import tiling
 def _model(upscale=2, num_conv=3, num_feat=8):
     cfg = srvgg.SRVGGConfig(num_conv=num_conv, num_feat=num_feat, upscale=upscale)
     params = srvgg.init_params(jax.random.key(0), cfg)
-    return cfg, params, lambda t: srvgg.apply(params, t, cfg=cfg)
+    # the tiled path runs the classic (non-s2d) stack: bit-exact seams
+    # require identical reduction order regardless of a tile's row parity
+    return cfg, params, lambda t: srvgg.apply(params, t, cfg=cfg, s2d=False)
 
 
 @pytest.mark.parametrize("hw", [(33, 47), (64, 64), (30, 100)])
