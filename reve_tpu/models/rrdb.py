@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from reve_tpu.ops import s2d as s2d_mod
 from reve_tpu.ops.pixel_shuffle import pixel_unshuffle
 from reve_tpu.ops.resize import upsample_nearest
 
@@ -82,42 +83,110 @@ def init_params(key: jax.Array, cfg: RRDBConfig, dtype=jnp.float32) -> Params:
     }
 
 
-def _conv(x, p, dtype):
+def _raw_conv(x, w, b, dtype):
     precision = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
     y = jax.lax.conv_general_dilated(
-        x, p["w"].astype(dtype), (1, 1), "SAME",
+        x, w.astype(dtype), (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
         precision=precision,
     )
-    return (y + p["b"].astype(jnp.float32)).astype(dtype)
+    return (y + b.astype(jnp.float32)).astype(dtype)
+
+
+def _conv(x, p, dtype):
+    return _raw_conv(x, p["w"], p["b"], dtype)
+
+
+def _conv_s2d(x, p, dtype, parts=None):
+    """2D-s2d conv: kernel transformed per concat part (reve_tpu.ops.s2d).
+
+    Every conv in the dense blocks has only 32 (or 64) output channels —
+    a quarter (half) of the MXU's output-tile width.  Folding 2x2 pixel
+    phases into channels quadruples channel counts for 4x the FLOPs at a
+    measured ~6.7x rate (PERF.md round-2: 32-ch stack 10.4 TF/s vs 128-ch
+    69 TF/s on v5e) — a large net win for exactly this architecture."""
+    if parts is None:
+        parts = [p["w"].shape[2]]
+    w = s2d_mod.s2d2_kernel_concat(p["w"], parts)
+    return _raw_conv(x, w, jnp.tile(p["b"], 4), dtype)
+
+
+def transform_params_s2d(params: Params, cfg: RRDBConfig) -> Params:
+    """Pre-transform the trunk weights into the 2D-s2d domain ONCE (engine
+    init) instead of re-deriving ~350 kernels inside every forward call.
+    Head convs (upsample path) stay classic.  Use with
+    apply(..., s2d=True, params_transformed=True)."""
+    nf, gc = cfg.num_feat, cfg.num_grow_ch
+
+    def t(p, parts=None):
+        return {
+            "w": s2d_mod.s2d2_kernel_concat(
+                p["w"], parts or [p["w"].shape[2]]),
+            "b": jnp.tile(p["b"], 4),
+        }
+
+    return {
+        "conv_first": t(params["conv_first"]),
+        "body": [
+            {
+                "rdbs": [
+                    {
+                        "convs": [
+                            t(c, [nf] + [gc] * i)
+                            for i, c in enumerate(rdb["convs"])
+                        ]
+                    }
+                    for rdb in block["rdbs"]
+                ]
+            }
+            for block in params["body"]
+        ],
+        "conv_body": t(params["conv_body"]),
+        "conv_up1": params["conv_up1"],
+        "conv_up2": params["conv_up2"],
+        "conv_hr": params["conv_hr"],
+        "conv_last": params["conv_last"],
+    }
 
 
 def _lrelu(x):
     return jnp.where(x >= 0, x, 0.2 * x)
 
 
-def _rdb(x, p, dtype):
+def _rdb(x, p, dtype, conv_fn, nf, gc):
     feats = [x]
     for i, conv in enumerate(p["convs"]):
-        h = _conv(jnp.concatenate(feats, axis=-1), conv, dtype)
+        parts = [nf] + [gc] * i
+        h = conv_fn(jnp.concatenate(feats, axis=-1), conv, dtype, parts)
         if i < 4:
             h = _lrelu(h)
         feats.append(h)
     return feats[-1] * jnp.asarray(0.2, dtype) + x
 
 
-def _rrdb(x, p, dtype):
+def _rrdb(x, p, dtype, conv_fn, nf, gc):
     out = x
     for rdb_p in p["rdbs"]:
-        out = _rdb(out, rdb_p, dtype)
+        out = _rdb(out, rdb_p, dtype, conv_fn, nf, gc)
     return out * jnp.asarray(0.2, dtype) + x
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "compute_dtype", "s2d", "params_transformed"),
+)
 def apply(params: Params, x: jax.Array, *, cfg: RRDBConfig,
-          compute_dtype=jnp.float32) -> jax.Array:
-    """(B, H, W, C) in [0,1] -> (B, H*upscale, W*upscale, C) float32."""
+          compute_dtype=jnp.float32, s2d: bool = True,
+          params_transformed: bool = False) -> jax.Array:
+    """(B, H, W, C) in [0,1] -> (B, H*upscale, W*upscale, C) float32.
+
+    s2d: run conv_first + the RRDB trunk + conv_body in the 2D
+    space-to-depth domain (exact; see _conv_s2d).  Falls back to the
+    classic path when the (pixel-unshuffled) input dims are odd.
+    params_transformed: params came from transform_params_s2d (requires
+    s2d and even dims; the engine precomputes them once).
+    """
     dtype = compute_dtype
     h = x
     if cfg.upscale == 2:
@@ -125,11 +194,39 @@ def apply(params: Params, x: jax.Array, *, cfg: RRDBConfig,
     elif cfg.upscale == 1:
         h = pixel_unshuffle(h, 4)
     h = h.astype(dtype)
-    feat = _conv(h, params["conv_first"], dtype)
-    body = feat
-    for block in params["body"]:
-        body = _rrdb(body, block, dtype)
-    feat = feat + _conv(body, params["conv_body"], dtype)
+    use_s2d = s2d and h.shape[1] % 2 == 0 and h.shape[2] % 2 == 0
+    if params_transformed and not use_s2d:
+        raise ValueError(
+            "transformed params require s2d and even trunk dims "
+            f"(got {h.shape})"
+        )
+    if use_s2d:
+        hs = s2d_mod.s2d2(h)
+        if params_transformed:
+            def conv_fn(v, p, dt, parts):
+                return _raw_conv(v, p["w"], p["b"], dt)
+        else:
+            def conv_fn(v, p, dt, parts):
+                return _conv_s2d(v, p, dt, parts)
+
+        feat_s = conv_fn(hs, params["conv_first"], dtype, None)
+        body = feat_s
+        for block in params["body"]:
+            body = _rrdb(body, block, dtype, conv_fn,
+                         cfg.num_feat, cfg.num_grow_ch)
+        feat_s = feat_s + conv_fn(body, params["conv_body"], dtype, None)
+        feat = s2d_mod.d2s2(feat_s)
+    else:
+        feat = _conv(h, params["conv_first"], dtype)
+
+        def conv_fn(v, p, dt, parts):
+            return _conv(v, p, dt)
+
+        body = feat
+        for block in params["body"]:
+            body = _rrdb(body, block, dtype, conv_fn,
+                         cfg.num_feat, cfg.num_grow_ch)
+        feat = feat + _conv(body, params["conv_body"], dtype)
     feat = _lrelu(_conv(upsample_nearest(feat, 2), params["conv_up1"], dtype))
     feat = _lrelu(_conv(upsample_nearest(feat, 2), params["conv_up2"], dtype))
     out = _conv(_lrelu(_conv(feat, params["conv_hr"], dtype)),

@@ -115,48 +115,16 @@ def _prelu(x: jax.Array, alpha: jax.Array) -> jax.Array:
 
 # -- row space-to-depth reformulation of the hidden stack --------------------
 #
-# Every hidden conv has N = 64 output channels; an MXU output tile is
-# M x 128, so HALF the systolic-array columns idle (PERF.md roofline: the
-# bf16 wall is 98 of 197 TF/s).  Folding pairs of image ROWS into channels
-# makes every hidden conv a 3x3 over 128 channels at half height: N = 128
-# fills the MXU.  The reformulation is EXACT (not an approximation):
-#
-#   y[2i+q, n, d] = sum_{u,v} x[2i+q+u, n+v, c] W[u,v,c,d]
-#
-# substituting 2(i+p)+s = 2i+q+u gives exactly one (p, s) per (q, u) with
-# u = 2p+s-q, so W'[p, v, (s,c), (q,d)] = W[2p+s-q, v, c, d] where the
-# index is in range and 0 otherwise; zero taps land on rows the original
-# SAME padding also zeroes, so borders match bit-for-bit in f32.
-# Measured on v5e: the 128-channel half-height stack runs at ~121 TF/s vs
-# ~46 for the 64-channel original — 2x the FLOPs at 2.6x the rate, a 1.3x
-# net win (PERF.md round-2 findings).
+# See reve_tpu.ops.s2d for the transform and its exactness argument; the
+# measured win and the layout-cost pitfalls are in PERF.md "Round 2
+# findings" (1.3x on the MXU for this 64-channel stack; transposes must be
+# folded into the 3-channel input and the uint8 output to keep them free).
 
-
-def _s2d_rows(x: jax.Array) -> jax.Array:
-    """(B, H, W, C) -> (B, H/2, W, 2C); channel layout (q, c), q = row%2."""
-    B, H, W, C = x.shape
-    return x.reshape(B, H // 2, 2, W, C).transpose(0, 1, 3, 2, 4).reshape(
-        B, H // 2, W, 2 * C)
-
-
-def _d2s_rows(y: jax.Array) -> jax.Array:
-    B, H2, W, C2 = y.shape
-    C = C2 // 2
-    return y.reshape(B, H2, W, 2, C).transpose(0, 1, 3, 2, 4).reshape(
-        B, H2 * 2, W, C)
-
-
-def _s2d_kernel(w: jax.Array) -> jax.Array:
-    """(3, 3, Ci, Co) HWIO -> (3, 3, 2Ci, 2Co) row-s2d equivalent kernel."""
-    ci, co = w.shape[2], w.shape[3]
-    wp = jnp.zeros((3, 3, 2, ci, 2, co), w.dtype)  # [p, v, s, c, q, d]
-    for p in (-1, 0, 1):
-        for s in (0, 1):
-            for q in (0, 1):
-                u = 2 * p + s - q
-                if -1 <= u <= 1:
-                    wp = wp.at[p + 1, :, s, :, q, :].set(w[u + 1])
-    return wp.reshape(3, 3, 2 * ci, 2 * co)
+from reve_tpu.ops.s2d import (  # noqa: E402
+    d2s_rows as _d2s_rows,
+    s2d_rows as _s2d_rows,
+    s2d_rows_kernel as _s2d_kernel,
+)
 
 
 @functools.partial(
@@ -174,8 +142,8 @@ def apply(params: Params, x: jax.Array, *, cfg: SRVGGConfig,
       cfg: static model config.
       compute_dtype: jnp.float32 or jnp.bfloat16.
       quantize_u8: emit uint8 in [0, 255] directly (see _epilogue).
-      s2d: run the hidden stack in the row space-to-depth domain (exact
-        reformulation; 1.3x faster on the MXU — see _s2d_kernel).
+      s2d: run the conv stack in the row space-to-depth domain (exact
+        reformulation; ~1.3x faster on the MXU — reve_tpu.ops.s2d).
 
     Returns:
       (B, H*scale, W*scale, C) float32 in ~[0, 1] (not clipped), or uint8

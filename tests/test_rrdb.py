@@ -102,3 +102,36 @@ def test_registry_rrdb_fallback():
     cfg, params = registry.load_model("realesrgan-x4plus-anime", scale=4)
     assert isinstance(cfg, rrdb.RRDBConfig)
     assert cfg.num_block == 6
+
+
+def test_rrdb_s2d_exact():
+    """The 2D space-to-depth trunk is exact vs the classic path (f32)."""
+    cfg = rrdb.RRDBConfig(num_feat=16, num_block=2, num_grow_ch=8, upscale=4)
+    params = rrdb.init_params(jax.random.key(2), cfg)
+    x = jnp.asarray(np.random.RandomState(3).rand(1, 12, 16, 3), jnp.float32)
+    y_classic = rrdb.apply(params, x, cfg=cfg, s2d=False)
+    y_s2d = rrdb.apply(params, x, cfg=cfg, s2d=True)
+    np.testing.assert_allclose(
+        np.asarray(y_s2d), np.asarray(y_classic), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_rrdb_s2d_odd_dims_fallback():
+    """Odd trunk dims take the classic path (still correct)."""
+    cfg = rrdb.RRDBConfig(num_feat=16, num_block=1, num_grow_ch=8, upscale=4)
+    params = rrdb.init_params(jax.random.key(2), cfg)
+    x = jnp.asarray(np.random.RandomState(3).rand(1, 11, 15, 3), jnp.float32)
+    y = rrdb.apply(params, x, cfg=cfg)
+    assert y.shape == (1, 44, 60, 3)
+    assert bool(jnp.isfinite(y).all())
+
+
+def test_rrdb_pretransformed_params_exact():
+    cfg = rrdb.RRDBConfig(num_feat=16, num_block=1, num_grow_ch=8, upscale=4)
+    params = rrdb.init_params(jax.random.key(5), cfg)
+    x = jnp.asarray(np.random.RandomState(6).rand(1, 8, 12, 3), jnp.float32)
+    want = rrdb.apply(params, x, cfg=cfg, s2d=False)
+    tp = rrdb.transform_params_s2d(params, cfg)
+    got = rrdb.apply(tp, x, cfg=cfg, s2d=True, params_transformed=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
