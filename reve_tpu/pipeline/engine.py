@@ -176,10 +176,15 @@ class UpscaleEngine:
             x = u8.astype(jnp.float32) * (1.0 / 255.0)
 
             if tile:
-                # classic stack in tiles: bit-exact seams need identical
-                # reduction order regardless of a tile's row parity
+                # s2d in tiles is bit-exact vs the s2d whole frame iff every
+                # window row-origin is even (same global row parity -> same
+                # reduction order): true when frame height, tile and halo
+                # are all even (tiling._plan_axis clamps stay even then).
+                # Otherwise fall back to the classic stack so seams remain
+                # bit-exact among themselves.
+                s2d_ok = h % 2 == 0 and tile % 2 == 0 and self.halo % 2 == 0
                 y = tiling.upscale_tiled(
-                    lambda t: self._arch_apply(params, t, s2d=False),
+                    lambda t: self._arch_apply(params, t, s2d=s2d_ok),
                     x, scale=self.scale, tile=tile, halo=self.halo,
                 )
                 y = jnp.clip(y * 255.0 + 0.5, 0.0, 255.0)

@@ -77,3 +77,24 @@ def test_extract_assemble_identity(scale):
     np.testing.assert_array_equal(
         np.asarray(out), np.asarray(upsample_nearest(x, scale))
     )
+
+
+@pytest.mark.parametrize("hw,tile", [((32, 44), 16), ((64, 64), 32)])
+def test_tiled_s2d_equals_whole_frame_even_geometry(hw, tile):
+    """With even frame height, even tile and even halo, every window
+    row-origin is even, so the s2d stack keeps the same global row parity
+    in every tile -> tiled output is bit-identical to the s2d whole frame."""
+    cfg = srvgg.SRVGGConfig(num_conv=2, num_feat=8, upscale=2)  # halo 4
+    params = srvgg.init_params(jax.random.key(0), cfg)
+
+    def fn(t):
+        return srvgg.apply(params, t, cfg=cfg, s2d=True)
+
+    halo = cfg.num_conv + 2
+    assert halo % 2 == 0 and tile % 2 == 0 and hw[0] % 2 == 0
+    h, w = hw
+    x = jnp.asarray(np.random.RandomState(1).rand(2, h, w, 3), jnp.float32)
+    whole = fn(x)
+    tiled = tiling.upscale_tiled(fn, x, scale=cfg.upscale, tile=tile,
+                                 halo=halo)
+    np.testing.assert_array_equal(np.asarray(tiled), np.asarray(whole))
