@@ -338,9 +338,10 @@ static MkvOriginal parse_mkv(const std::string& path) {
           cb.raw.assign(d + e.elem_off, d + e.off + e.len);
           cb.relts_off = (e.id == ID_BlockGroup ? group_shift
                                                 : (e.off - e.elem_off)) + ro;
-          // absolute ts in OUTPUT ms: (cluster + rel) ticks * scale / 1e6
-          cb.ts = int64_t(
-              double(cluster_ts + rel) * double(m.ts_scale) / 1e6);
+          // absolute ts in ORIGINAL ticks; the output adopts the
+          // original's TimestampScale so copied BlockDuration /
+          // ReferenceBlock tick values stay correct without rescaling
+          cb.ts = cluster_ts + rel;
           m.blocks.push_back(std::move(cb));
         }
       }
@@ -363,7 +364,7 @@ static MkvOriginal parse_mkv(const std::string& path) {
 struct VideoSample {
   uint64_t file_off;
   uint32_t size;
-  int64_t ts;       // ms, presentation
+  int64_t ts_ns;    // presentation time, nanoseconds
   bool key;
   File* file;
 };
@@ -471,7 +472,7 @@ static void map_video_codec(const std::vector<uint8_t>& stsd,
 static VideoStream build_video_stream(
     std::vector<std::unique_ptr<File>>& files, std::vector<Movie>& movies) {
   VideoStream vs;
-  int64_t ts_acc_ms = 0;
+  int64_t ts_acc_ns = 0;
   for (size_t pi = 0; pi < movies.size(); pi++) {
     Track* t = nullptr;
     for (auto& tr : movies[pi].tracks)
@@ -521,8 +522,8 @@ static VideoStream build_video_stream(
         VideoSample smp;
         smp.file_off = offs[s];
         smp.size = t->sample_size(s);
-        smp.ts = ts_acc_ms +
-                 int64_t(double(pts_ticks) * 1000.0 / t->timescale);
+        smp.ts_ns = ts_acc_ns +
+                    int64_t(double(pts_ticks) * 1e9 / t->timescale);
         smp.key = key[s];
         smp.file = files[pi].get();
         vs.samples.push_back(smp);
@@ -530,13 +531,13 @@ static VideoStream build_video_stream(
         s++;
       }
     }
-    ts_acc_ms += int64_t(double(part_dur_ticks) * 1000.0 / t->timescale);
+    ts_acc_ns += int64_t(double(part_dur_ticks) * 1e9 / t->timescale);
   }
-  vs.duration_s = double(ts_acc_ms) / 1000.0;
+  vs.duration_s = double(ts_acc_ns) / 1e9;
   // pts may reorder around dts order within a part; clusters want ts order
   std::stable_sort(vs.samples.begin(), vs.samples.end(),
                    [](const VideoSample& a, const VideoSample& b) {
-                     return a.ts < b.ts;
+                     return a.ts_ns < b.ts_ns;
                    });
   return vs;
 }
@@ -613,7 +614,7 @@ static void write_mkv(const std::string& out_path, VideoStream& vs,
                       const std::vector<std::vector<uint8_t>>& extra_elements,
                       const std::vector<std::pair<uint64_t, AudioCodec>>&
                           mp4_audio_tracks,
-                      double duration_s) {
+                      double duration_s, uint64_t ts_scale) {
   File out(out_path, "wb");
   {
     EbmlBuf h;
@@ -640,8 +641,8 @@ static void write_mkv(const std::string& out_path, VideoStream& vs,
 
   {
     EbmlBuf info;
-    info.uint_elem(ID_TimestampScale, 1000000);  // 1 ms ticks
-    info.float_elem(ID_Duration, duration_s * 1000.0);
+    info.uint_elem(ID_TimestampScale, ts_scale);
+    info.float_elem(ID_Duration, duration_s * 1e9 / double(ts_scale));
     info.str_elem(ID_MuxingApp, "reve-tpu");
     info.str_elem(ID_WritingApp, "reve-tpu");
     EbmlBuf e;
@@ -694,7 +695,10 @@ static void write_mkv(const std::string& out_path, VideoStream& vs,
   // clusters + cues
   struct Cue { int64_t ts; uint64_t cluster_off; };
   std::vector<Cue> cues;
-  const int64_t CLUSTER_MS = 1000;
+  // ~1 s per cluster, capped so every relative timestamp fits in s16
+  const int64_t CLUSTER_TICKS =
+      std::min<int64_t>(32000, std::max<int64_t>(
+          1, int64_t(1e9 / double(ts_scale))));
   size_t i = 0;
   std::vector<uint8_t> framebuf;
   while (i < blocks.size()) {
@@ -703,8 +707,7 @@ static void write_mkv(const std::string& out_path, VideoStream& vs,
     cl.uint_elem(ID_Timestamp, uint64_t(std::max<int64_t>(base, 0)));
     uint64_t cluster_off = out.tell() - seg_payload_start;
     bool cue_added = false;
-    while (i < blocks.size() && blocks[i].ts - base < CLUSTER_MS &&
-           blocks[i].ts - base <= 32000) {
+    while (i < blocks.size() && blocks[i].ts - base < CLUSTER_TICKS) {
       OutBlock& b = blocks[i];
       int64_t rel = b.ts - base;
       if (!b.raw.empty()) {
@@ -784,6 +787,7 @@ void concat_mkv(const std::vector<std::string>& parts,
   std::unique_ptr<File> orig_mp4_file;
   Movie orig_mp4;
   uint64_t video_num = 1;
+  uint64_t ts_scale = 1000000;  // ns/tick; mkv originals set their own
 
   bool orig_is_mkv = false;
   if (!original.empty()) {
@@ -795,6 +799,7 @@ void concat_mkv(const std::vector<std::string>& parts,
 
   if (!original.empty() && orig_is_mkv) {
     orig = parse_mkv(original);
+    if (orig.ts_scale) ts_scale = orig.ts_scale;
     uint64_t max_num = 0;
     for (auto& t : orig.tracks)
       if (t.type != 1) max_num = std::max(max_num, t.number);
@@ -853,7 +858,8 @@ void concat_mkv(const std::vector<std::string>& parts,
       for (auto& e : t.stts) {
         for (uint32_t k = 0; k < e.count && s < n; k++) {
           OutBlock ob;
-          ob.ts = int64_t(double(dts) * 1000.0 / t.timescale);
+          ob.ts = int64_t(double(dts) * 1e9 /
+                          (double(t.timescale) * double(ts_scale)));
           ob.order = 1;
           ob.track = num;
           ob.key = true;
@@ -871,7 +877,7 @@ void concat_mkv(const std::vector<std::string>& parts,
 
   for (auto& smp : vs.samples) {
     OutBlock ob;
-    ob.ts = smp.ts;
+    ob.ts = int64_t(double(smp.ts_ns) / double(ts_scale));
     ob.order = 0;
     ob.track = video_num;
     ob.key = smp.key;
@@ -880,10 +886,12 @@ void concat_mkv(const std::vector<std::string>& parts,
     ob.size = smp.size;
     blocks.push_back(std::move(ob));
   }
-  for (auto& b : blocks) duration_s = std::max(duration_s, double(b.ts) / 1e3);
+  for (auto& b : blocks)
+    duration_s = std::max(duration_s,
+                          double(b.ts) * double(ts_scale) / 1e9);
 
   write_mkv(out_path, vs, video_num, copied_tracks, blocks, extra,
-            mp4_audio, duration_s);
+            mp4_audio, duration_s, ts_scale);
 }
 
 // quick structural probe (tests / io chain)
@@ -941,19 +949,26 @@ MkvProbe probe_mkv(const std::string& path) {
         pr.n_tracks++;
         uint8_t type = 0;
         uint64_t num = 0;
+        int32_t vw = 0, vh = 0;
+        // element order inside a TrackEntry is unconstrained: collect
+        // first, interpret after
         for (auto& c : ebml_children(d, e.off, e.off + e.len)) {
           if (c.id == ID_TrackType) type = uint8_t(ebml_uint(d + c.off, c.len));
           if (c.id == ID_TrackNumber) num = ebml_uint(d + c.off, c.len);
-          if (type == 1 && c.id == ID_Video) {
+          if (c.id == ID_Video) {
             for (auto& v : ebml_children(d, c.off, c.off + c.len)) {
               if (v.id == ID_PixelWidth)
-                pr.width = int32_t(ebml_uint(d + v.off, v.len));
+                vw = int32_t(ebml_uint(d + v.off, v.len));
               if (v.id == ID_PixelHeight)
-                pr.height = int32_t(ebml_uint(d + v.off, v.len));
+                vh = int32_t(ebml_uint(d + v.off, v.len));
             }
           }
         }
-        if (type == 1) video_tracks.push_back(num);
+        if (type == 1) {
+          video_tracks.push_back(num);
+          if (vw) pr.width = vw;
+          if (vh) pr.height = vh;
+        }
         if (type == 2) pr.has_audio = 1;
       }
     } else if (eid == ID_Cluster) {
