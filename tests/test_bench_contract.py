@@ -1,0 +1,34 @@
+"""Driver-contract smoke tests: bench.py must always print one valid JSON
+line (the driver records it as BENCH_r{N}.json), and __graft_entry__.entry
+must return a jittable (fn, args)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+
+
+def test_bench_smoke_offtpu():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    res = subprocess.run(
+        [sys.executable, "bench.py", "--budget", "240"],
+        capture_output=True, text=True, timeout=420, cwd=repo, env=env,
+    )
+    assert res.returncode == 0, res.stderr[-1500:]
+    line = res.stdout.strip().splitlines()[-1]
+    data = json.loads(line)
+    assert set(data) == {"metric", "value", "unit", "vs_baseline"}
+    assert data["value"] > 0, data
+
+
+def test_graft_entry_jits():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape[0] == 1 and out.shape[-1] == 3
