@@ -134,8 +134,12 @@ class Workspace:
 
     def part_tmp_path(self, index: int, ext: str = ".mp4") -> str:
         # ".tmp" goes before the container extension: writers (cv2/ffmpeg)
-        # infer the container format from the final extension.
-        return os.path.join(self.parts_dir, f"{index:06d}.tmp{ext}")
+        # infer the container format from the final extension.  The pid
+        # makes the tmp PER-PROCESS: a stalled shard worker (SIGSTOP, long
+        # GC) whose lease was stolen and that later resumes writing can
+        # only tear its own tmp file, never the takeover worker's.
+        return os.path.join(self.parts_dir,
+                            f"{index:06d}.tmp{os.getpid()}{ext}")
 
     def commit_part(self, index: int, ext: str = ".mp4") -> None:
         """Rename <part>.tmp -> <part>: parts become visible atomically."""

@@ -86,6 +86,7 @@ class JobManager:
         self.engine_factory = engine_factory or self._default_engine_factory
         self.io_backend = io_backend
         self.jobs: Dict[int, Job] = {}
+        self._engines: Dict[tuple, object] = {}
         self._order: List[int] = []
         self._ids = itertools.count(1)
         self._lock = threading.Lock()
@@ -101,6 +102,17 @@ class JobManager:
         from reve_tpu.pipeline.engine import UpscaleEngine
 
         return UpscaleEngine(model=model, scale=scale)
+
+    def _get_engine(self, model: str, scale: int):
+        """Engines (and their compiled executables) are reused across jobs
+        of the same (model, scale) — a fresh engine per job would pay the
+        multi-second XLA compile for every batch-queue entry."""
+        key = (model, scale)
+        engine = self._engines.get(key)
+        if engine is None:
+            engine = self.engine_factory(model, scale)
+            self._engines[key] = engine
+        return engine
 
     def submit(self, input_path: str, scale: Optional[int] = None,
                model: Optional[str] = None,
@@ -208,7 +220,7 @@ class JobManager:
             )
             ws.create()
         ws.save(st)
-        engine = self.engine_factory(job.model, job.scale)
+        engine = self._get_engine(job.model, job.scale)
         job.progress = ProgressTracker(
             total_frames=sum(s.size for s in st.pending),
             total_segments=len(st.pending),
