@@ -248,35 +248,82 @@ static uint64_t block_track(const uint8_t* p, uint64_t len) {
   return v;
 }
 
+
+// streaming top-level walker: reads element heads through File and loads
+// one payload at a time — originals can be multi-GB movies, and only
+// Info/Tracks/Chapters/Tags/Attachments plus one Cluster at a time need
+// to be resident (the mp4 part files stream through the shared File APIs
+// the same way).
+struct FileEbml {
+  File& f;
+  uint64_t size;
+  uint64_t pos = 0;
+
+  bool read_head(uint32_t* id, uint64_t* sz) {
+    if (pos + 2 > size) return false;
+    uint8_t buf[12];
+    size_t n = size_t(std::min<uint64_t>(12, size - pos));
+    f.read_at(pos, buf, n);
+    uint8_t b0 = buf[0];
+    int idlen = b0 & 0x80 ? 1 : b0 & 0x40 ? 2 : b0 & 0x20 ? 3 :
+                b0 & 0x10 ? 4 : 0;
+    if (!idlen || size_t(idlen) >= n) throw Error("mkv: bad element id");
+    uint32_t v = 0;
+    for (int i = 0; i < idlen; i++) v = (v << 8) | buf[i];
+    uint8_t s0 = buf[idlen];
+    int slen = 0;
+    for (int i = 0; i < 8; i++)
+      if (s0 & (0x80 >> i)) { slen = i + 1; break; }
+    if (!slen || size_t(idlen + slen) > n) throw Error("mkv: bad size vint");
+    uint64_t val = s0 & (0xFF >> slen);
+    for (int i = 1; i < slen; i++) val = (val << 8) | buf[idlen + i];
+    uint64_t unknown = (uint64_t(1) << (7 * slen)) - 1;
+    *id = v;
+    *sz = val == unknown ? UINT64_MAX : val;
+    pos += uint64_t(idlen + slen);
+    return true;
+  }
+
+  std::vector<uint8_t> read_payload(uint64_t sz) {
+    if (pos + sz > size) throw Error("mkv: element overflows file");
+    std::vector<uint8_t> buf(sz);
+    if (sz) f.read_at(pos, buf.data(), sz);
+    pos += sz;
+    return buf;
+  }
+};
+
 static MkvOriginal parse_mkv(const std::string& path) {
   File f(path, "rb");
-  uint64_t fsize = f.size();
-  std::vector<uint8_t> data(fsize);  // originals are read whole; the video
-  f.read_at(0, data.data(), fsize);  // parts (the bulk) are mp4, not mkv
-  Ebml r{data.data(), fsize, 0};
+  FileEbml r{f, f.size()};
 
-  // EBML header
-  if (r.read_id() != ID_EBML) throw Error("not an mkv (no EBML header)");
-  uint64_t hsz = r.read_size();
-  if (hsz == UINT64_MAX) throw Error("mkv: unknown-size EBML header");
-  r.pos += hsz;
-
-  if (r.read_id() != ID_Segment) throw Error("mkv: no Segment");
-  uint64_t seg_sz = r.read_size();
-  uint64_t seg_end = seg_sz == UINT64_MAX ? fsize : r.pos + seg_sz;
-  if (seg_end > fsize) seg_end = fsize;
+  uint32_t eid;
+  uint64_t sz;
+  if (!r.read_head(&eid, &sz) || eid != ID_EBML)
+    throw Error("not an mkv (no EBML header)");
+  if (sz == UINT64_MAX) throw Error("mkv: unknown-size EBML header");
+  r.pos += sz;
+  if (!r.read_head(&eid, &sz) || eid != ID_Segment)
+    throw Error("mkv: no Segment");
+  uint64_t seg_end = sz == UINT64_MAX ? r.size : r.pos + sz;
+  if (seg_end > r.size) seg_end = r.size;
 
   MkvOriginal m;
   std::vector<uint64_t> video_tracks;
-  // walk top-level Segment children
+  // walk top-level Segment children, loading one payload at a time
   while (r.pos < seg_end) {
-    uint32_t eid = r.read_id();
-    uint64_t sz = r.read_size();
+    if (!r.read_head(&eid, &sz)) break;
     if (sz == UINT64_MAX)
       throw Error("mkv: unknown-size element (live stream?) unsupported");
-    uint64_t payload = r.pos, end = r.pos + sz;
-    if (end > seg_end) throw Error("mkv: element overflows segment");
+    if (r.pos + sz > seg_end) throw Error("mkv: element overflows segment");
+    if (eid != ID_Info && eid != ID_Tracks && eid != ID_Cluster &&
+        eid != ID_Chapters && eid != ID_Tags && eid != ID_Attachments) {
+      r.pos += sz;  // SeekHead, Cues, Void, ...: skip without reading
+      continue;
+    }
+    std::vector<uint8_t> data = r.read_payload(sz);
     const uint8_t* d = data.data();
+    uint64_t payload = 0, end = sz;
     if (eid == ID_Info) {
       for (auto& e : ebml_children(d, payload, end)) {
         if (e.id == ID_TimestampScale) m.ts_scale = ebml_uint(d + e.off, e.len);
@@ -346,15 +393,12 @@ static MkvOriginal parse_mkv(const std::string& path) {
         }
       }
     } else if (eid == ID_Chapters) {
-      m.chapters.assign(data.begin() + long(payload),
-                        data.begin() + long(end));
+      m.chapters = std::move(data);
     } else if (eid == ID_Tags) {
-      m.tags.assign(data.begin() + long(payload), data.begin() + long(end));
+      m.tags = std::move(data);
     } else if (eid == ID_Attachments) {
-      m.attachments.assign(data.begin() + long(payload),
-                           data.begin() + long(end));
+      m.attachments = std::move(data);
     }
-    r.pos = end;
   }
   return m;
 }
@@ -905,28 +949,30 @@ struct MkvProbe {
 
 MkvProbe probe_mkv(const std::string& path) {
   File f(path, "rb");
-  uint64_t fsize = f.size();
-  std::vector<uint8_t> data(fsize);
-  f.read_at(0, data.data(), fsize);
-  Ebml r{data.data(), fsize, 0};
-  if (r.read_id() != ID_EBML) throw Error("not an mkv");
-  uint64_t hsz = r.read_size();
-  if (hsz == UINT64_MAX) throw Error("mkv: unknown-size header");
-  r.pos += hsz;
-  if (r.read_id() != ID_Segment) throw Error("mkv: no Segment");
-  uint64_t seg_sz = r.read_size();
-  uint64_t seg_end = seg_sz == UINT64_MAX ? fsize : r.pos + seg_sz;
-  if (seg_end > fsize) seg_end = fsize;
+  FileEbml r{f, f.size()};
+  uint32_t eid;
+  uint64_t sz;
+  if (!r.read_head(&eid, &sz) || eid != ID_EBML) throw Error("not an mkv");
+  if (sz == UINT64_MAX) throw Error("mkv: unknown-size header");
+  r.pos += sz;
+  if (!r.read_head(&eid, &sz) || eid != ID_Segment)
+    throw Error("mkv: no Segment");
+  uint64_t seg_end = sz == UINT64_MAX ? r.size : r.pos + sz;
+  if (seg_end > r.size) seg_end = r.size;
   MkvProbe pr;
   uint64_t ts_scale = 1000000;
   std::vector<uint64_t> video_tracks;
-  const uint8_t* d = data.data();
   while (r.pos < seg_end) {
-    uint32_t eid = r.read_id();
-    uint64_t sz = r.read_size();
+    if (!r.read_head(&eid, &sz)) break;
     if (sz == UINT64_MAX) throw Error("mkv: unknown-size element");
-    uint64_t payload = r.pos, end = r.pos + sz;
-    if (end > seg_end) break;
+    if (r.pos + sz > seg_end) break;
+    if (eid != ID_Info && eid != ID_Tracks && eid != ID_Cluster) {
+      r.pos += sz;
+      continue;
+    }
+    std::vector<uint8_t> data = r.read_payload(sz);
+    const uint8_t* d = data.data();
+    uint64_t payload = 0, end = sz;
     if (eid == ID_Info) {
       for (auto& e : ebml_children(d, payload, end)) {
         if (e.id == ID_TimestampScale) ts_scale = ebml_uint(d + e.off, e.len);
@@ -987,7 +1033,6 @@ MkvProbe probe_mkv(const std::string& path) {
           if (v == trk) { pr.video_blocks++; break; }
       }
     }
-    r.pos = end;
   }
   return pr;
 }
