@@ -42,7 +42,7 @@ import numpy as np
 NORTH_STAR_FPS = 60.0
 
 
-def _make_step(path, cfg, params_like, attempt):
+def _make_step(path, cfg, attempt):
     """Build a jitted full-inference step. `attempt` is baked into the HLO
     via a shape-varying optimization_barrier constant, forcing a fresh
     compile per attempt (dodges the bad-binary compile lottery)."""
@@ -90,7 +90,7 @@ def _measure_path(path, cfg, params, h, w, batch, iters, warmup,
             break
         attempts += 1
         try:
-            fn = _make_step(path, cfg, params, attempt)
+            fn = _make_step(path, cfg, attempt)
             t0 = time.perf_counter()
             jax.block_until_ready(fn(params, u8))
             compile_s = time.perf_counter() - t0
