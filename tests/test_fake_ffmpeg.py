@@ -11,7 +11,6 @@ contracts against the reference's invocations
 
 import fractions
 import json
-import os
 
 import numpy as np
 import pytest

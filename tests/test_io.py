@@ -156,8 +156,7 @@ def test_y4m_10bit_roundtrip(tmp_path):
 
 def test_y4m_10bit_pipeline(tmp_path):
     """Pipeline end-to-end with 10-bit parts."""
-    import dataclasses
-
+    
     from reve_tpu.pipeline import planner as planner_mod
     from reve_tpu.pipeline import scheduler, state
 

@@ -91,8 +91,6 @@ def test_sanitized_concat_and_corrupt(san_binary, tmp_path):
     from reve_tpu import native
 
     if native.available():
-        import numpy as np_  # noqa: F401 (rs below)
-
         mkv_src = str(tmp_path / "src.mkv")
         native.concat_mkv([parts[1]], None, mkv_src)
         data = open(mkv_src, "rb").read()

@@ -8,7 +8,6 @@ import threading
 import numpy as np
 import pytest
 import jax
-import jax.numpy as jnp
 
 from reve_tpu.parallel import mesh as mesh_lib
 from reve_tpu.pipeline import leases, planner, scheduler, state

@@ -2,7 +2,6 @@
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from reve_tpu.models import srvgg
 from reve_tpu.parallel import mesh as mesh_lib
