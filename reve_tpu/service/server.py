@@ -229,6 +229,34 @@ class Handler(BaseHTTPRequestHandler):
             ])
         elif self.path == "/api/config":
             self._json(self.cfg.to_json())
+        elif self.path == "/api/metrics" or self.path == "/metrics":
+            # Prometheus text exposition: machine-readable ops counters
+            # (SURVEY.md §5 metrics/observability; the reference has none)
+            jobs = self.manager.list_jobs()
+            by_status = {}
+            frames_done = 0
+            for j in jobs:
+                by_status[j["status"]] = by_status.get(j["status"], 0) + 1
+                p = (j.get("progress") or {}).get("encode") or {}
+                frames_done += p.get("done", 0)
+            lines = [
+                "# TYPE reve_jobs_total gauge",
+            ]
+            for status in ("queued", "running", "done", "error", "cancelled"):
+                lines.append(
+                    f'reve_jobs_total{{status="{status}"}} '
+                    f"{by_status.get(status, 0)}"
+                )
+            lines += [
+                "# TYPE reve_frames_encoded_total counter",
+                f"reve_frames_encoded_total {frames_done}",
+            ]
+            body = ("\n".join(lines) + "\n").encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         elif self.path.startswith("/api/log"):
             from urllib.parse import parse_qs, urlparse
 

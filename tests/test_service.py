@@ -408,3 +408,26 @@ def test_progressive_parts_streaming(tmp_path):
     finally:
         srv.shutdown()
         manager.shutdown()
+
+
+def test_api_metrics(server, tmp_path):
+    inp = str(tmp_path / "m.y4m")
+    with writer.Y4MWriter(inp, 32, 24, fractions.Fraction(24)) as wr:
+        for i in range(6):
+            wr.write(np.full((24, 32, 3), 50, np.uint8))
+    job = _post(server + "/api/jobs",
+                {"input": inp, "scale": 2,
+                 "output": str(tmp_path / "mo.y4m")})
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if _get(server + f"/api/jobs/{job['id']}")["status"] in ("done",
+                                                                "error"):
+            break
+        time.sleep(0.1)
+    with urllib.request.urlopen(server + "/api/metrics", timeout=10) as r:
+        text = r.read().decode()
+    assert 'reve_jobs_total{status="done"}' in text
+    assert "reve_frames_encoded_total" in text
+    done_line = [ln for ln in text.splitlines()
+                 if ln.startswith('reve_jobs_total{status="done"}')][0]
+    assert int(done_line.rsplit(" ", 1)[1]) >= 1
