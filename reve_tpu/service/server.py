@@ -154,6 +154,7 @@ async function refresh(){
   const live=j.status==='running'||j.status==='queued';
   return `<div class=job><b>#${j.id}</b> ${j.input} &rarr; x${j.scale} [${j.status}]
    ${live?`<button style="float:right" onclick="cancel(${j.id})">cancel</button>`:''}
+   ${j.status==='done'?`<a style="float:right" href="/api/jobs/${j.id}/output" download>download</a>`:''}
    <div class=bar><div style="width:${pct}%"></div></div>
    ${p?`${p.done}/${p.total} frames (${p.rate} fps)`:''}
    ${j.error?`<div class=err>${j.error}</div>`:''}</div>`;
@@ -309,6 +310,28 @@ class Handler(BaseHTTPRequestHandler):
                 # while the job is still running
                 self._json({"parts": job.committed_parts(),
                             "ext": job.part_ext})
+            elif rest[1] == "output" and len(rest) == 2:
+                # final output download (after the job is done)
+                import os
+
+                if job.status != "done" or not os.path.exists(
+                        job.output_path):
+                    return self._json({"error": "output not ready"}, 409)
+                ext = os.path.splitext(job.output_path)[1].lower()
+                ctype = {".mp4": "video/mp4",
+                         ".mkv": "video/x-matroska"}.get(
+                    ext, "application/octet-stream")
+                size = os.path.getsize(job.output_path)
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(size))
+                self.end_headers()
+                with open(job.output_path, "rb") as f:
+                    while True:
+                        chunk = f.read(1 << 20)
+                        if not chunk:
+                            break
+                        self.wfile.write(chunk)
             elif rest[1] == "parts" and len(rest) == 3:
                 try:
                     idx = int(rest[2])

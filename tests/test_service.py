@@ -431,3 +431,31 @@ def test_api_metrics(server, tmp_path):
     done_line = [ln for ln in text.splitlines()
                  if ln.startswith('reve_jobs_total{status="done"}')][0]
     assert int(done_line.rsplit(" ", 1)[1]) >= 1
+
+
+def test_api_output_download(server, tmp_path):
+    import urllib.request as rq
+
+    inp = str(tmp_path / "d.y4m")
+    with writer.Y4MWriter(inp, 32, 24, fractions.Fraction(24)) as wr:
+        for i in range(6):
+            wr.write(np.full((24, 32, 3), 90, np.uint8))
+    out = str(tmp_path / "do.y4m")
+    job = _post(server + "/api/jobs", {"input": inp, "scale": 2,
+                                       "output": out})
+    # not ready while queued/running
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        s = _get(server + f"/api/jobs/{job['id']}")["status"]
+        if s in ("done", "error"):
+            break
+        time.sleep(0.1)
+    assert s == "done"
+    with rq.urlopen(server + f"/api/jobs/{job['id']}/output",
+                    timeout=10) as r:
+        data = r.read()
+    assert data.startswith(b"YUV4MPEG2")
+    assert data == open(out, "rb").read()
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        rq.urlopen(server + "/api/jobs/99999/output", timeout=10)
+    assert ei.value.code == 404
