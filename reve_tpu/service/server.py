@@ -10,10 +10,23 @@ API (cf. the six Tauri commands, reve-gui/src-tauri/src/main.rs:12-19):
     GET  /api/config             <- load_configuration
     POST /api/config             <- write_configuration
     POST /api/log                <- write_log (config-gated)
+    GET  /api/log?lines=N        log tail (viewer page)
     POST /api/jobs {input,scale,model[,output]}  <- upscale_single_video
     GET  /api/jobs               job list + live progress
     GET  /api/jobs/<id>
+    DELETE /api/jobs/<id>        cancel
+    GET  /api/jobs/<id>/parts    progressive output: committed segments
+    GET  /api/jobs/<id>/parts/<i>  download one committed segment
+    GET  /api/jobs/<id>/output   download the final output
+    GET  /api/browse?dir=        server-side file browser
+    GET  /api/models             registry listing
+    GET  /api/metrics            Prometheus text metrics
     POST /api/suffix {path,factor,ext}           <- replace_file_suffix
+
+Trust model: binds to 127.0.0.1 by default and (like the reference's
+desktop GUI) is a LOCAL operator tool — /api/browse and job inputs
+intentionally reach the operator's filesystem; do not expose the port
+publicly without an auth proxy.
 """
 
 from __future__ import annotations
