@@ -66,6 +66,10 @@ class FfmpegX265Writer(FrameWriter):
         self.ffmpeg = ffmpeg or shutil.which("ffmpeg")
         if not self.ffmpeg:
             raise RuntimeError("ffmpeg binary not found")
+        if width % 2 or height % 2:
+            raise ValueError(
+                f"yuv420 requires even dimensions, got {width}x{height}"
+            )
         self.width, self.height = width, height
         cmd = [
             self.ffmpeg, "-v", "error", "-y",
@@ -152,6 +156,11 @@ class Y4MWriter(FrameWriter):
                  fps: fractions.Fraction, bits: int = 8):
         if bits not in (8, 10):
             raise ValueError(f"bits must be 8 or 10, got {bits}")
+        if width % 2 or height % 2:
+            raise ValueError(
+                f"yuv420 requires even dimensions, got {width}x{height} "
+                "(2x2 chroma subsampling; ffmpeg/x265 reject this too)"
+            )
         self.width, self.height = width, height
         self.bits = bits
         chroma = "C420" if bits == 8 else "C420p10"

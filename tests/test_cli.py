@@ -260,3 +260,106 @@ def test_ctrl_c_graceful_interrupt(tmp_path):
     assert "resuming" in p2.stderr
     rd = reader.Y4MReader(out)
     assert rd.frame_count() == 36
+
+
+def test_cli_end_to_end_odd_dims(tmp_path, monkeypatch):
+    """Odd width/height e2e via the cv2/mp4 stack (yuv420 containers cannot
+    carry odd dims — the writers reject those with a clear message; mp4v
+    via cv2 handles the padding internally).  The s2d stack pads+masks
+    internally for the odd heights."""
+    import cv2
+
+    monkeypatch.chdir(tmp_path)
+    inp = str(tmp_path / "odd.mp4")
+    wr = cv2.VideoWriter(inp, cv2.VideoWriter_fourcc(*"mp4v"), 24, (25, 17))
+    for i in range(7):
+        wr.write(np.full((17, 25, 3), 40 + 20 * i, np.uint8))
+    wr.release()
+    # cv2/mp4v itself rounds odd dims down (stores 24x16) — 4:2:0 video
+    # containers cannot carry odd dims anywhere in this ecosystem; the
+    # pipeline must stay consistent with the dims the probe reports
+    out = str(tmp_path / "out.mp4")
+    rc = cli.run(["-i", inp, "-s", "3", out, "--yes", "--io-backend", "cv2",
+                  "-S", "3", "--batch", "2", "--dtype", "float32"])
+    assert rc == 0
+    from reve_tpu.io import probe as probe_mod
+
+    info = probe_mod.probe(inp, backend="cv2")
+    cap = cv2.VideoCapture(out)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == info.width * 3
+    assert int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) == info.height * 3
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 7
+
+
+def test_y4m_writer_rejects_odd_dims(tmp_path):
+    with pytest.raises(ValueError, match="even dimensions"):
+        writer.Y4MWriter(str(tmp_path / "x.y4m"), 25, 16,
+                         fractions.Fraction(24))
+
+
+def test_repeated_kill_resume_soak(tmp_path):
+    """Kill the job at several different points; every resume must pick up
+    from committed parts and the final output must be frame-exact — the
+    reference's flagship property (README.md:19), stress-tested."""
+    import subprocess
+    import sys
+    import time as time_mod
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    inp = str(tmp_path / "in.y4m")
+    n_frames = 30
+    with writer.Y4MWriter(inp, 32, 24, fractions.Fraction(24)) as wr:
+        for i in range(n_frames):
+            wr.write(np.full((24, 32, 3), 15 + 7 * i, np.uint8))
+    out = str(tmp_path / "out.y4m")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    env["REVE_TEST_SLOW_SEGMENT"] = "0.25"
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import sys\nfrom reve_tpu import cli\n"
+        f"sys.exit(cli.run(['-i', {inp!r}, '-s', '2', {out!r}, '--yes',"
+        "'--io-backend', 'y4m', '-S', '5', '--batch', '4',"
+        "'--dtype', 'float32']))"
+    )
+    parts_dir = os.path.join(out + ".revework", "parts")
+
+    def run_until_parts(min_parts, timeout=120):
+        p = subprocess.Popen([sys.executable, "-c", code], env=env,
+                             cwd=str(tmp_path), stdout=subprocess.DEVNULL,
+                             stderr=subprocess.PIPE, text=True)
+        deadline = time_mod.time() + timeout
+        while time_mod.time() < deadline:
+            if p.poll() is not None:
+                return p  # finished on its own
+            done = [f for f in os.listdir(parts_dir)
+                    if f.endswith(".y4m") and ".tmp" not in f] \
+                if os.path.isdir(parts_dir) else []
+            if len(done) >= min_parts:
+                p.kill()  # SIGKILL mid-flight
+                p.wait(timeout=30)
+                return p
+            time_mod.sleep(0.05)
+        p.kill()
+        raise AssertionError("timeout waiting for parts")
+
+    for kill_at in (1, 2, 4):
+        p = run_until_parts(kill_at)
+        if p.returncode == 0:
+            break  # finished before we could kill it — fine
+    # final run to completion (no slow hook)
+    env.pop("REVE_TEST_SLOW_SEGMENT")
+    res = subprocess.run([sys.executable, "-c", code], env=env,
+                         cwd=str(tmp_path), capture_output=True, text=True,
+                         timeout=180)
+    assert res.returncode == 0, res.stderr[-800:]
+    rd = reader.Y4MReader(out)
+    assert rd.frame_count() == n_frames
+    lumas = [int(f[12, 16, 0]) for f in rd.read_range(0, n_frames)]
+    diffs = [b - a for a, b in zip(lumas, lumas[1:])]
+    assert all(5 <= d <= 9 for d in diffs), (lumas, diffs)
