@@ -154,3 +154,42 @@ def test_x265_knob_matrix(fakebin, tmp_path, crf, preset, params):
     argv = json.load(open(out + ".argv.json"))["argv"]
     s = " ".join(argv)
     assert f"-crf {crf} -preset {preset} -x265-params {params}" in s
+
+
+def test_cli_threads_encode_knobs_to_ffmpeg(fakebin, tmp_path, monkeypatch):
+    """FULL pipeline through the production ffmpeg encode path (stub on
+    PATH): the CLI's -c/-p/-x flags must reach the per-segment encoder argv
+    (cli -> JobState.encode -> scheduler -> FfmpegX265Writer), and the
+    stub-encoded parts must concat into a complete output via the stub's
+    `-f concat` mode."""
+    import glob
+
+    from reve_tpu import cli
+
+    monkeypatch.chdir(tmp_path)
+    inp = str(tmp_path / "in.y4m")
+    with writer_mod.Y4MWriter(inp, 32, 24, fractions.Fraction(24)) as wr:
+        for i in range(9):
+            wr.write(np.full((24, 32, 3), 30 + 9 * i, np.uint8))
+    out = str(tmp_path / "out.mp4")
+    rc = cli.run([
+        "-i", inp, "-s", "2", out, "--yes", "-S", "4", "--batch", "3",
+        "--dtype", "float32", "-c", "22", "-p", "fast", "-x", "aq-mode=2",
+        "--keep-workspace",
+    ])
+    assert rc == 0
+    # every segment encoder invocation carried the CLI's knobs
+    argv_files = glob.glob(str(tmp_path / "**" / "*.argv.json"),
+                           recursive=True)
+    encoder_argvs = []
+    for f in argv_files:
+        argv = json.load(open(f))["argv"]
+        if "-c:v" in argv:
+            encoder_argvs.append(" ".join(argv))
+    assert len(encoder_argvs) == 3  # 9 frames / segsize 4 -> 3 segments
+    for s in encoder_argvs:
+        assert "-crf 22 -preset fast -x265-params aq-mode=2" in s
+        assert "-pix_fmt yuv420p10le" in s
+    # the stub's concat stitched all frames (output is y4m-in-.mp4)
+    rd = reader_mod.Y4MReader(out)
+    assert rd.frame_count() == 9 and rd.width == 64
