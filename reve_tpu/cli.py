@@ -89,7 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("outputpath", help="output video path (mp4/mkv)")
     p.add_argument("-s", "--scale", required=True, type=_scale_validation,
                    help="upscale ratio (2, 3, 4)")
-    p.add_argument("-S", "--segmentsize", type=int, default=1000,
+    # the reference's README documents -P while its clap derive implements
+    # -S (README.md:54 vs reve-shared/src/lib.rs:220); accept both
+    p.add_argument("-S", "-P", "--segmentsize", type=int, default=1000,
                    help="segment size (in frames)")
     p.add_argument("-c", "--crf", type=_crf_validation, default=15,
                    help="video constant rate factor (crf: 51-0)")

@@ -363,3 +363,14 @@ def test_repeated_kill_resume_soak(tmp_path):
     lumas = [int(f[12, 16, 0]) for f in rd.read_range(0, n_frames)]
     diffs = [b - a for a, b in zip(lumas, lumas[1:])]
     assert all(5 <= d <= 9 for d in diffs), (lumas, diffs)
+
+
+def test_segmentsize_accepts_both_spellings(tmp_path):
+    """The reference README documents -P; its source implements -S — accept
+    both (README.md:54 vs reve-shared/src/lib.rs:220)."""
+    p = tmp_path / "x.mp4"
+    p.write_text("")
+    for flag in ("-S", "-P", "--segmentsize"):
+        args = cli.build_parser().parse_args(
+            ["-i", str(p), "-s", "2", flag, "77", "o.mp4"])
+        assert args.segmentsize == 77
