@@ -374,3 +374,31 @@ def test_segmentsize_accepts_both_spellings(tmp_path):
         args = cli.build_parser().parse_args(
             ["-i", str(p), "-s", "2", flag, "77", "o.mp4"])
         assert args.segmentsize == 77
+
+
+def test_cli_mp4_input_mkv_output(tmp_path):
+    """mp4 in -> mkv out is allowed (the reference only forbids mkv->mp4,
+    reve-cli/src/main.rs:124-140); audio from the mp4 original is remuxed
+    into the Matroska output by the native muxer."""
+    import cv2
+
+    from reve_tpu import native
+
+    clip = str(tmp_path / "clip.mp4")
+    wr = cv2.VideoWriter(clip, cv2.VideoWriter_fourcc(*"mp4v"), 24, (64, 48))
+    for i in range(6):
+        wr.write(np.full((48, 64, 3), 40 + i * 20, np.uint8))
+    wr.release()
+    out = str(tmp_path / "out.mkv")
+    rc = cli.run(["-i", clip, "-s", "2", out, "--yes", "-S", "4",
+                  "--batch", "3", "--io-backend", "cv2",
+                  "--dtype", "float32"])
+    assert rc == 0
+    info = native.probe_mkv(out)
+    assert info["video_blocks"] == 6 and info["width"] == 128
+    cap = cv2.VideoCapture(out)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 6
