@@ -13,17 +13,20 @@ layers over a row-strip while the strip lives in VMEM:
     pipeline: each layer's stream lags one row per layer).
   * Horizontally the image is cut into column tiles of CORE cols with a
     MARGIN halo recomputed on each side.
-  * Each conv is 3 MXU matmuls of (S*WW, 192) @ (192, 64): the 3 dy taps
-    stacked into K (an im2col the VPU builds in VMEM), the 3 dx taps
-    realized as row shifts of the flattened matrix, f32 accumulation.
+  * Each conv is 3 MXU matmuls of (S*WW, kdim) @ (kdim, 64): the 3 dy
+    taps stacked into K (an im2col the VPU builds in VMEM; K zero-padded
+    to kdim=256 = 2 aligned lane tiles by default), the 3 dx taps realized
+    as row shifts of the flattened matrix, f32 accumulation; msplit row
+    chunks bound the operand's VMEM footprint.
   * Input and output strips are double-buffered: each grid step prefetches
     the next strip's input DMA and drains the previous output DMA behind
     the current step's compute, so the serial DMA latency (~50 us/copy on
     this part) is hidden.
   * Exact SAME zero-padding semantics at frame borders are enforced by
     masking each layer's input rows/cols that fall outside the frame.
-    Interior strips (the vast majority) take a fast path that skips the
-    masking entirely — selected per grid step with predicated execution.
+    (An interior fast path that skips the masks exists behind
+    fast_interior but measured SLOWER — the lax.cond costs more than the
+    masks it saves; off by default, PERF.md round-2 table.)
 
 Numerics match reve_tpu.models.srvgg exactly: f32 accumulation, f32 bias
 add, cast to the compute dtype, PReLU in the compute dtype.
