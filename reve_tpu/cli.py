@@ -130,6 +130,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "line-buffer kernel (TPU only; PERF.md for current "
                         "measurements — XLA is the faster default on the "
                         "tested stack)")
+    p.add_argument("--progress-json", default=None, metavar="FILE",
+                   help="append machine-readable JSON progress snapshots "
+                        "to FILE (one object per line)")
     p.add_argument("--trace", default=None, metavar="FILE",
                    help="write JSONL stage-timing events to FILE")
     p.add_argument("--profile-dir", default=None, metavar="DIR",
@@ -275,12 +278,15 @@ def run(argv: Optional[List[str]] = None) -> int:
         preloaded=preloaded,
         fused=args.fused,
     )
+    from reve_tpu.pipeline.progress import JsonlRenderer, TeeRenderer
+
     renderer = ConsoleRenderer()
+    jsonl = JsonlRenderer(args.progress_json) if args.progress_json else None
     remaining = sum(s.size for s in state.pending)
     tracker = ProgressTracker(
         total_frames=remaining,
         total_segments=len(state.pending),
-        on_update=renderer,
+        on_update=TeeRenderer(renderer, jsonl),
     )
     from reve_tpu.utils import trace as trace_mod
 

@@ -92,3 +92,44 @@ class ConsoleRenderer:
             )
             self._lines += 1
         self.stream.flush()
+
+
+class JsonlRenderer:
+    """Machine-readable progress: one JSON snapshot line per update, rate
+    limited — the structured counterpart of the console bars (the reference
+    only has human-oriented indicatif output, SURVEY.md §5)."""
+
+    def __init__(self, path: str, min_interval: float = 0.5):
+        import time as _time
+
+        self._f = open(path, "w")
+        self._min_interval = min_interval
+        self._last = 0.0
+        self._time = _time
+
+    def __call__(self, tracker: "ProgressTracker") -> None:
+        import json as _json
+
+        now = self._time.monotonic()
+        if now - self._last < self._min_interval:
+            return
+        self._last = now
+        self._f.write(_json.dumps(tracker.snapshot()) + "\n")
+        self._f.flush()
+
+    def close(self) -> None:
+        try:
+            self._f.close()
+        except OSError:
+            pass
+
+
+class TeeRenderer:
+    """Fan a progress update out to several renderers."""
+
+    def __init__(self, *renderers):
+        self._renderers = [r for r in renderers if r is not None]
+
+    def __call__(self, tracker: "ProgressTracker") -> None:
+        for r in self._renderers:
+            r(tracker)

@@ -402,3 +402,20 @@ def test_cli_mp4_input_mkv_output(tmp_path):
         n += 1
     cap.release()
     assert n == 6
+
+
+def test_progress_json_stream(tmp_path, monkeypatch):
+    import json
+
+    monkeypatch.chdir(tmp_path)
+    inp = _small_y4m(tmp_path, frames=12)
+    out = str(tmp_path / "out.y4m")
+    pj = str(tmp_path / "progress.jsonl")
+    rc = cli.run(["-i", inp, "-s", "2", out, "--yes", "--io-backend", "y4m",
+                  "-S", "4", "--batch", "3", "--dtype", "float32",
+                  "--progress-json", pj])
+    assert rc == 0
+    lines = [json.loads(x) for x in open(pj) if x.strip()]
+    assert lines, "no progress snapshots written"
+    last = lines[-1]
+    assert {"decode", "upscale", "encode"} <= set(last)
