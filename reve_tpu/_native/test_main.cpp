@@ -24,6 +24,25 @@ int rc_probe_mp4(const char* path, int* width, int* height,
                  long long* duration, int* n_tracks, int* has_audio);
 long rc_plan_segments(long frames, long segsize, long* starts, long* sizes,
                       long cap);
+int rc_concat_y4m(const char** parts, long n_parts, const char* output);
+int rc_probe_y4m(const char* path, long* width, long* height, long* fps_num,
+                 long* fps_den, long* frames);
+}
+
+// Writes a tiny 4x2 C420 y4m with `frames` gray frames.
+static int write_y4m(const char* path, int frames, int shade) {
+  std::FILE* f = std::fopen(path, "wb");
+  if (!f) return 1;
+  std::fprintf(f, "YUV4MPEG2 W4 H2 F24:1 Ip A1:1 C420\n");
+  for (int i = 0; i < frames; i++) {
+    std::fprintf(f, "FRAME\n");
+    unsigned char y[8], uv[4] = {128, 128, 128, 128};  // 2x1 u + 2x1 v
+    std::memset(y, shade + i * 3, sizeof(y));
+    std::fwrite(y, 1, 8, f);
+    std::fwrite(uv, 1, 4, f);
+  }
+  std::fclose(f);
+  return 0;
 }
 
 static int probe(const char* path, bool expect_ok) {
@@ -103,6 +122,28 @@ int main(int argc, char** argv) {
     if (blocks <= 0) { std::fprintf(stderr, "mkv probe: no blocks\n"); return 1; }
   }
 
+  // y4m stream-copy concat + probe under the sanitizers.
+  {
+    std::string y1 = std::string(out) + ".a.y4m";
+    std::string y2 = std::string(out) + ".b.y4m";
+    std::string yc = std::string(out) + ".cat.y4m";
+    if (write_y4m(y1.c_str(), 3, 40) || write_y4m(y2.c_str(), 2, 90)) {
+      std::fprintf(stderr, "y4m fixture write failed\n");
+      return 1;
+    }
+    const char* yparts[2] = {y1.c_str(), y2.c_str()};
+    if (rc_concat_y4m(yparts, 2, yc.c_str()) != 0) {
+      std::fprintf(stderr, "y4m concat failed: %s\n", rc_last_error());
+      return 1;
+    }
+    long w, h, fn, fd, fr;
+    if (rc_probe_y4m(yc.c_str(), &w, &h, &fn, &fd, &fr) != 0 || fr != 5) {
+      std::fprintf(stderr, "y4m probe failed (%s), frames=%ld\n",
+                   rc_last_error(), fr);
+      return 1;
+    }
+  }
+
   // corrupt inputs must not crash (no sanitizer report).  Rejection
   // strictness for truncated/garbage files is asserted by the Python tests
   // (tests/test_native.py); here table-count-lie fixtures may parse with
@@ -120,6 +161,9 @@ int main(int argc, char** argv) {
     double dsec;
     (void)rc_probe_mkv(argv[i], &w, &h, &blocks, &dsec, &ntracks,
                        &has_audio);
+    long lw, lh, fn, fd, fr;
+    (void)rc_probe_y4m(argv[i], &lw, &lh, &fn, &fd, &fr);
+    (void)rc_concat_y4m(bad, 1, "/dev/null");
   }
   std::puts("sanitized native core: ok");
   return 0;

@@ -90,6 +90,12 @@ def native_concat(parts: List[str], original: str, output: str) -> bool:
 
     if not native.available():
         return False
+    if output.endswith(".y4m"):
+        # byte-exact stream copy (y4m carries no audio to remux)
+        if not all(p.endswith(".y4m") for p in parts):
+            return False
+        native.concat_y4m(parts, output)
+        return True
     if not all(p.endswith(".mp4") for p in parts):
         return False
     if output.endswith(".mkv"):
@@ -114,9 +120,11 @@ def concatenate(parts: List[str], original: str, output: str,
 
     Returns a report dict: {'backend': ..., 'audio_copied': bool}.
     """
-    if backend in (None, "native", "cv2"):
+    if backend in (None, "native", "cv2", "y4m"):
         try:
             if native_concat(parts, original, output):
+                if output.endswith(".y4m"):  # y4m carries no audio
+                    return {"backend": "native", "audio_copied": False}
                 ok_exts = (".mp4", ".mkv") if output.endswith(".mkv") \
                     else (".mp4",)
                 has_orig = bool(original) and os.path.exists(original) \

@@ -49,6 +49,12 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
             ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         )
     ]
+    lib.rc_concat_y4m.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_long, ctypes.c_char_p,
+    ]
+    lib.rc_probe_y4m.argtypes = [ctypes.c_char_p] + [
+        ctypes.POINTER(ctypes.c_long)
+    ] * 5
     lib.rc_concat_mkv.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
         ctypes.c_char_p, ctypes.c_char_p,
@@ -161,6 +167,34 @@ def concat_mkv(parts: List[str], original: Optional[str],
         original.encode() if original else None,
         out_path.encode(),
     ))
+
+
+def concat_y4m(parts: List[str], out_path: str) -> None:
+    """Byte-exact stream-copy concat of y4m parts (no YUV->RGB round trip
+    — the reference's `-c copy` semantics, reve-shared/src/lib.rs:181-204,
+    for the codec-free y4m path).  Native-only capability."""
+    lib = load()
+    if lib is None:
+        raise NativeError("native core unavailable")
+    arr = (ctypes.c_char_p * len(parts))(*[p.encode() for p in parts])
+    _check(lib, lib.rc_concat_y4m(arr, len(parts), out_path.encode()))
+
+
+def probe_y4m(path: str) -> dict:
+    """Exact y4m probe: geometry, fps, and a FRAME-marker-walked frame
+    count (robust to FRAME parameter strings and torn tail frames)."""
+    lib = load()
+    if lib is None:
+        raise NativeError("native core unavailable")
+    w, h, fn, fd, fr = (ctypes.c_long() for _ in range(5))
+    _check(lib, lib.rc_probe_y4m(
+        path.encode(), ctypes.byref(w), ctypes.byref(h),
+        ctypes.byref(fn), ctypes.byref(fd), ctypes.byref(fr),
+    ))
+    return {
+        "width": w.value, "height": h.value,
+        "fps_num": fn.value, "fps_den": fd.value, "frames": fr.value,
+    }
 
 
 def probe_mkv(path: str) -> dict:

@@ -322,8 +322,11 @@ def finalize(state: JobState, workspace: Workspace,
             f"output {state.output_path!r} missing or empty after concat"
         )
     if not report.get("audio_copied"):
-        log.warning(
-            "audio/subtitles were not carried over (backend %s has no "
-            "remux path)", report.get("backend"),
-        )
+        if state.output_path.endswith(".y4m"):
+            log.info("y4m output carries no audio/subtitle tracks")
+        else:
+            log.warning(
+                "audio/subtitles were not carried over (backend %s has no "
+                "remux path)", report.get("backend"),
+            )
     return report

@@ -29,6 +29,7 @@ def san_binary(tmp_path_factory):
         "-fsanitize=address,undefined", "-fno-omit-frame-pointer",
         os.path.join(NATIVE_DIR, "mp4.cpp"),
         os.path.join(NATIVE_DIR, "mkv.cpp"),
+        os.path.join(NATIVE_DIR, "y4m.cpp"),
         os.path.join(NATIVE_DIR, "core.cpp"),
         os.path.join(NATIVE_DIR, "test_main.cpp"),
         "-o", out,

@@ -82,7 +82,9 @@ def test_end_to_end_y4m(tmp_path):
     assert ws.completed_parts(".y4m") == [0, 1, 2, 3]  # ceil(25/7)=4
 
     report = scheduler.finalize(final, ws, io_backend="y4m", part_ext=".y4m")
-    assert report["backend"] == "y4m"
+    # y4m parts stream-copy through the native core when it's built,
+    # byte-exact; the Python rewrite path is the fallback
+    assert report["backend"] in ("native", "y4m")
 
     lumas = _read_lumas(st.output_path)
     want = [20 + 8 * i for i in range(25)]
