@@ -112,6 +112,23 @@ def _probe_native_mkv(path: str) -> Optional[VideoInfo]:
 
 
 def _probe_y4m(path: str) -> VideoInfo:
+    # prefer the native FRAME-marker walk: exact under FRAME parameter
+    # strings and torn tail frames, where the Python reader's file-size
+    # division assumes bare "FRAME\n" markers
+    try:
+        from reve_tpu import native
+
+        if native.available():
+            info = native.probe_y4m(path)
+            return VideoInfo(
+                path=path,
+                width=info["width"],
+                height=info["height"],
+                frame_count=info["frames"],
+                fps=fractions.Fraction(info["fps_num"], info["fps_den"]),
+            )
+    except Exception:
+        pass
     from reve_tpu.io.reader import Y4MReader
 
     rd = Y4MReader(path)
