@@ -49,6 +49,10 @@ _SPECS = {
     # RRDBNet stretch models (BASELINE.json config #4)
     "realesrgan-x4plus": ModelSpec("rrdb", "RealESRGAN_x4plus", 64, 23, 4),
     "realesrgan-x4plus-anime": ModelSpec("rrdb", "RealESRGAN_x4plus_anime_6B", 64, 6, 4),
+    # upstream zoo completeness: x2 RRDB (pixel-unshuffled input) and the
+    # no-GAN RealESRNet twin of x4plus (same arch, different weights)
+    "realesrgan-x2plus": ModelSpec("rrdb", "RealESRGAN_x2plus", 64, 23, 2),
+    "realesrnet-x4plus": ModelSpec("rrdb", "RealESRNet_x4plus", 64, 23, 4),
 }
 
 

@@ -104,6 +104,25 @@ def test_registry_rrdb_fallback():
     assert cfg.num_block == 6
 
 
+def test_registry_x2plus_runs():
+    """x2 RRDB pixel-unshuffles the input (upstream RealESRGAN_x2plus)."""
+    cfg, params = registry.load_model("realesrgan-x2plus", scale=2)
+    assert isinstance(cfg, rrdb.RRDBConfig)
+    assert (cfg.num_block, cfg.upscale) == (23, 2)
+    # tiny forward at block depth 2 to keep the test fast
+    small = rrdb.RRDBConfig(num_feat=8, num_block=2, num_grow_ch=4, upscale=2)
+    sp = rrdb.init_params(jax.random.key(0), small)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 8, 10, 3), jnp.float32)
+    y = rrdb.apply(sp, x, cfg=small)
+    assert y.shape == (1, 16, 20, 3)
+
+
+def test_registry_realesrnet_name():
+    cfg, _ = registry.load_model("realesrnet-x4plus", scale=4)
+    assert isinstance(cfg, rrdb.RRDBConfig)
+    assert (cfg.num_block, cfg.upscale) == (23, 4)
+
+
 def test_rrdb_s2d_exact():
     """The 2D space-to-depth trunk is exact vs the classic path (f32)."""
     cfg = rrdb.RRDBConfig(num_feat=16, num_block=2, num_grow_ch=8, upscale=4)
