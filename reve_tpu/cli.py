@@ -17,6 +17,10 @@ Extensions beyond the reference (new capabilities, defaulted off):
     --io-backend               force ffmpeg / cv2 / y4m io
     --yes                      resume non-interactively
     --workspace                override the temp workspace location
+    image input/output         `-i in.png -s 4 out.png` upscales a single
+                               image — the replaced engine's own surface
+                               (realesrgan-ncnn-vulkan images; the
+                               reference GUI's original flow)
 
 Resume semantics match the reference (reve-cli/src/main.rs:43-102): if a
 prior interrupted job's state exists, ask to resume; on refusal confirm and
@@ -42,13 +46,19 @@ PRESETS = (
     "slow", "slower", "veryslow",
 )
 VIDEO_EXTS = (".mp4", ".mkv")
+#: single-image mode: the surface of the engine this framework replaces —
+#: realesrgan-ncnn-vulkan upscales images (`-i in.jpg -o out.png`), and the
+#: reference GUI is a half-migrated image upscaler (SURVEY.md §2.5)
+IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
 
 
 def _input_validation(s: str) -> str:
     if not os.path.exists(s):
         raise argparse.ArgumentTypeError("input path not found")
-    if not s.lower().endswith(VIDEO_EXTS + (".y4m",)):
-        raise argparse.ArgumentTypeError("valid input formats: mp4/mkv")
+    if not s.lower().endswith(VIDEO_EXTS + (".y4m",) + IMAGE_EXTS):
+        raise argparse.ArgumentTypeError(
+            "valid input formats: mp4/mkv (videos), png/jpg/webp/bmp (images)"
+        )
     return s
 
 
@@ -224,6 +234,8 @@ def run(argv: Optional[List[str]] = None) -> int:
     if os.path.exists(args.outputpath):
         print("output path already exists", file=sys.stderr)
         return 2
+    if args.inputpath.lower().endswith(IMAGE_EXTS):
+        return _run_image(args)
     if not args.outputpath.lower().endswith(VIDEO_EXTS + (".y4m",)):
         print("valid output formats: mp4/mkv", file=sys.stderr)
         return 2
@@ -259,15 +271,9 @@ def run(argv: Optional[List[str]] = None) -> int:
     from reve_tpu.pipeline.progress import ConsoleRenderer, ProgressTracker
     from reve_tpu.pipeline import scheduler
 
-    preloaded = None
-    if args.denoise is not None:
-        if not (args.weights and args.weights_wdn):
-            print("--denoise requires --weights and --weights-wdn",
-                  file=sys.stderr)
-            return 2
-        from reve_tpu.weights.interpolate import load_dni
-
-        preloaded = load_dni(args.weights_wdn, args.weights, args.denoise)
+    preloaded, err = _load_preloaded(args)
+    if err is not None:
+        return err
     engine = UpscaleEngine(
         model=state.model,
         scale=state.scale,
@@ -344,6 +350,56 @@ def run(argv: Optional[List[str]] = None) -> int:
           file=sys.stderr)
     if not args.keep_workspace:
         ws.destroy()
+    return 0
+
+
+def _load_preloaded(args):
+    """Resolve --denoise interpolated weights (shared by image/video modes).
+    Returns (preloaded_or_None, error_exit_code_or_None)."""
+    if args.denoise is None:
+        return None, None
+    if not (args.weights and args.weights_wdn):
+        print("--denoise requires --weights and --weights-wdn",
+              file=sys.stderr)
+        return None, 2
+    from reve_tpu.weights.interpolate import load_dni
+
+    return load_dni(args.weights_wdn, args.weights, args.denoise), None
+
+
+def _run_image(args) -> int:
+    """Single-image upscale: the replaced engine's own surface
+    (realesrgan-ncnn-vulkan `-i in.jpg -o out.png`; the reference GUI's
+    original image flow, reve-gui Index.vue `upscale_single_image`)."""
+    import cv2
+    import numpy as np
+
+    if not args.outputpath.lower().endswith(IMAGE_EXTS):
+        print("image input requires an image output "
+              "(png/jpg/webp/bmp)", file=sys.stderr)
+        return 2
+    bgr = cv2.imread(args.inputpath, cv2.IMREAD_COLOR)
+    if bgr is None:
+        print(f"cannot decode image {args.inputpath!r}", file=sys.stderr)
+        return 2
+    preloaded, err = _load_preloaded(args)
+    if err is not None:
+        return err
+
+    from reve_tpu.pipeline.engine import UpscaleEngine
+
+    engine = UpscaleEngine(
+        model=args.model, scale=args.scale, weights=args.weights,
+        batch_size=1, tile=args.tile, compute_dtype=args.dtype,
+        preloaded=preloaded, fused=args.fused,
+    )
+    rgb = bgr[:, :, ::-1]
+    out = engine.upscale_frames(np.ascontiguousarray(rgb[None]))[0]
+    if not cv2.imwrite(args.outputpath, np.ascontiguousarray(out[:, :, ::-1])):
+        print(f"cannot write image {args.outputpath!r}", file=sys.stderr)
+        return 2
+    h, w = out.shape[:2]
+    print(f"done: {args.outputpath} ({w}x{h})", file=sys.stderr)
     return 0
 
 

@@ -419,3 +419,51 @@ def test_progress_json_stream(tmp_path, monkeypatch):
     assert lines, "no progress snapshots written"
     last = lines[-1]
     assert {"decode", "upscale", "encode"} <= set(last)
+
+
+# ---------------------------------------------------------------- image mode
+
+
+def test_cli_single_image(tmp_path, monkeypatch):
+    """`-i in.png -s 2 out.png` — the replaced ncnn engine's own surface."""
+    import cv2
+
+    monkeypatch.chdir(tmp_path)
+    inp = str(tmp_path / "in.png")
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 256, (20, 28, 3), np.uint8)
+    assert cv2.imwrite(inp, img[:, :, ::-1])
+    out = str(tmp_path / "out.png")
+    rc = cli.run(["-i", inp, "-s", "2", out, "--dtype", "float32",
+                  "--batch", "1"])
+    assert rc == 0
+    got = cv2.imread(out, cv2.IMREAD_COLOR)[:, :, ::-1]
+    assert got.shape == (40, 56, 3)
+    # matches the engine's own output exactly (png is lossless)
+    from reve_tpu.pipeline.engine import UpscaleEngine
+
+    eng = UpscaleEngine(scale=2, batch_size=1, compute_dtype="float32")
+    want = eng.upscale_frames(img[None])[0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cli_image_requires_image_output(tmp_path, capsys):
+    import cv2
+
+    inp = str(tmp_path / "in.jpg")
+    cv2.imwrite(inp, np.zeros((8, 8, 3), np.uint8))
+    rc = cli.run(["-i", inp, "-s", "2", str(tmp_path / "out.mp4")])
+    assert rc == 2
+    assert "image output" in capsys.readouterr().err
+
+
+def test_cli_image_existing_output_refused(tmp_path, capsys):
+    import cv2
+
+    inp = str(tmp_path / "in.png")
+    cv2.imwrite(inp, np.zeros((8, 8, 3), np.uint8))
+    out = str(tmp_path / "out.png")
+    open(out, "w").close()
+    rc = cli.run(["-i", inp, "-s", "2", out])
+    assert rc == 2
+    assert "already exists" in capsys.readouterr().err
