@@ -29,6 +29,11 @@ class DataConfig:
     noise_std: float = 0.0     # gaussian noise on LR, in [0,1] units
     quantize: bool = True      # round LR to 8-bit (matches decode reality)
     seed: int = 0
+    #: 'light' = area downscale + noise + quantize (fast, video-decode-like);
+    #: 'realesrgan' = the full second-order synthetic pipeline the published
+    #: models were trained on (reve_tpu.train.degradation)
+    pipeline: str = "light"
+    degradation: Optional[object] = None  # DegradationConfig override
 
 
 def _area_downscale(img: np.ndarray, scale: int) -> np.ndarray:
@@ -41,6 +46,12 @@ def _area_downscale(img: np.ndarray, scale: int) -> np.ndarray:
 def degrade(hr: np.ndarray, cfg: DataConfig,
             rng: np.random.RandomState) -> np.ndarray:
     """HR float [0,1] patch -> LR float [0,1] patch."""
+    if cfg.pipeline == "realesrgan":
+        from reve_tpu.train import degradation
+
+        dcfg = cfg.degradation or degradation.DegradationConfig(
+            scale=cfg.scale)
+        return degradation.degrade_realesrgan(hr, dcfg, rng)
     lr = _area_downscale(hr, cfg.scale)
     if cfg.noise_std > 0:
         lr = lr + rng.normal(0.0, cfg.noise_std, lr.shape)
