@@ -22,4 +22,13 @@ Layer map (mirrors SURVEY.md §1, redesigned TPU-first):
 
 from reve_tpu.version import __version__
 
-__all__ = ["__version__"]
+__all__ = ["__version__", "upscale_video", "upscale_image"]
+
+
+def __getattr__(name):
+    # lazy: keep `import reve_tpu` free of jax/cv2 imports
+    if name in ("upscale_video", "upscale_image"):
+        from reve_tpu import api
+
+        return getattr(api, name)
+    raise AttributeError(name)

@@ -1,0 +1,132 @@
+"""One-call Python API.
+
+The reference is binary-only (reve.exe argv, reve-shared/src/lib.rs:209-247);
+this framework is also a library.  These are thin, blocking conveniences over
+the same pipeline the CLI drives:
+
+    import reve_tpu
+    reve_tpu.upscale_video("in.mp4", "out.mkv", scale=2)
+    reve_tpu.upscale_image("in.png", "out.png", scale=4)
+
+Both resume-capable semantics (`upscale_video` keeps the CLI's workspace +
+segment checkpoints: re-calling after a crash continues where it stopped)
+and every CLI tuning knob are available as keyword arguments.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+
+def upscale_video(
+    input_path: str,
+    output_path: str,
+    scale: int = 2,
+    *,
+    model: str = "realesr-animevideov3",
+    weights: Optional[str] = None,
+    segment_size: int = 1000,
+    batch: int = 4,
+    tile: int = 0,
+    dtype: str = "bfloat16",
+    io_backend: Optional[str] = None,
+    crf: int = 15,
+    preset: str = "slow",
+    x265_params: str = "psy-rd=2:aq-strength=1:deblock=0,0:bframes=8",
+    workspace: Optional[str] = None,
+    keep_workspace: bool = False,
+    resume: bool = True,
+) -> dict:
+    """Upscale a video through the full segmented, resumable pipeline.
+
+    Returns the finalize report: {"backend": ..., "audio_copied": bool}.
+    When `resume` and a prior interrupted workspace exists, continues it;
+    otherwise starts fresh.  Raises on invalid inputs (same rules as the
+    CLI: output must not exist, mkv input requires mkv output).
+    """
+    from fractions import Fraction
+
+    from reve_tpu.io import probe as probe_mod
+    from reve_tpu.pipeline import scheduler
+    from reve_tpu.pipeline.engine import UpscaleEngine
+    from reve_tpu.pipeline.planner import plan_segments
+    from reve_tpu.pipeline.state import JobState, Workspace, repair_pending
+
+    if scale not in (2, 3, 4):
+        raise ValueError("scale must be 2, 3 or 4")
+    if os.path.exists(output_path):
+        raise FileExistsError(f"output path already exists: {output_path}")
+    if input_path.lower().endswith(".mkv") and \
+            not output_path.lower().endswith(".mkv"):
+        raise ValueError("mkv input requires mkv output")
+
+    part_ext = ".y4m" if io_backend == "y4m" else ".mp4"
+    ws = Workspace(workspace or output_path + ".revework")
+    if resume and ws.has_state():
+        state = ws.load()
+        ws.create(keep_parts=True)
+        state = repair_pending(state, ws, ext=part_ext)
+    else:
+        info = probe_mod.probe(input_path, backend=io_backend)
+        if info.frame_count <= 0:
+            raise ValueError(f"could not determine frame count of "
+                             f"{input_path!r}")
+        fps = info.fps or Fraction(30, 1)
+        ws.create(keep_parts=False)
+        state = JobState(
+            input_path=os.path.abspath(input_path),
+            output_path=os.path.abspath(output_path),
+            scale=scale,
+            segment_size=segment_size,
+            frame_count=info.frame_count,
+            fps_num=fps.numerator,
+            fps_den=fps.denominator,
+            width=info.width,
+            height=info.height,
+            pending=plan_segments(info.frame_count, segment_size),
+            encode={"crf": crf, "preset": preset,
+                    "x265_params": x265_params},
+            model=model,
+        )
+    ws.save(state)
+
+    engine = UpscaleEngine(model=state.model, scale=state.scale,
+                           weights=weights, batch_size=batch, tile=tile,
+                           compute_dtype=dtype)
+    job = scheduler.PipelineJob(state, ws, engine, io_backend=io_backend,
+                                part_ext=part_ext)
+    state = job.run()
+    report = scheduler.finalize(state, ws, io_backend=io_backend,
+                                part_ext=part_ext)
+    if not keep_workspace:
+        ws.destroy()
+    return report
+
+
+def upscale_image(
+    input_path: str,
+    output_path: str,
+    scale: int = 2,
+    *,
+    model: str = "realesr-animevideov3",
+    weights: Optional[str] = None,
+    tile: int = 0,
+    dtype: str = "bfloat16",
+) -> tuple:
+    """Upscale one image file; returns the output (width, height)."""
+    import cv2
+    import numpy as np
+
+    from reve_tpu.pipeline.engine import UpscaleEngine
+
+    bgr = cv2.imread(input_path, cv2.IMREAD_COLOR)
+    if bgr is None:
+        raise ValueError(f"cannot decode image {input_path!r}")
+    engine = UpscaleEngine(model=model, scale=scale, weights=weights,
+                           batch_size=1, tile=tile, compute_dtype=dtype)
+    rgb = np.ascontiguousarray(bgr[:, :, ::-1])
+    out = engine.upscale_frames(rgb[None])[0]
+    if not cv2.imwrite(output_path, np.ascontiguousarray(out[:, :, ::-1])):
+        raise IOError(f"cannot write image {output_path!r}")
+    return out.shape[1], out.shape[0]

@@ -467,3 +467,35 @@ def test_cli_image_existing_output_refused(tmp_path, capsys):
     rc = cli.run(["-i", inp, "-s", "2", out])
     assert rc == 2
     assert "already exists" in capsys.readouterr().err
+
+
+# --------------------------------------------------------------- python api
+
+
+def test_api_upscale_video_and_resume_signature(tmp_path, monkeypatch):
+    import reve_tpu
+
+    monkeypatch.chdir(tmp_path)
+    inp = _small_y4m(tmp_path)
+    out = str(tmp_path / "api_out.y4m")
+    report = reve_tpu.upscale_video(inp, out, scale=2, io_backend="y4m",
+                                    segment_size=4, batch=3,
+                                    dtype="float32")
+    assert report["backend"] in ("native", "y4m")
+    rd = reader.Y4MReader(out)
+    assert (rd.width, rd.height, rd.frame_count()) == (48, 32, 10)
+    with pytest.raises(FileExistsError):
+        reve_tpu.upscale_video(inp, out, scale=2, io_backend="y4m")
+
+
+def test_api_upscale_image(tmp_path):
+    import cv2
+
+    import reve_tpu
+
+    inp = str(tmp_path / "in.png")
+    cv2.imwrite(inp, np.zeros((12, 16, 3), np.uint8))
+    out = str(tmp_path / "out.png")
+    w, h = reve_tpu.upscale_image(inp, out, scale=3, dtype="float32")
+    assert (w, h) == (48, 36)
+    assert cv2.imread(out).shape == (36, 48, 3)
