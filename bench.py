@@ -71,7 +71,12 @@ def _make_step(path, cfg, attempt):
         # checksum keeps all output live without a host transfer
         return jnp.sum(y.astype(jnp.int32))
 
-    return jax.jit(step)
+    from reve_tpu.utils import compileopts
+
+    # same options the production engine compiles with (measured +25% on
+    # TPU from the raised scoped-VMEM budget; see utils/compileopts.py)
+    return jax.jit(step, compiler_options=compileopts.
+                   default_compiler_options())
 
 
 def _measure_path(path, cfg, params, h, w, batch, iters, warmup,

@@ -81,12 +81,19 @@ class UpscaleEngine:
         mesh=None,
         fused: bool = False,
         preloaded=None,
+        compiler_options="auto",
     ):
         """`mesh`: a jax.sharding.Mesh with a 'dp' axis to shard each batch
         of frames across devices (frames are independent — pure data
         parallelism, the idiomatic multi-chip strategy for this workload,
         SURVEY.md §2.3).  batch_size must be a multiple of the dp size.
-        Without a mesh, runs on a single device."""
+        Without a mesh, runs on a single device.
+
+        `compiler_options`: XLA options for the inference compiles.
+        "auto" (default) = measured TPU defaults (+25% flagship fps from a
+        raised scoped-VMEM budget, utils/compileopts.py; no-op off-TPU);
+        None disables; a dict is passed through verbatim.  Env override:
+        REVE_TPU_XLA_OPTIONS."""
         if preloaded is not None:  # (cfg, params), e.g. dni-interpolated
             self.cfg, self.params = preloaded
         else:
@@ -102,6 +109,7 @@ class UpscaleEngine:
         #: kernel (ops/fused_body.py). Perf roadmap in PERF.md; numerics
         #: match to compute-dtype rounding. TPU only.
         self.fused = fused
+        self._compiler_options = compiler_options
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -193,7 +201,14 @@ class UpscaleEngine:
             # model epilogue (exact; 4x less HBM traffic at output res)
             return self._arch_apply(params, x, quantize_u8=True)
 
-        jitted = jax.jit(fn)
+        opts = self._compiler_options
+        if opts == "auto":
+            from reve_tpu.utils import compileopts
+
+            backend = (self.mesh.devices.flat[0].platform if self.mesh
+                       is not None else self.device.platform)
+            opts = compileopts.default_compiler_options(backend)
+        jitted = jax.jit(fn, compiler_options=opts or None)
         self.stats.compile_count += 1
         return jitted
 

@@ -49,7 +49,10 @@ def main():
                 y = jnp.clip(y * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
                 return jnp.sum(y.astype(jnp.int32))
 
-            fn = jax.jit(step)
+            from reve_tpu.utils import compileopts
+
+            fn = jax.jit(step, compiler_options=compileopts.
+                         default_compiler_options())
             u8 = jax.device_put(np.random.RandomState(0).randint(
                 0, 256, (batch, h, w, 3), np.uint8))
             try:

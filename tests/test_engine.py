@@ -85,3 +85,36 @@ def test_rrdb_tiled_seams_bounded():
     diff = np.abs(whole.astype(int) - tiled.astype(int))
     assert diff.max() <= 2, diff.max()
     assert (diff > 0).mean() < 0.02  # <2% of pixels differ at all
+
+
+# ------------------------------------------------------- compiler options
+
+
+def test_compileopts_env_and_backend(monkeypatch):
+    from reve_tpu.utils import compileopts
+
+    monkeypatch.delenv("REVE_TPU_XLA_OPTIONS", raising=False)
+    assert compileopts.default_compiler_options("cpu") is None
+    opts = compileopts.default_compiler_options("tpu")
+    assert opts == compileopts.DEFAULT_TPU_OPTIONS
+    assert opts is not compileopts.DEFAULT_TPU_OPTIONS  # caller-safe copy
+
+    monkeypatch.setenv("REVE_TPU_XLA_OPTIONS", "")
+    assert compileopts.default_compiler_options("tpu") is None
+
+    monkeypatch.setenv("REVE_TPU_XLA_OPTIONS", "a=1, b = x=y ")
+    assert compileopts.default_compiler_options("cpu") == {
+        "a": "1", "b": "x=y"}
+
+    monkeypatch.setenv("REVE_TPU_XLA_OPTIONS", "garbage")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k=v"):
+        compileopts.default_compiler_options("tpu")
+
+
+def test_engine_compiler_options_plumbing():
+    """Explicit dict reaches jax.jit; 'auto' resolves to None on CPU."""
+    eng = UpscaleEngine(scale=2, batch_size=1, compute_dtype="float32",
+                        compiler_options=None)
+    out = eng.upscale_frames(np.zeros((1, 8, 8, 3), np.uint8))
+    assert out.shape == (1, 16, 16, 3)
