@@ -18,16 +18,15 @@ def save(path: str, trainer, step: int) -> None:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    state = {
+        "params": trainer.params,
+        "opt_state": trainer.opt_state,
+        "step": step,
+    }
+    if getattr(trainer, "ema_params", None) is not None:
+        state["ema_params"] = trainer.ema_params
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(
-            os.path.join(path, f"step_{step:08d}"),
-            {
-                "params": trainer.params,
-                "opt_state": trainer.opt_state,
-                "step": step,
-            },
-            force=True,
-        )
+        ckptr.save(os.path.join(path, f"step_{step:08d}"), state, force=True)
 
 
 def latest_step(path: str) -> Optional[int]:
@@ -55,11 +54,21 @@ def restore(path: str, trainer, step: Optional[int] = None) -> int:
         "opt_state": trainer.opt_state,
         "step": 0,
     }
+    if getattr(trainer, "ema_params", None) is not None:
+        target["ema_params"] = trainer.ema_params
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(
-            os.path.join(path, f"step_{step:08d}"),
-            target,
-        )
+        try:
+            restored = ckptr.restore(
+                os.path.join(path, f"step_{step:08d}"),
+                target,
+            )
+        except (ValueError, KeyError):
+            # pre-EMA checkpoint: restore without it, seed EMA from params
+            target.pop("ema_params", None)
+            restored = ckptr.restore(
+                os.path.join(path, f"step_{step:08d}"),
+                target,
+            )
     # restored arrays land committed to one device; params get their mesh
     # shardings re-applied, optimizer state is rehydrated as uncommitted
     # host values (exactly like a fresh tx.init) so jit re-places it
@@ -72,6 +81,9 @@ def restore(path: str, trainer, step: Optional[int] = None) -> int:
 
     place = mesh_lib.conv_param_sharding(trainer.mesh)
     trainer.params = place(restored["params"])
+    if getattr(trainer, "ema_params", None) is not None:
+        trainer.ema_params = place(restored.get("ema_params",
+                                                restored["params"]))
     trainer.opt_state = jax.tree_util.tree_map(
         lambda x: jnp.asarray(np.asarray(x)), restored["opt_state"]
     )

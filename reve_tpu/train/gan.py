@@ -40,6 +40,7 @@ from jax.sharding import Mesh
 from reve_tpu.models import srvgg
 from reve_tpu.parallel import mesh as mesh_lib
 from reve_tpu.train import losses
+from reve_tpu.train import trainer as trainer_mod
 from reve_tpu.train.trainer import TrainConfig, make_optimizer
 
 
@@ -162,6 +163,9 @@ class GANConfig:
     gan_weight: float = 0.1
     g_lr: float = 1e-4
     d_lr: float = 1e-4
+    # EMA of the generator (the upstream Real-ESRGAN GAN-phase convention,
+    # net_g_ema with decay 0.999); the EMA copy is what ships.  0 disables.
+    ema_decay: float = 0.999
 
 
 def _g_loss_fn(g_params, d_params, lr_batch, hr_batch, *, cfg, gc,
@@ -241,6 +245,7 @@ class GANTrainer:
         self.d_tx = make_optimizer(TrainConfig(learning_rate=self.gc.d_lr))
         self.g_opt = self.g_tx.init(self.g_params)
         self.d_opt = self.d_tx.init(self.d_params)
+        self.g_ema = self.g_params if self.gc.ema_decay else None
         self._bs = mesh_lib.batch_sharding(self.mesh)
 
     def step(self, lr_batch, hr_batch) -> dict:
@@ -253,4 +258,11 @@ class GANTrainer:
             g_tx=self.g_tx, d_tx=self.d_tx, pixel_loss=self.pixel_loss,
             extra_g_loss=self.extra_g_loss,
         )
+        if self.g_ema is not None:
+            self.g_ema = trainer_mod.ema_update(self.g_ema, self.g_params,
+                                                decay=self.gc.ema_decay)
         return {k: float(v) for k, v in metrics.items()}
+
+    def export_params(self):
+        """Generator to ship: the EMA copy when enabled, else live."""
+        return self.g_ema if self.g_ema is not None else self.g_params

@@ -35,6 +35,11 @@ class TrainConfig:
     weight_decay: float = 0.0
     grad_clip: float = 1.0
     loss: str = "charbonnier"   # charbonnier | l1
+    # exponential moving average of the generator params (the upstream
+    # Real-ESRGAN training convention, ema_decay=0.999); 0 disables.
+    # The EMA copy is what gets exported/evaluated — it smooths the last
+    # few thousand SGD steps into a lower-variance model.
+    ema_decay: float = 0.999
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
@@ -66,6 +71,13 @@ def train_step(params, opt_state, lr_batch, hr_batch, *,
     return params, opt_state, loss_val
 
 
+@functools.partial(jax.jit, static_argnames=("decay",))
+def ema_update(ema_params, params, *, decay: float):
+    """ema <- decay*ema + (1-decay)*params, leafwise."""
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p * (1.0 - decay), ema_params, params)
+
+
 class Trainer:
     """Owns params/optimizer state with mesh shardings applied."""
 
@@ -84,6 +96,7 @@ class Trainer:
         place = mesh_lib.conv_param_sharding(self.mesh)
         self.params = place(params)
         self.opt_state = self.tx.init(self.params)
+        self.ema_params = self.params if self.tc.ema_decay else None
         self._bs = mesh_lib.batch_sharding(self.mesh)
 
     def shard_batch(self, lr_batch, hr_batch):
@@ -98,7 +111,14 @@ class Trainer:
             self.params, self.opt_state, lr_batch, hr_batch,
             cfg=self.cfg, tx=self.tx, loss=self.tc.loss,
         )
+        if self.ema_params is not None:
+            self.ema_params = ema_update(self.ema_params, self.params,
+                                         decay=self.tc.ema_decay)
         return float(loss_val)
+
+    def export_params(self):
+        """Params to ship: the EMA copy when enabled, else the live ones."""
+        return self.ema_params if self.ema_params is not None else self.params
 
     def eval_psnr(self, lr_batch, hr_batch) -> float:
         lr_batch, hr_batch = self.shard_batch(lr_batch, hr_batch)

@@ -68,6 +68,36 @@ def test_trainer_loss_decreases():
     assert np.isfinite(tr.eval_psnr(lr, hr))
 
 
+def test_trainer_ema_tracks_params():
+    """EMA follows the upstream convention: ema <- d*ema + (1-d)*params,
+    seeded from the init params; export_params returns the EMA copy."""
+    from reve_tpu.models import srvgg
+    from reve_tpu.train.trainer import Trainer, TrainConfig
+
+    mesh = mesh_lib.make_mesh(jax.devices())
+    cfg = srvgg.SRVGGConfig(num_feat=8, num_conv=1, upscale=2)
+    tr = Trainer(cfg, TrainConfig(learning_rate=3e-3, ema_decay=0.5),
+                 mesh=mesh, seed=3)
+    p0 = jax.tree_util.tree_map(np.asarray, tr.params)
+    rs = np.random.RandomState(0)
+    hr = rs.rand(8, 16, 16, 3).astype(np.float32)
+    lr = hr[:, ::2, ::2, :]
+    tr.step(lr, hr)
+    p1 = jax.tree_util.tree_map(np.asarray, tr.params)
+    want = jax.tree_util.tree_map(lambda a, b: 0.5 * a + 0.5 * b, p0, p1)
+    got = jax.tree_util.tree_map(np.asarray, tr.ema_params)
+    for w, g in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(g, w, rtol=1e-6)
+    assert tr.export_params() is tr.ema_params
+
+    # disabled EMA: exports the live params
+    tr2 = Trainer(cfg, TrainConfig(ema_decay=0.0), mesh=mesh)
+    tr2.step(lr, hr)
+    assert tr2.ema_params is None
+    assert tr2.export_params() is tr2.params
+
+
 def test_graft_dryrun():
     import __graft_entry__ as g
 

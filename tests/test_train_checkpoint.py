@@ -43,3 +43,36 @@ def test_latest_step(tmp_path):
     checkpoint.save(str(tmp_path / "c"), t, step=1)
     checkpoint.save(str(tmp_path / "c"), t, step=7)
     assert checkpoint.latest_step(str(tmp_path / "c")) == 7
+
+
+def test_ema_roundtrip_and_pre_ema_compat(tmp_path):
+    """EMA params survive save/restore bit-exactly; a checkpoint written
+    without EMA (ema_decay=0 trainer) restores into an EMA trainer by
+    seeding EMA from params."""
+    cfg = srvgg.SRVGGConfig(num_feat=8, num_conv=1, upscale=2)
+    mesh = mesh_lib.make_mesh(jax.devices())
+    lr, hr = _data()
+
+    t1 = Trainer(cfg, TrainConfig(learning_rate=1e-3, ema_decay=0.5),
+                 mesh=mesh, seed=5)
+    for _ in range(3):
+        t1.step(lr, hr)
+    checkpoint.save(str(tmp_path / "ck"), t1, step=3)
+    t2 = Trainer(cfg, TrainConfig(learning_rate=1e-3, ema_decay=0.5),
+                 mesh=mesh, seed=99)
+    checkpoint.restore(str(tmp_path / "ck"), t2)
+    for a, b in zip(jax.tree_util.tree_leaves(t1.ema_params),
+                    jax.tree_util.tree_leaves(t2.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # pre-EMA checkpoint -> EMA trainer
+    t3 = Trainer(cfg, TrainConfig(learning_rate=1e-3, ema_decay=0.0),
+                 mesh=mesh, seed=5)
+    t3.step(lr, hr)
+    checkpoint.save(str(tmp_path / "old"), t3, step=1)
+    t4 = Trainer(cfg, TrainConfig(learning_rate=1e-3, ema_decay=0.9),
+                 mesh=mesh, seed=99)
+    checkpoint.restore(str(tmp_path / "old"), t4)
+    for a, b in zip(jax.tree_util.tree_leaves(t3.params),
+                    jax.tree_util.tree_leaves(t4.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

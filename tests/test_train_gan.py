@@ -98,3 +98,28 @@ def test_extra_g_loss_hook():
     m = trainer.step(rs.rand(1, 16, 16, 3).astype(np.float32),
                      rs.rand(1, 32, 32, 3).astype(np.float32))
     assert m["g_total"] > 49.0  # the hook's constant landed in the loss
+
+
+def test_gan_trainer_ema_generator():
+    """GAN phase keeps an EMA generator (upstream net_g_ema convention):
+    seeded from init, updated leafwise, returned by export_params."""
+    cfg = srvgg.SRVGGConfig(num_feat=8, num_conv=1, upscale=2)
+    mesh = mesh_lib.make_mesh(jax.devices()[:2], max_sp=1)
+    trainer = gan.GANTrainer(
+        cfg, gan.GANConfig(g_lr=1e-3, d_lr=1e-3, ema_decay=0.5), mesh=mesh)
+    g0 = jax.tree_util.tree_map(np.asarray, trainer.g_params)
+    rs = np.random.RandomState(0)
+    lr_batch = rs.rand(2, 16, 16, 3).astype(np.float32)
+    hr_batch = rs.rand(2, 32, 32, 3).astype(np.float32)
+    trainer.step(lr_batch, hr_batch)
+    g1 = jax.tree_util.tree_map(np.asarray, trainer.g_params)
+    want = jax.tree_util.tree_map(lambda a, b: 0.5 * a + 0.5 * b, g0, g1)
+    for w, g in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(
+                        jax.tree_util.tree_map(np.asarray, trainer.g_ema))):
+        np.testing.assert_allclose(g, w, rtol=1e-6)
+    assert trainer.export_params() is trainer.g_ema
+
+    off = gan.GANTrainer(cfg, gan.GANConfig(ema_decay=0.0), mesh=mesh)
+    assert off.g_ema is None
+    assert off.export_params() is off.g_params
