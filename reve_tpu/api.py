@@ -37,6 +37,7 @@ def upscale_video(
     workspace: Optional[str] = None,
     keep_workspace: bool = False,
     resume: bool = True,
+    on_progress=None,
 ) -> dict:
     """Upscale a video through the full segmented, resumable pipeline.
 
@@ -44,6 +45,10 @@ def upscale_video(
     When `resume` and a prior interrupted workspace exists, continues it;
     otherwise starts fresh.  Raises on invalid inputs (same rules as the
     CLI: output must not exist, mkv input requires mkv output).
+
+    `on_progress`: optional callable receiving a snapshot dict
+    ({stage: {done, total, rate}} for decode/upscale/encode/total) after
+    every counter update; called from pipeline worker threads.
     """
     from fractions import Fraction
 
@@ -94,8 +99,17 @@ def upscale_video(
     engine = UpscaleEngine(model=state.model, scale=state.scale,
                            weights=weights, batch_size=batch, tile=tile,
                            compute_dtype=dtype)
+    progress = None
+    if on_progress is not None:
+        from reve_tpu.pipeline.progress import ProgressTracker
+
+        progress = ProgressTracker(
+            total_frames=sum(s.size for s in state.pending),
+            total_segments=len(state.pending),
+            on_update=lambda t: on_progress(t.snapshot()),
+        )
     job = scheduler.PipelineJob(state, ws, engine, io_backend=io_backend,
-                                part_ext=part_ext)
+                                part_ext=part_ext, progress=progress)
     state = job.run()
     report = scheduler.finalize(state, ws, io_backend=io_backend,
                                 part_ext=part_ext)

@@ -488,6 +488,23 @@ def test_api_upscale_video_and_resume_signature(tmp_path, monkeypatch):
         reve_tpu.upscale_video(inp, out, scale=2, io_backend="y4m")
 
 
+def test_api_progress_callback(tmp_path, monkeypatch):
+    import reve_tpu
+
+    monkeypatch.chdir(tmp_path)
+    inp = _small_y4m(tmp_path)
+    out = str(tmp_path / "prog_out.y4m")
+    snaps = []
+    reve_tpu.upscale_video(inp, out, scale=2, io_backend="y4m",
+                           segment_size=4, batch=3, dtype="float32",
+                           on_progress=snaps.append)
+    assert snaps, "callback never fired"
+    last = snaps[-1]
+    assert set(last) == {"decode", "upscale", "encode", "total"}
+    assert last["encode"]["done"] == last["encode"]["total"] == 10
+    assert last["total"]["done"] == last["total"]["total"] == 3
+
+
 def test_api_upscale_image(tmp_path):
     import cv2
 
