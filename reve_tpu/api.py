@@ -38,6 +38,7 @@ def upscale_video(
     keep_workspace: bool = False,
     resume: bool = True,
     on_progress=None,
+    scene_align: bool = False,
 ) -> dict:
     """Upscale a video through the full segmented, resumable pipeline.
 
@@ -78,6 +79,19 @@ def upscale_video(
             raise ValueError(f"could not determine frame count of "
                              f"{input_path!r}")
         fps = info.fps or Fraction(30, 1)
+        if scene_align:
+            from reve_tpu.io import reader as reader_mod
+            from reve_tpu.pipeline import scenes
+
+            with reader_mod.open_reader(
+                input_path, backend=io_backend,
+                width=info.width, height=info.height,
+            ) as rd:
+                cuts = scenes.detect_cuts(rd, info.frame_count)
+            pending = scenes.plan_segments_aligned(
+                info.frame_count, segment_size, cuts)
+        else:
+            pending = plan_segments(info.frame_count, segment_size)
         ws.create(keep_parts=False)
         state = JobState(
             input_path=os.path.abspath(input_path),
@@ -89,7 +103,7 @@ def upscale_video(
             fps_den=fps.denominator,
             width=info.width,
             height=info.height,
-            pending=plan_segments(info.frame_count, segment_size),
+            pending=pending,
             encode={"crf": crf, "preset": preset,
                     "x265_params": x265_params},
             model=model,

@@ -505,6 +505,24 @@ def test_api_progress_callback(tmp_path, monkeypatch):
     assert last["total"]["done"] == last["total"]["total"] == 3
 
 
+def test_api_scene_align(tmp_path, monkeypatch):
+    """scene_align=True plans cut-snapped segments; output stays exact."""
+    import reve_tpu
+
+    monkeypatch.chdir(tmp_path)
+    inp = str(tmp_path / "cuts.y4m")
+    w = writer.Y4MWriter(inp, 48, 32, fractions.Fraction(30, 1))
+    for i in range(12):
+        w.write(np.full((32, 48, 3), 20 if i < 6 else 220, np.uint8))
+    w.close()
+    out = str(tmp_path / "sa_out.y4m")
+    reve_tpu.upscale_video(inp, out, scale=2, io_backend="y4m",
+                           segment_size=5, batch=3, dtype="float32",
+                           scene_align=True)
+    rd = reader.Y4MReader(out)
+    assert (rd.width, rd.height, rd.frame_count()) == (96, 64, 12)
+
+
 def test_api_upscale_image(tmp_path):
     import cv2
 
