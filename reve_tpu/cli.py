@@ -122,8 +122,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=4, help="frames per TPU batch")
     p.add_argument("--tile", type=int, default=0,
                    help="tile size (0=auto, -1=never tile)")
-    p.add_argument("--dtype", choices=("bfloat16", "float32"),
-                   default="bfloat16")
+    p.add_argument("--dtype", choices=("bfloat16", "float32", "int8"),
+                   default="bfloat16",
+                   help="compute dtype; int8 = turbo mode (~1.5x fps, "
+                        "hidden stack quantized, costs some PSNR)")
     p.add_argument("--io-backend", choices=("ffmpeg", "cv2", "y4m"),
                    default=None)
     p.add_argument("--workspace", default=None,

@@ -249,6 +249,108 @@ def _epilogue(h: jax.Array, orig: jax.Array, cfg: SRVGGConfig,
     return pixel_shuffle(y, r)
 
 
+# -- int8 turbo mode ---------------------------------------------------------
+
+
+def _conv3x3_s8(x8: jax.Array, w8: jax.Array) -> jax.Array:
+    """SAME conv3x3, s8 x s8 -> s32 on the MXU (2x the bf16 rate once the
+    scoped-VMEM budget is raised — utils/compileopts.py, PERF.md).
+    Accumulator headroom: 9 taps x 128 ch x 127^2 ~= 2^24.2 << 2^31."""
+    return jax.lax.conv_general_dilated(
+        x8, w8, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _quant_s8(x: jax.Array, scale: jax.Array) -> jax.Array:
+    """f32-ish -> symmetric int8 with scalar scale (x ~= q * scale)."""
+    q = jnp.round(x.astype(jnp.float32) * (1.0 / scale))
+    return jnp.clip(q, -128, 127).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "compute_dtype", "quantize_u8", "s2d"),
+)
+def apply_int8(params: Params, qbody, x: jax.Array, *, cfg: SRVGGConfig,
+               compute_dtype=jnp.bfloat16, quantize_u8: bool = False,
+               s2d: bool = True) -> jax.Array:
+    """Forward pass with the hidden stack quantized to int8 (turbo mode).
+
+    `qbody`: reve_tpu.weights.quantize.QuantizedBody (classic-domain int8
+    weights + per-layer activation scales; s2d kernel transform applied
+    here, mirroring `apply`).  First/last conv, PReLU math, residual and
+    epilogue run in `compute_dtype`/f32 exactly like `apply`; dequant +
+    bias + PReLU + requant between hidden convs are f32 elementwise chains
+    XLA fuses into the conv epilogues.  The final hidden output is
+    dequantized, not requantized (one fewer rounding).
+
+    Costs PSNR vs `apply` (documented in PERF.md); opt-in via
+    `--dtype int8` / UpscaleEngine(compute_dtype="int8").
+    """
+    orig = x
+    h = x.astype(compute_dtype)
+    convs, prelus = params["convs"], params["prelus"]
+    sx = qbody.act_scale
+
+    def dq_prelu(y32, i, tile_n):
+        scale = sx[i] * (jnp.tile(qbody.sw[i], tile_n) if tile_n > 1
+                         else qbody.sw[i])
+        bb = jnp.tile(qbody.b[i], tile_n) if tile_n > 1 else qbody.b[i]
+        aa = (jnp.tile(qbody.alpha[i], tile_n) if tile_n > 1
+              else qbody.alpha[i])
+        fy = y32.astype(jnp.float32) * scale + bb
+        return jnp.maximum(fy, 0) + aa * jnp.minimum(fy, 0)
+
+    if s2d:
+        H = h.shape[1]
+        pad_mask = None
+        if H % 2:
+            h = jnp.pad(h, ((0, 0), (0, 1), (0, 0), (0, 0)))
+            H2 = (H + 1) // 2
+
+            def _mask(c, dtype):
+                row = jax.lax.broadcasted_iota(jnp.int32, (1, H2, 1, 1), 1)
+                ch = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, 1, 1, 2 * c), 3)
+                return jnp.logical_or(row < H2 - 1, ch < c).astype(dtype)
+
+            pad_mask = _mask
+        hs = _s2d_rows(h)
+        hs = _prelu(
+            _conv3x3(hs, _s2d_kernel(convs[0]["w"].astype(compute_dtype)),
+                     jnp.tile(convs[0]["b"], 2)),
+            jnp.tile(prelus[0]["alpha"], 2),
+        )
+        if pad_mask is not None:
+            hs = hs * pad_mask(cfg.num_feat, compute_dtype)
+        q = _quant_s8(hs, sx[0])
+        for i in range(cfg.num_conv):
+            fy = dq_prelu(_conv3x3_s8(q, _s2d_kernel(qbody.w8[i])), i, 2)
+            if pad_mask is not None:
+                fy = fy * pad_mask(cfg.num_feat, jnp.float32)
+            if i + 1 < cfg.num_conv:
+                q = _quant_s8(fy, sx[i + 1])
+            else:
+                hs = fy.astype(compute_dtype)
+        hs = _conv3x3(hs, _s2d_kernel(convs[-1]["w"].astype(compute_dtype)),
+                      jnp.tile(convs[-1]["b"], 2))
+        return _epilogue_s2d(hs, orig, cfg, H, quantize_u8=quantize_u8)
+
+    h = _prelu(_conv3x3(h, convs[0]["w"].astype(compute_dtype),
+                        convs[0]["b"]),
+               prelus[0]["alpha"])
+    q = _quant_s8(h, sx[0])
+    for i in range(cfg.num_conv):
+        fy = dq_prelu(_conv3x3_s8(q, qbody.w8[i]), i, 1)
+        if i + 1 < cfg.num_conv:
+            q = _quant_s8(fy, sx[i + 1])
+        else:
+            h = fy.astype(compute_dtype)
+    h = _conv3x3(h, convs[-1]["w"].astype(compute_dtype), convs[-1]["b"])
+    return _epilogue(h, orig, cfg, quantize_u8=quantize_u8)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "compute_dtype", "strip", "core", "quantize_u8"),

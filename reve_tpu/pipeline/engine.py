@@ -101,8 +101,17 @@ class UpscaleEngine:
         self.scale = self.cfg.upscale
         self.batch_size = batch_size
         self.tile = tile
+        #: int8 turbo mode: hidden stack quantized (weights/quantize.py),
+        #: first/last conv + epilogue in bf16.  ~1.6x the bf16 body rate on
+        #: the MXU (PERF.md); costs PSNR — opt-in, SRVGG only.  Activation
+        #: scales are calibrated on the first real batch submitted.
+        self._int8 = compute_dtype == "int8"
+        if self._int8 and not isinstance(self.cfg, srvgg.SRVGGConfig):
+            raise ValueError("int8 turbo mode supports SRVGG models only")
+        self._qbody = None
+        self._qbody_provisional = False
         self.compute_dtype = jnp.bfloat16 if compute_dtype in (
-            "bfloat16", "bf16"
+            "bfloat16", "bf16", "int8"
         ) else jnp.float32
         self.mesh = mesh
         #: experimental: run the SRVGG hidden body in the Pallas line-buffer
@@ -132,10 +141,15 @@ class UpscaleEngine:
 
     # -- jitted core -------------------------------------------------------
 
-    def _arch_apply(self, params, x, quantize_u8=False, s2d=True):
+    def _arch_apply(self, params, x, quantize_u8=False, s2d=True,
+                    qbody=None):
         from reve_tpu.models import rrdb
 
         if isinstance(self.cfg, srvgg.SRVGGConfig):
+            if qbody is not None:
+                return srvgg.apply_int8(params, qbody, x, cfg=self.cfg,
+                                        compute_dtype=self.compute_dtype,
+                                        quantize_u8=quantize_u8, s2d=s2d)
             if self.fused:
                 return srvgg.apply_fused(params, x, cfg=self.cfg,
                                          compute_dtype=self.compute_dtype,
@@ -180,7 +194,7 @@ class UpscaleEngine:
     def _build(self, h: int, w: int):
         tile = self._tile_size_for(h, w)
 
-        def fn(params, u8):
+        def fn(params, qbody, u8):
             x = u8.astype(jnp.float32) * (1.0 / 255.0)
 
             if tile:
@@ -189,17 +203,21 @@ class UpscaleEngine:
                 # reduction order): true when frame height, tile and halo
                 # are all even (tiling._plan_axis clamps stay even then).
                 # Otherwise fall back to the classic stack so seams remain
-                # bit-exact among themselves.
+                # bit-exact among themselves.  (int8: the hidden convs are
+                # exact integer math, so the same parity rule covers the
+                # float first/last convs.)
                 s2d_ok = h % 2 == 0 and tile % 2 == 0 and self.halo % 2 == 0
                 y = tiling.upscale_tiled(
-                    lambda t: self._arch_apply(params, t, s2d=s2d_ok),
+                    lambda t: self._arch_apply(params, t, s2d=s2d_ok,
+                                               qbody=qbody),
                     x, scale=self.scale, tile=tile, halo=self.halo,
                 )
                 y = jnp.clip(y * 255.0 + 0.5, 0.0, 255.0)
                 return y.astype(jnp.uint8)
             # whole-frame: quantize before the pixel-shuffle inside the
             # model epilogue (exact; 4x less HBM traffic at output res)
-            return self._arch_apply(params, x, quantize_u8=True)
+            return self._arch_apply(params, x, quantize_u8=True,
+                                    qbody=qbody)
 
         opts = self._compiler_options
         if opts == "auto":
@@ -225,11 +243,50 @@ class UpscaleEngine:
             return jax.device_put(frames, self._batch_sharding)
         return jax.device_put(frames, self.device)
 
+    def _calibrate_int8(self, frames: np.ndarray, provisional: bool) -> None:
+        """Build/refresh the quantized body from a calibration batch.
+
+        The quantized pytree is a jit ARGUMENT (same shapes/dtypes every
+        time), so re-calibration never recompiles.  A warmup on dummy
+        frames produces a provisional calibration that the first real
+        batch replaces."""
+        from reve_tpu.weights import quantize
+
+        n, h, w, _ = frames.shape
+        ch, cw = min(h, 720), min(w, 1280)  # bound the f32 working set
+        y0, x0 = (h - ch) // 2, (w - cw) // 2
+        frames = frames[:, y0:y0 + ch, x0:x0 + cw]
+        x = self._place(
+            np.ascontiguousarray(frames, np.uint8).astype(np.float32)
+            / 255.0)
+        maxima = quantize.collect_act_maxima(
+            self.params, x, cfg=self.cfg, compute_dtype=jnp.float32)
+        # margin absorbs content hotter than the calibration batch
+        qbody = quantize.quantize_hidden(self.params, self.cfg,
+                                         np.asarray(maxima), margin=1.25)
+        if self._batch_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            qbody = jax.device_put(qbody, NamedSharding(self.mesh, P()))
+        else:
+            qbody = jax.device_put(qbody, self.device)
+        self._qbody = qbody
+        self._qbody_provisional = provisional
+
+    def _maybe_calibrate(self, frames: np.ndarray, provisional: bool) -> None:
+        if not self._int8:
+            return
+        if self._qbody is None or (self._qbody_provisional
+                                   and not provisional):
+            self._calibrate_int8(frames, provisional)
+
     def warmup(self, h: int, w: int) -> None:
         """Pre-compile for a resolution (first XLA compile is ~20-40 s)."""
         fn = self._get_compiled(h, w)
-        dummy = jnp.zeros((self.batch_size, h, w, 3), jnp.uint8)
-        fn(self.params, self._place(dummy)).block_until_ready()
+        dummy = np.zeros((self.batch_size, h, w, 3), np.uint8)
+        self._maybe_calibrate(dummy, provisional=True)
+        fn(self.params, self._qbody,
+           self._place(jnp.asarray(dummy))).block_until_ready()
 
     def submit(self, frames: np.ndarray) -> PendingBatch:
         """Enqueue a batch; returns a handle. frames: (n<=batch, H, W, 3) u8.
@@ -243,9 +300,10 @@ class UpscaleEngine:
             frames = np.concatenate([frames, pad], axis=0)
         elif n > self.batch_size:
             raise ValueError(f"batch {n} > batch_size {self.batch_size}")
+        self._maybe_calibrate(frames, provisional=False)
         fn = self._get_compiled(h, w)
         dev_in = self._place(frames)
-        out = fn(self.params, dev_in)
+        out = fn(self.params, self._qbody, dev_in)
         self.stats.frames += n
         self.stats.batches += 1
         return PendingBatch(out, n)

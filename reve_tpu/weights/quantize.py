@@ -1,0 +1,113 @@
+"""Post-training int8 quantization of the SRVGG hidden body (turbo mode).
+
+The hidden stack (16 of the 18 convs, ~92% of FLOPs) runs as s8 x s8 -> s32
+convs on the MXU at ~2x the bf16 rate (measured 197 vs 122 TF/s for the
+full 16-layer body at the production s2d shape — scripts/perf_int8_body.py;
+round-2's "int8 dead end" verdict was scoped-VMEM starvation, fixed by
+utils/compileopts.py).  First/last conv, PReLU arithmetic, residual and
+epilogue stay in bf16/f32, so quantization noise enters only through the
+hidden activations.
+
+Scheme (standard symmetric PTQ):
+  * weights: per-output-channel symmetric int8,
+    ``w8[..., o] = round(w[..., o] / sw[o])``, ``sw[o] = max|w[..., o]|/127``
+  * activations: per-layer symmetric int8 scales from a calibration pass
+    recording ``max|activation|`` at each hidden conv input
+    (`collect_act_maxima`); PReLU outputs are signed, so symmetric fits.
+  * dequant + bias + PReLU + requant happen in f32 between convs; XLA fuses
+    them into the conv epilogue (no extra HBM round trips).
+
+Quality: int8 costs PSNR vs the f32 reference (typically ~40-48 dB for
+8-bit video content vs the >=50 dB bf16 gate) — this is an OPT-IN turbo
+mode (`--dtype int8`), not the default.  The reference's own engine
+(realesrgan-ncnn-vulkan, reve-shared/src/lib.rs:134-147) runs fp16/fp32;
+this mode has no reference counterpart.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from reve_tpu.models import srvgg
+
+
+@dataclasses.dataclass
+class QuantizedBody:
+    """int8 hidden-stack parameters (classic domain; the s2d kernel
+    transform is applied at model-apply time, like the f32 path)."""
+
+    w8: List[jax.Array]          # num_conv x (3, 3, C, C) int8
+    sw: List[jax.Array]          # num_conv x (C,) f32 per-out-channel
+    b: List[jax.Array]           # num_conv x (C,) f32
+    alpha: List[jax.Array]       # num_conv x (C,) f32 (PReLU)
+    act_scale: jax.Array         # (num_conv,) f32: input scale per conv
+
+    def tree_flatten(self):
+        return ((self.w8, self.sw, self.b, self.alpha, self.act_scale), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    QuantizedBody, QuantizedBody.tree_flatten, QuantizedBody.tree_unflatten)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def collect_act_maxima(params: Dict[str, Any], x: jax.Array, *,
+                       cfg: srvgg.SRVGGConfig,
+                       compute_dtype=jnp.float32) -> jax.Array:
+    """Calibration forward: returns (num_conv,) max|activation| at the
+    input of each hidden conv (classic domain; s2d is a permutation of the
+    same values, so the scales transfer exactly).
+
+    `x`: (B, H, W, C) float in [0, 1] — representative frames."""
+    convs, prelus = params["convs"], params["prelus"]
+    h = srvgg._prelu(
+        srvgg._conv3x3(x.astype(compute_dtype),
+                       convs[0]["w"].astype(compute_dtype), convs[0]["b"]),
+        prelus[0]["alpha"])
+    maxima = [jnp.max(jnp.abs(h.astype(jnp.float32)))]
+    # inputs of hidden convs 2..num_conv are the outputs of hidden
+    # prelus 1..num_conv-1 (the last hidden output is dequantized, not
+    # requantized, so it needs no scale)
+    for i in range(cfg.num_conv - 1):
+        h = srvgg._prelu(
+            srvgg._conv3x3(h, convs[i + 1]["w"].astype(compute_dtype),
+                           convs[i + 1]["b"]),
+            prelus[i + 1]["alpha"])
+        maxima.append(jnp.max(jnp.abs(h.astype(jnp.float32))))
+    return jnp.stack(maxima)
+
+
+def quantize_hidden(params: Dict[str, Any], cfg: srvgg.SRVGGConfig,
+                    act_maxima, margin: float = 1.0) -> QuantizedBody:
+    """Build int8 hidden-stack params from f32 params + calibration maxima.
+
+    `act_maxima`: (num_conv,) from `collect_act_maxima` (one batch or a
+    running max over several).  `margin` (>= 1) widens the activation range
+    to absorb content hotter than the calibration set (clipping beyond it).
+    """
+    act_maxima = jnp.asarray(act_maxima, jnp.float32)
+    if act_maxima.shape != (cfg.num_conv,):
+        raise ValueError(
+            f"act_maxima must be ({cfg.num_conv},), got {act_maxima.shape}")
+    act_scale = jnp.maximum(act_maxima * float(margin), 1e-8) / 127.0
+    w8, sw, b, alpha = [], [], [], []
+    for i in range(cfg.num_conv):
+        w = jnp.asarray(params["convs"][i + 1]["w"], jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
+        q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+        w8.append(q)
+        sw.append(s)
+        b.append(jnp.asarray(params["convs"][i + 1]["b"], jnp.float32))
+        alpha.append(jnp.asarray(params["prelus"][i + 1]["alpha"],
+                                 jnp.float32))
+    return QuantizedBody(w8=w8, sw=sw, b=b, alpha=alpha,
+                         act_scale=act_scale)
