@@ -35,6 +35,7 @@ class Job:
     output_path: str
     model: str
     scale: int
+    dtype: str = "bfloat16"   # bfloat16 | float32 | int8 (turbo)
     status: str = "queued"    # queued | running | done | error | cancelled
     error: str = ""
     progress: Optional[ProgressTracker] = None
@@ -73,6 +74,7 @@ class Job:
             "output": self.output_path,
             "model": self.model,
             "scale": self.scale,
+            "dtype": self.dtype,
             "status": self.status,
             "error": self.error,
             "progress": self.progress.snapshot() if self.progress else None,
@@ -98,32 +100,43 @@ class JobManager:
         self._worker.start()
 
     @staticmethod
-    def _default_engine_factory(model: str, scale: int):
+    def _default_engine_factory(model: str, scale: int,
+                                dtype: str = "bfloat16"):
         from reve_tpu.pipeline.engine import UpscaleEngine
 
-        return UpscaleEngine(model=model, scale=scale)
+        return UpscaleEngine(model=model, scale=scale, compute_dtype=dtype)
 
-    def _get_engine(self, model: str, scale: int):
+    def _get_engine(self, model: str, scale: int, dtype: str = "bfloat16"):
         """Engines (and their compiled executables) are reused across jobs
-        of the same (model, scale) — a fresh engine per job would pay the
-        multi-second XLA compile for every batch-queue entry."""
-        key = (model, scale)
+        of the same (model, scale, dtype) — a fresh engine per job would
+        pay the multi-second XLA compile for every batch-queue entry."""
+        key = (model, scale, dtype)
         engine = self._engines.get(key)
         if engine is None:
-            engine = self.engine_factory(model, scale)
+            if dtype != "bfloat16":
+                try:
+                    engine = self.engine_factory(model, scale, dtype)
+                except TypeError:  # 2-arg custom factory (tests/plugins)
+                    engine = self.engine_factory(model, scale)
+            else:
+                engine = self.engine_factory(model, scale)
             self._engines[key] = engine
         return engine
 
     def submit(self, input_path: str, scale: Optional[int] = None,
                model: Optional[str] = None,
-               output_path: Optional[str] = None) -> Job:
+               output_path: Optional[str] = None,
+               dtype: Optional[str] = None) -> Job:
         scale = scale or self.cfg.default_scale
         model = model or self.cfg.default_upscale_type
+        if dtype not in (None, "bfloat16", "float32", "int8"):
+            raise ValueError(f"invalid dtype {dtype!r}")
         output_path = output_path or replace_file_suffix(input_path, scale)
         with self._lock:
             job = Job(
                 id=next(self._ids), input_path=input_path,
                 output_path=output_path, model=model, scale=scale,
+                dtype=dtype or "bfloat16",
             )
             self.jobs[job.id] = job
             self._order.append(job.id)
@@ -220,7 +233,7 @@ class JobManager:
             )
             ws.create()
         ws.save(st)
-        engine = self._get_engine(job.model, job.scale)
+        engine = self._get_engine(job.model, job.scale, job.dtype)
         job.progress = ProgressTracker(
             total_frames=sum(s.size for s in st.pending),
             total_segments=len(st.pending),

@@ -86,6 +86,7 @@ _PAGE = """<!doctype html>
   <button onclick="addPath()">Add</button>
   <select id=model></select>
   <select id=scale><option>2</option><option>3</option><option>4</option></select>x
+  <label><input type=checkbox id=turbo> turbo (int8)</label>
   <button onclick="go()">Upscale all</button>
  </div>
  <div id=jobs></div>
@@ -152,7 +153,8 @@ async function go(){
  const batch=files.length?files:(path.value?[path.value]:[]);
  for(const f of batch){
   const r=await fetch('/api/jobs',{method:'POST',headers:{'Content-Type':'application/json'},
-   body:JSON.stringify({input:f,scale:+scale.value,model:model.value})});
+   body:JSON.stringify({input:f,scale:+scale.value,model:model.value,
+    dtype:turbo.checked?'int8':undefined})});
   if(!r.ok){const e=await r.json();jobs.insertAdjacentHTML('afterbegin',
    `<div class="job err">${f}: ${e.error}</div>`);}
  }
@@ -395,10 +397,14 @@ class Handler(BaseHTTPRequestHandler):
             inp = data.get("input", "")
             if not inp or not os.path.exists(inp):
                 return self._json({"error": "input path not found"}, 400)
-            job = self.manager.submit(
-                inp, scale=data.get("scale"), model=data.get("model"),
-                output_path=data.get("output"),
-            )
+            try:
+                job = self.manager.submit(
+                    inp, scale=data.get("scale"), model=data.get("model"),
+                    output_path=data.get("output"),
+                    dtype=data.get("dtype"),
+                )
+            except ValueError as e:
+                return self._json({"error": str(e)}, 400)
             self._json(job.to_json(), 201)
         else:
             self._json({"error": "not found"}, 404)

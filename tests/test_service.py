@@ -459,3 +459,34 @@ def test_api_output_download(server, tmp_path):
     with pytest.raises(urllib.error.HTTPError) as ei:
         rq.urlopen(server + "/api/jobs/99999/output", timeout=10)
     assert ei.value.code == 404
+
+
+def test_job_dtype_turbo_plumbing(tmp_path):
+    """dtype reaches the Job and the engine key; invalid dtype rejected;
+    a 2-arg custom engine_factory keeps working (compat shim)."""
+    cfg = config_mod.ServiceConfig(segment_size=5)
+    seen = []
+
+    def factory(m, s):
+        seen.append((m, s))
+        return FakeEngine()
+
+    manager = JobManager(cfg, engine_factory=factory, io_backend="y4m")
+    try:
+        inp = str(tmp_path / "in.y4m")
+        with writer.Y4MWriter(inp, 32, 24, fractions.Fraction(24)) as wr:
+            for i in range(6):
+                wr.write(np.full((24, 32, 3), 30 + i * 10, np.uint8))
+        out = str(tmp_path / "out.y4m")
+        job = manager.submit(inp, scale=2, dtype="int8", output_path=out)
+        assert job.dtype == "int8"
+        assert job.to_json()["dtype"] == "int8"
+        deadline = time.time() + 60
+        while time.time() < deadline and job.status not in ("done", "error"):
+            time.sleep(0.1)
+        assert job.status == "done", job.error
+        assert seen, "factory never called"
+        with pytest.raises(ValueError, match="dtype"):
+            manager.submit(inp, scale=2, dtype="float16")
+    finally:
+        manager.shutdown()
