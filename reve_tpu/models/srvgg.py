@@ -279,11 +279,11 @@ def apply_int8(params: Params, qbody, x: jax.Array, *, cfg: SRVGGConfig,
 
     `qbody`: reve_tpu.weights.quantize.QuantizedBody (classic-domain int8
     weights + per-layer activation scales; s2d kernel transform applied
-    here, mirroring `apply`).  First/last conv, PReLU math, residual and
-    epilogue run in `compute_dtype`/f32 exactly like `apply`; dequant +
-    bias + PReLU + requant between hidden convs are f32 elementwise chains
-    XLA fuses into the conv epilogues.  The final hidden output is
-    dequantized, not requantized (one fewer rounding).
+    here, mirroring `apply`).  The hidden stack AND the head conv run in
+    int8; the first conv, PReLU math, residual and epilogue run in
+    `compute_dtype`/f32 exactly like `apply`.  Dequant + bias + PReLU +
+    requant between convs are f32 elementwise chains XLA fuses into the
+    conv epilogues (measured ~1.4 ms total for 16 layers).
 
     Costs PSNR vs `apply` (documented in PERF.md); opt-in via
     `--dtype int8` / UpscaleEngine(compute_dtype="int8").
@@ -329,12 +329,13 @@ def apply_int8(params: Params, qbody, x: jax.Array, *, cfg: SRVGGConfig,
             fy = dq_prelu(_conv3x3_s8(q, _s2d_kernel(qbody.w8[i])), i, 2)
             if pad_mask is not None:
                 fy = fy * pad_mask(cfg.num_feat, jnp.float32)
-            if i + 1 < cfg.num_conv:
-                q = _quant_s8(fy, sx[i + 1])
-            else:
-                hs = fy.astype(compute_dtype)
-        hs = _conv3x3(hs, _s2d_kernel(convs[-1]["w"].astype(compute_dtype)),
-                      jnp.tile(convs[-1]["b"], 2))
+            q = _quant_s8(fy, sx[i + 1])
+        # head conv in int8 too (its input scale is the last calibration
+        # entry); output dequantized straight into the f32 epilogue
+        y32 = _conv3x3_s8(q, _s2d_kernel(qbody.w8_last))
+        hs = (y32.astype(jnp.float32)
+              * (sx[cfg.num_conv] * jnp.tile(qbody.sw_last, 2))
+              + jnp.tile(qbody.b_last, 2))
         return _epilogue_s2d(hs, orig, cfg, H, quantize_u8=quantize_u8)
 
     h = _prelu(_conv3x3(h, convs[0]["w"].astype(compute_dtype),
@@ -343,11 +344,10 @@ def apply_int8(params: Params, qbody, x: jax.Array, *, cfg: SRVGGConfig,
     q = _quant_s8(h, sx[0])
     for i in range(cfg.num_conv):
         fy = dq_prelu(_conv3x3_s8(q, qbody.w8[i]), i, 1)
-        if i + 1 < cfg.num_conv:
-            q = _quant_s8(fy, sx[i + 1])
-        else:
-            h = fy.astype(compute_dtype)
-    h = _conv3x3(h, convs[-1]["w"].astype(compute_dtype), convs[-1]["b"])
+        q = _quant_s8(fy, sx[i + 1])
+    y32 = _conv3x3_s8(q, qbody.w8_last)
+    h = (y32.astype(jnp.float32) * (sx[cfg.num_conv] * qbody.sw_last)
+         + qbody.b_last)
     return _epilogue(h, orig, cfg, quantize_u8=quantize_u8)
 
 

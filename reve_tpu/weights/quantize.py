@@ -38,17 +38,22 @@ from reve_tpu.models import srvgg
 
 @dataclasses.dataclass
 class QuantizedBody:
-    """int8 hidden-stack parameters (classic domain; the s2d kernel
-    transform is applied at model-apply time, like the f32 path)."""
+    """int8 hidden-stack + last-conv parameters (classic domain; the s2d
+    kernel transform is applied at model-apply time, like the f32 path)."""
 
     w8: List[jax.Array]          # num_conv x (3, 3, C, C) int8
     sw: List[jax.Array]          # num_conv x (C,) f32 per-out-channel
     b: List[jax.Array]           # num_conv x (C,) f32
     alpha: List[jax.Array]       # num_conv x (C,) f32 (PReLU)
-    act_scale: jax.Array         # (num_conv,) f32: input scale per conv
+    act_scale: jax.Array         # (num_conv + 1,) f32: input scale per
+    #                              hidden conv + the last conv's input
+    w8_last: jax.Array           # (3, 3, C, out*r^2) int8 head conv
+    sw_last: jax.Array           # (out*r^2,) f32
+    b_last: jax.Array            # (out*r^2,) f32
 
     def tree_flatten(self):
-        return ((self.w8, self.sw, self.b, self.alpha, self.act_scale), None)
+        return ((self.w8, self.sw, self.b, self.alpha, self.act_scale,
+                 self.w8_last, self.sw_last, self.b_last), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -74,10 +79,9 @@ def collect_act_maxima(params: Dict[str, Any], x: jax.Array, *,
                        convs[0]["w"].astype(compute_dtype), convs[0]["b"]),
         prelus[0]["alpha"])
     maxima = [jnp.max(jnp.abs(h.astype(jnp.float32)))]
-    # inputs of hidden convs 2..num_conv are the outputs of hidden
-    # prelus 1..num_conv-1 (the last hidden output is dequantized, not
-    # requantized, so it needs no scale)
-    for i in range(cfg.num_conv - 1):
+    # inputs of hidden convs 2..num_conv (outputs of hidden prelus
+    # 1..num_conv-1) plus the last conv's input (hidden prelu num_conv)
+    for i in range(cfg.num_conv):
         h = srvgg._prelu(
             srvgg._conv3x3(h, convs[i + 1]["w"].astype(compute_dtype),
                            convs[i + 1]["b"]),
@@ -95,19 +99,27 @@ def quantize_hidden(params: Dict[str, Any], cfg: srvgg.SRVGGConfig,
     to absorb content hotter than the calibration set (clipping beyond it).
     """
     act_maxima = jnp.asarray(act_maxima, jnp.float32)
-    if act_maxima.shape != (cfg.num_conv,):
-        raise ValueError(
-            f"act_maxima must be ({cfg.num_conv},), got {act_maxima.shape}")
+    if act_maxima.shape != (cfg.num_conv + 1,):
+        raise ValueError(f"act_maxima must be ({cfg.num_conv + 1},), "
+                         f"got {act_maxima.shape}")
     act_scale = jnp.maximum(act_maxima * float(margin), 1e-8) / 127.0
+
+    def _qw(w):
+        w = jnp.asarray(w, jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
+        return jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8), s
+
     w8, sw, b, alpha = [], [], [], []
     for i in range(cfg.num_conv):
-        w = jnp.asarray(params["convs"][i + 1]["w"], jnp.float32)
-        s = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
-        q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+        q, s = _qw(params["convs"][i + 1]["w"])
         w8.append(q)
         sw.append(s)
         b.append(jnp.asarray(params["convs"][i + 1]["b"], jnp.float32))
         alpha.append(jnp.asarray(params["prelus"][i + 1]["alpha"],
                                  jnp.float32))
+    w8_last, sw_last = _qw(params["convs"][-1]["w"])
     return QuantizedBody(w8=w8, sw=sw, b=b, alpha=alpha,
-                         act_scale=act_scale)
+                         act_scale=act_scale, w8_last=w8_last,
+                         sw_last=sw_last,
+                         b_last=jnp.asarray(params["convs"][-1]["b"],
+                                            jnp.float32))

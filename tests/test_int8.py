@@ -27,7 +27,7 @@ def small():
 def test_weight_quantization_per_channel(small):
     cfg, params, x = small
     maxima = quantize.collect_act_maxima(params, x, cfg=cfg)
-    assert maxima.shape == (cfg.num_conv,)
+    assert maxima.shape == (cfg.num_conv + 1,)
     qb = quantize.quantize_hidden(params, cfg, maxima)
     for i in range(cfg.num_conv):
         w = np.asarray(params["convs"][i + 1]["w"])
@@ -39,6 +39,10 @@ def test_weight_quantization_per_channel(small):
         assert (err <= s / 2 + 1e-7).all()
         # every channel uses most of the int8 range (symmetric max scaling)
         assert np.abs(q).max(axis=(0, 1, 2)).min() == 127
+    # head conv quantized too
+    assert np.asarray(qb.w8_last).dtype == np.int8
+    assert qb.w8_last.shape == (3, 3, cfg.num_feat,
+                                cfg.num_out_ch * cfg.upscale ** 2)
 
 
 def test_act_maxima_shape_validation(small):
