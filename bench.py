@@ -150,8 +150,9 @@ def main():
     report = "--report" in argv
     # headline measures both the exact bf16 path and the int8 turbo mode
     # (quantized hidden stack, --dtype int8); the reported value is the
-    # best, with per-path numbers alongside
-    paths = ["xla", "int8"]
+    # best, with per-path numbers alongside.  Off-TPU smoke mode measures
+    # one path only (the contract is the JSON line, not the number).
+    paths = None
     for i, a in enumerate(argv):
         if a == "--paths":
             paths = argv[i + 1].split(",")
@@ -164,6 +165,8 @@ def main():
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
+    if paths is None:
+        paths = ["xla", "int8"] if on_tpu else ["xla"]
     if on_tpu:
         # int8 halves the activation footprint: batch 16 fits HBM and is
         # +10% over batch 8 (measured); bf16 tops out at batch 8

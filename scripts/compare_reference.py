@@ -11,6 +11,12 @@ Usage (when real weights + a reference output are available):
     python scripts/compare_reference.py ours.mp4 ref_frames_dir/
 
 Prints per-frame min/p5/mean PSNR + SSIM and a pass/fail verdict at 50 dB.
+
+Also certifies the int8 turbo mode on your own content (no reference
+binary needed) — compare turbo output against the default bf16 output:
+
+    python -m reve_tpu.cli -i clip.mp4 -s 2 turbo.mp4 --yes --dtype int8
+    python scripts/compare_reference.py turbo.mp4 ours.mp4 --gate 40
 """
 
 import json
@@ -30,10 +36,16 @@ def frames_from_dir(path):
 
 
 def main():
-    if len(sys.argv) < 3:
+    argv = list(sys.argv[1:])
+    gate = 50.0
+    if "--gate" in argv:
+        i = argv.index("--gate")
+        gate = float(argv[i + 1])
+        del argv[i:i + 2]
+    if len(argv) < 2:
         print(__doc__)
         sys.exit(2)
-    ours, ref = sys.argv[1], sys.argv[2]
+    ours, ref = argv[0], argv[1]
     from reve_tpu.utils import quality
 
     if os.path.isdir(ref):
@@ -53,7 +65,9 @@ def main():
         }
     else:
         report = quality.compare_videos(ours, ref)
-    report["pass_50db"] = report["psnr_min"] >= 50.0
+    report["gate_db"] = gate
+    report["pass_50db"] = report["psnr_min"] >= 50.0  # flagship gate
+    report["pass"] = report["psnr_min"] >= gate
     print(json.dumps(report))
 
 

@@ -67,7 +67,7 @@ def test_torch_oracle_full_production_shape(upscale):
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
-def _compare_reference_main(ours, ref, capsys):
+def _compare_reference_main(ours, ref, capsys, *extra):
     spec = importlib.util.spec_from_file_location(
         "compare_reference",
         os.path.join(os.path.dirname(__file__), "..", "scripts",
@@ -76,7 +76,7 @@ def _compare_reference_main(ours, ref, capsys):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     old = sys.argv
-    sys.argv = ["compare_reference.py", ours, ref]
+    sys.argv = ["compare_reference.py", ours, ref] + list(extra)
     try:
         mod.main()
     finally:
@@ -145,3 +145,35 @@ def test_pipeline_psnr_gate_end_to_end(tmp_path, capsys):
             wr.write(np.roll(f, 5, axis=1))  # 5-px shift ~= badly wrong
     report_bad = _compare_reference_main(bad, ref_path, capsys)
     assert report_bad["pass_50db"] is False, report_bad
+
+
+def test_int8_turbo_acceptance_end_to_end(tmp_path, capsys):
+    """The documented int8 certification flow: run the pipeline twice
+    (bf16-default vs --dtype int8) on the same clip and certify the turbo
+    output against the default output with the acceptance script's --gate
+    knob (int8 trades some PSNR for ~1.6x throughput; PERF.md)."""
+    from reve_tpu import cli
+
+    h, w, n = 24, 32, 6
+    yy, xx = np.mgrid[0:h, 0:w]
+    inp = str(tmp_path / "in.y4m")
+    with writer.Y4MWriter(inp, w, h, fractions.Fraction(24)) as wr:
+        for i in range(n):
+            base = (yy * 3 + xx * 2 + i * 11) % 200 + 20
+            f = np.stack([base, base + 10, base - 10], axis=-1)
+            wr.write(f.clip(0, 255).astype(np.uint8))
+
+    outs = {}
+    for dtype in ("float32", "int8"):
+        out = str(tmp_path / f"{dtype}.y4m")
+        rc = cli.run(["-i", inp, "-s", "2", out, "--yes",
+                      "--io-backend", "y4m", "-S", "3", "--batch", "2",
+                      "--dtype", dtype])
+        assert rc == 0
+        outs[dtype] = out
+
+    report = _compare_reference_main(outs["int8"], outs["float32"], capsys,
+                                     "--gate", "40")
+    assert report["frames"] == n
+    assert report["gate_db"] == 40.0
+    assert report["pass"] is True, report

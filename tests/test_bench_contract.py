@@ -24,7 +24,7 @@ def test_bench_smoke_offtpu():
     data = json.loads(line)
     assert {"metric", "value", "unit", "vs_baseline"} <= set(data)
     assert data["value"] > 0, data
-    assert data["paths"].get("int8", 1) > 0, data  # turbo path measured
+    assert data["paths"].get("xla", 0) > 0, data
 
 
 def test_graft_entry_jits():
