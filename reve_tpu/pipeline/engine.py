@@ -221,11 +221,18 @@ class UpscaleEngine:
 
         opts = self._compiler_options
         if opts == "auto":
-            from reve_tpu.utils import compileopts
+            if isinstance(self.cfg, srvgg.SRVGGConfig):
+                from reve_tpu.utils import compileopts
 
-            backend = (self.mesh.devices.flat[0].platform if self.mesh
-                       is not None else self.device.platform)
-            opts = compileopts.default_compiler_options(backend)
+                backend = (self.mesh.devices.flat[0].platform if self.mesh
+                           is not None else self.device.platform)
+                opts = compileopts.default_compiler_options(backend)
+            else:
+                # RRDB-scale graphs (350+ convs): with the raised
+                # scoped-VMEM budget a whole-model compile ran past 25 min
+                # without finishing (control without options: 130 s, same
+                # 1.82 fps as before) — compiler defaults there
+                opts = None
         jitted = jax.jit(fn, compiler_options=opts or None)
         self.stats.compile_count += 1
         return jitted

@@ -3,7 +3,8 @@
 
 Measures sustained on-device throughput (same methodology as bench.py) for
 720p input at each scale, whole-frame vs halo-tiled, and prints a table.
-Run on TPU: `python scripts/bench_tiles.py`.
+Run on TPU: `python scripts/bench_tiles.py [--int8]` (--int8 adds the
+turbo-mode rows; see PERF.md).
 """
 
 import os
@@ -27,15 +28,30 @@ def main():
 
     h, w, batch = 720, 1280, 4
     iters = 8
+    int8 = "--int8" in sys.argv
     rows = []
     for scale in (2, 3, 4):
         cfg, params = registry.load_model("realesr-animevideov3", scale=scale)
         params = jax.device_put(params)
+        qbody = None
+        if int8:
+            from reve_tpu.weights import quantize
+
+            rs0 = np.random.RandomState(0)
+            xs = jax.device_put(rs0.rand(2, h, w, 3).astype(np.float32))
+            maxima = quantize.collect_act_maxima(params, xs, cfg=cfg,
+                                                 compute_dtype=jnp.float32)
+            qbody = jax.device_put(quantize.quantize_hidden(
+                params, cfg, np.asarray(maxima), margin=1.25))
         for tile in (0, 384):   # 0 = whole frame
             def step(params, u8):
                 x = u8.astype(jnp.float32) * (1.0 / 255.0)
 
                 def ap(tt):
+                    if qbody is not None:
+                        # 720/384/18 all even -> s2d parity holds in tiles
+                        return srvgg.apply_int8(params, qbody, tt, cfg=cfg,
+                                                compute_dtype=jnp.bfloat16)
                     return srvgg.apply(params, tt, cfg=cfg,
                                        compute_dtype=jnp.bfloat16)
 
@@ -65,7 +81,8 @@ def main():
                 float(r)
                 fps = batch * iters / (time.perf_counter() - t0)
                 rows.append((scale, tile or "whole", round(fps, 2)))
-                print(f"x{scale} tile={tile or 'whole'}: {fps:.2f} fps",
+                print(f"x{scale} tile={tile or 'whole'}"
+                      f"{' int8' if int8 else ''}: {fps:.2f} fps",
                       flush=True)
             except Exception as e:
                 rows.append((scale, tile or "whole", f"fail: {str(e)[:60]}"))
