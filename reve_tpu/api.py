@@ -80,16 +80,10 @@ def upscale_video(
                              f"{input_path!r}")
         fps = info.fps or Fraction(30, 1)
         if scene_align:
-            from reve_tpu.io import reader as reader_mod
             from reve_tpu.pipeline import scenes
 
-            with reader_mod.open_reader(
-                input_path, backend=io_backend,
-                width=info.width, height=info.height,
-            ) as rd:
-                cuts = scenes.detect_cuts(rd, info.frame_count)
-            pending = scenes.plan_segments_aligned(
-                info.frame_count, segment_size, cuts)
+            pending = scenes.plan_for_video(input_path, io_backend, info,
+                                            segment_size)
         else:
             pending = plan_segments(info.frame_count, segment_size)
         ws.create(keep_parts=False)

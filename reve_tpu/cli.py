@@ -185,18 +185,12 @@ def _fresh_state(args) -> JobState:
         raise SystemExit("could not determine frame count")
     fps = info.fps if info.fps else Fraction(30, 1)
     if getattr(args, "scene_align", False):
-        from reve_tpu.io import reader as reader_mod
         from reve_tpu.pipeline import scenes
 
-        with reader_mod.open_reader(
-            args.inputpath, backend=args.io_backend,
-            width=info.width, height=info.height,
-        ) as rd:
-            cuts = scenes.detect_cuts(rd, info.frame_count)
-        print(f"scene-align: {len(cuts)} cut(s) detected", file=sys.stderr)
-        pending = scenes.plan_segments_aligned(
-            info.frame_count, args.segmentsize, cuts
-        )
+        pending = scenes.plan_for_video(args.inputpath, args.io_backend,
+                                        info, args.segmentsize)
+        print(f"scene-align: {len(pending)} segment(s) planned",
+              file=sys.stderr)
     else:
         pending = plan_segments(info.frame_count, args.segmentsize)
     plan = list(pending)

@@ -167,7 +167,15 @@ class UpscaleEngine:
         """Rough peak HBM for an un-tiled batch at (h, w) input."""
         feat = getattr(self.cfg, "num_feat", 64)
         bpe = 2 if self.compute_dtype == jnp.bfloat16 else 4
-        act = self.batch_size * h * w * feat * bpe * _ACT_BUFFERS
+        if self._int8:
+            # hidden activations are int8 (1 byte); one bf16 buffer (the
+            # first-conv output) dominates the rest: 2 + 2x1 vs 3x2 —
+            # this is what lets batch 16 run whole-frame at 1080p
+            # (measured; bench.py's int8 path) while bf16 tops out at 8
+            per_elem = 2 + 2 * 1
+        else:
+            per_elem = bpe * _ACT_BUFFERS
+        act = self.batch_size * h * w * feat * per_elem
         # f32 epilogue at input res x out_ch*scale^2 channels
         out_ch = getattr(self.cfg, "num_out_ch", 3)
         epi = self.batch_size * h * w * out_ch * self.scale ** 2 * 4
@@ -221,9 +229,9 @@ class UpscaleEngine:
 
         opts = self._compiler_options
         if opts == "auto":
-            if isinstance(self.cfg, srvgg.SRVGGConfig):
-                from reve_tpu.utils import compileopts
+            from reve_tpu.utils import compileopts
 
+            if isinstance(self.cfg, srvgg.SRVGGConfig):
                 backend = (self.mesh.devices.flat[0].platform if self.mesh
                            is not None else self.device.platform)
                 opts = compileopts.default_compiler_options(backend)
@@ -231,8 +239,9 @@ class UpscaleEngine:
                 # RRDB-scale graphs (350+ convs): with the raised
                 # scoped-VMEM budget a whole-model compile ran past 25 min
                 # without finishing (control without options: 130 s, same
-                # 1.82 fps as before) — compiler defaults there
-                opts = None
+                # 1.82 fps as before) — no measured defaults here, but an
+                # explicit REVE_TPU_XLA_OPTIONS override still applies
+                opts = compileopts.env_compiler_options()
         jitted = jax.jit(fn, compiler_options=opts or None)
         self.stats.compile_count += 1
         return jitted

@@ -73,3 +73,18 @@ def plan_segments_aligned(frame_count: int, segment_size: int,
         start = end
         index += 1
     return segments
+
+
+def plan_for_video(input_path: str, io_backend, info, segment_size: int,
+                   ) -> List[Segment]:
+    """Convenience pre-pass shared by the CLI (--scene-align) and the
+    library API (scene_align=True): open the input, detect cuts over the
+    whole clip, and return the cut-snapped segment plan."""
+    from reve_tpu.io import reader as reader_mod
+
+    with reader_mod.open_reader(
+        input_path, backend=io_backend,
+        width=info.width, height=info.height,
+    ) as rd:
+        cuts = detect_cuts(rd, info.frame_count)
+    return plan_segments_aligned(info.frame_count, segment_size, cuts)

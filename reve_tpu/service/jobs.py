@@ -109,17 +109,29 @@ class JobManager:
     def _get_engine(self, model: str, scale: int, dtype: str = "bfloat16"):
         """Engines (and their compiled executables) are reused across jobs
         of the same (model, scale, dtype) — a fresh engine per job would
-        pay the multi-second XLA compile for every batch-queue entry."""
+        pay the multi-second XLA compile for every batch-queue entry.
+
+        Custom 2-arg engine factories (tests/plugins) keep working for the
+        default dtype; a non-default dtype with such a factory is an
+        explicit error rather than a silent bf16 run."""
         key = (model, scale, dtype)
         engine = self._engines.get(key)
         if engine is None:
-            if dtype != "bfloat16":
-                try:
-                    engine = self.engine_factory(model, scale, dtype)
-                except TypeError:  # 2-arg custom factory (tests/plugins)
-                    engine = self.engine_factory(model, scale)
-            else:
+            import inspect
+
+            try:
+                takes_dtype = len(inspect.signature(
+                    self.engine_factory).parameters) >= 3
+            except (TypeError, ValueError):  # builtins/partials: assume new
+                takes_dtype = True
+            if takes_dtype:
+                engine = self.engine_factory(model, scale, dtype)
+            elif dtype == "bfloat16":
                 engine = self.engine_factory(model, scale)
+            else:
+                raise ValueError(
+                    f"engine_factory {self.engine_factory!r} does not "
+                    f"accept a dtype argument; cannot run a {dtype} job")
             self._engines[key] = engine
         return engine
 

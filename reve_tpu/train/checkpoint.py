@@ -54,21 +54,24 @@ def restore(path: str, trainer, step: Optional[int] = None) -> int:
         "opt_state": trainer.opt_state,
         "step": 0,
     }
-    if getattr(trainer, "ema_params", None) is not None:
+    trainer_has_ema = getattr(trainer, "ema_params", None) is not None
+    if trainer_has_ema:
         target["ema_params"] = trainer.ema_params
+    ckpt_path = os.path.join(path, f"step_{step:08d}")
     with ocp.StandardCheckpointer() as ckptr:
         try:
-            restored = ckptr.restore(
-                os.path.join(path, f"step_{step:08d}"),
-                target,
-            )
+            restored = ckptr.restore(ckpt_path, target)
         except (ValueError, KeyError):
-            # pre-EMA checkpoint: restore without it, seed EMA from params
-            target.pop("ema_params", None)
-            restored = ckptr.restore(
-                os.path.join(path, f"step_{step:08d}"),
-                target,
-            )
+            # structure mismatch on the EMA key only: an EMA trainer
+            # reading a pre-EMA checkpoint (drop the key, seed EMA from
+            # params below) or a non-EMA trainer reading an EMA checkpoint
+            # (add a template, discard the restored copy).  A second
+            # failure is a genuinely bad checkpoint and propagates.
+            if trainer_has_ema:
+                target.pop("ema_params")
+            else:
+                target["ema_params"] = trainer.params
+            restored = ckptr.restore(ckpt_path, target)
     # restored arrays land committed to one device; params get their mesh
     # shardings re-applied, optimizer state is rehydrated as uncommitted
     # host values (exactly like a fresh tx.init) so jit re-places it

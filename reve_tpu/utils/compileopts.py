@@ -30,6 +30,29 @@ DEFAULT_TPU_OPTIONS: Dict[str, str] = {
 _ENV = "REVE_TPU_XLA_OPTIONS"
 
 
+def env_compiler_options() -> Optional[Dict[str, str]]:
+    """Options from REVE_TPU_XLA_OPTIONS alone (None when unset/empty).
+    For call sites that must not apply the measured TPU defaults (e.g.
+    RRDB-scale graphs, where the scoped-VMEM raise makes compiles
+    pathological) but should still honor an explicit user override."""
+    env = os.environ.get(_ENV)
+    if env is None:
+        return None
+    env = env.strip()
+    if not env:
+        return None
+    out: Dict[str, str] = {}
+    for kv in env.split(","):
+        kv = kv.strip()
+        if not kv:
+            continue
+        if "=" not in kv:
+            raise ValueError(f"{_ENV}: expected k=v[,k=v...], got {kv!r}")
+        k, v = kv.split("=", 1)
+        out[k.strip()] = v.strip()
+    return out or None
+
+
 def default_compiler_options(backend: Optional[str] = None
                              ) -> Optional[Dict[str, str]]:
     """Options dict for `jax.jit(..., compiler_options=...)`, or None.
@@ -38,22 +61,8 @@ def default_compiler_options(backend: Optional[str] = None
     compile.  `backend` defaults to jax.default_backend() (queried lazily so
     importing this module never initializes a backend).
     """
-    env = os.environ.get(_ENV)
-    if env is not None:
-        env = env.strip()
-        if not env:
-            return None
-        out: Dict[str, str] = {}
-        for kv in env.split(","):
-            kv = kv.strip()
-            if not kv:
-                continue
-            if "=" not in kv:
-                raise ValueError(
-                    f"{_ENV}: expected k=v[,k=v...], got {kv!r}")
-            k, v = kv.split("=", 1)
-            out[k.strip()] = v.strip()
-        return out or None
+    if os.environ.get(_ENV) is not None:
+        return env_compiler_options()
     if backend is None:
         import jax
 

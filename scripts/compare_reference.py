@@ -40,7 +40,12 @@ def main():
     gate = 50.0
     if "--gate" in argv:
         i = argv.index("--gate")
-        gate = float(argv[i + 1])
+        try:
+            gate = float(argv[i + 1])
+        except (IndexError, ValueError):
+            print(__doc__)
+            print("error: --gate needs a dB number", file=sys.stderr)
+            sys.exit(2)
         del argv[i:i + 2]
     if len(argv) < 2:
         print(__doc__)

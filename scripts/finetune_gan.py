@@ -87,7 +87,9 @@ def main():
     from reve_tpu.train import checkpoint
 
     class _Holder:  # checkpoint.save expects .params/.opt_state
-        params = trainer.g_params
+        # ship the EMA generator (export_params) — the upstream
+        # net_g_ema convention; the live params stay in opt resume state
+        params = trainer.export_params()
         opt_state = trainer.g_opt
 
     checkpoint.save(args.out, _Holder, args.steps)

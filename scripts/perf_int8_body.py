@@ -133,12 +133,15 @@ def main():
                       file=sys.stderr)
         return best
 
+    def _f(v):
+        return f"{v:.1f}" if v is not None else "FAILED"
+
     ms8 = measure(mk_int8, (x8, w8, alphas, scales), "int8")
     ms8b = measure(lambda a: mk_int8(a, jnp.bfloat16),
                    (x8, w8, alphas, scales), "int8-bf16requant")
     ms8n = measure(mk_int8_noepi, (x8, w8, alphas, scales), "int8-noepi")
-    print(f"int8 f32-requant {ms8:.1f} / bf16-requant {ms8b:.1f} / "
-          f"convs-only {ms8n:.1f} ms/frame", file=sys.stderr)
+    print(f"int8 f32-requant {_f(ms8)} / bf16-requant {_f(ms8b)} / "
+          f"convs-only {_f(ms8n)} ms/frame", file=sys.stderr)
     msb = measure(mk_bf16, (xbf, wbf, alphas), "bf16")
     tops8 = 2 * H * W * 9 * C * C * layers / (ms8 / 1000) / 1e12 if ms8 \
         else 0.0

@@ -111,6 +111,12 @@ def test_compileopts_env_and_backend(monkeypatch):
     with _pytest.raises(ValueError, match="k=v"):
         compileopts.default_compiler_options("tpu")
 
+    # env-only helper (RRDB path: no measured defaults, env still honored)
+    monkeypatch.delenv("REVE_TPU_XLA_OPTIONS", raising=False)
+    assert compileopts.env_compiler_options() is None
+    monkeypatch.setenv("REVE_TPU_XLA_OPTIONS", "k=v")
+    assert compileopts.env_compiler_options() == {"k": "v"}
+
 
 def test_engine_compiler_options_plumbing():
     """Explicit dict reaches jax.jit; 'auto' resolves to None on CPU."""

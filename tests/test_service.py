@@ -462,31 +462,50 @@ def test_api_output_download(server, tmp_path):
 
 
 def test_job_dtype_turbo_plumbing(tmp_path):
-    """dtype reaches the Job and the engine key; invalid dtype rejected;
-    a 2-arg custom engine_factory keeps working (compat shim)."""
+    """dtype reaches the Job and a 3-arg engine factory; a 2-arg factory
+    errors the job on non-default dtype (no silent bf16 run) but still
+    serves default-dtype jobs; invalid dtype rejected at submit."""
     cfg = config_mod.ServiceConfig(segment_size=5)
     seen = []
 
-    def factory(m, s):
-        seen.append((m, s))
+    def factory3(m, s, dtype):
+        seen.append((m, s, dtype))
         return FakeEngine()
 
-    manager = JobManager(cfg, engine_factory=factory, io_backend="y4m")
-    try:
-        inp = str(tmp_path / "in.y4m")
-        with writer.Y4MWriter(inp, 32, 24, fractions.Fraction(24)) as wr:
-            for i in range(6):
-                wr.write(np.full((24, 32, 3), 30 + i * 10, np.uint8))
-        out = str(tmp_path / "out.y4m")
-        job = manager.submit(inp, scale=2, dtype="int8", output_path=out)
-        assert job.dtype == "int8"
-        assert job.to_json()["dtype"] == "int8"
+    inp = str(tmp_path / "in.y4m")
+    with writer.Y4MWriter(inp, 32, 24, fractions.Fraction(24)) as wr:
+        for i in range(6):
+            wr.write(np.full((24, 32, 3), 30 + i * 10, np.uint8))
+
+    def _wait(job):
         deadline = time.time() + 60
         while time.time() < deadline and job.status not in ("done", "error"):
             time.sleep(0.1)
+        return job
+
+    manager = JobManager(cfg, engine_factory=factory3, io_backend="y4m")
+    try:
+        out = str(tmp_path / "out.y4m")
+        job = _wait(manager.submit(inp, scale=2, dtype="int8",
+                                   output_path=out))
+        assert job.dtype == "int8"
+        assert job.to_json()["dtype"] == "int8"
         assert job.status == "done", job.error
-        assert seen, "factory never called"
+        assert seen == [("realesr-animevideov3", 2, "int8")]
         with pytest.raises(ValueError, match="dtype"):
             manager.submit(inp, scale=2, dtype="float16")
+    finally:
+        manager.shutdown()
+
+    manager = JobManager(cfg, engine_factory=lambda m, s: FakeEngine(),
+                         io_backend="y4m")
+    try:
+        ok = _wait(manager.submit(inp, scale=2,
+                                  output_path=str(tmp_path / "ok.y4m")))
+        assert ok.status == "done", ok.error
+        bad = _wait(manager.submit(inp, scale=2, dtype="int8",
+                                   output_path=str(tmp_path / "bad.y4m")))
+        assert bad.status == "error"
+        assert "dtype" in bad.error
     finally:
         manager.shutdown()
