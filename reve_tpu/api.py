@@ -98,6 +98,10 @@ def upscale_video(
             width=info.width,
             height=info.height,
             pending=pending,
+            # persist the full plan: on resume repair_pending must see the
+            # ACTUAL boundaries (scene-aligned plans are not re-derivable
+            # from frame_count/segment_size)
+            plan=list(pending),
             encode={"crf": crf, "preset": preset,
                     "x265_params": x265_params},
             model=model,

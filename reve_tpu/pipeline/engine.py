@@ -164,7 +164,11 @@ class UpscaleEngine:
         return y
 
     def _whole_frame_bytes(self, h: int, w: int) -> int:
-        """Rough peak HBM for an un-tiled batch at (h, w) input."""
+        """Rough peak HBM PER DEVICE for an un-tiled batch at (h, w):
+        a dp mesh shards the batch, so each chip holds batch/dp frames."""
+        batch = self.batch_size
+        if self.mesh is not None:
+            batch = max(1, batch // self.mesh.shape["dp"])
         feat = getattr(self.cfg, "num_feat", 64)
         bpe = 2 if self.compute_dtype == jnp.bfloat16 else 4
         if self._int8:
@@ -175,10 +179,10 @@ class UpscaleEngine:
             per_elem = 2 + 2 * 1
         else:
             per_elem = bpe * _ACT_BUFFERS
-        act = self.batch_size * h * w * feat * per_elem
+        act = batch * h * w * feat * per_elem
         # f32 epilogue at input res x out_ch*scale^2 channels
         out_ch = getattr(self.cfg, "num_out_ch", 3)
-        epi = self.batch_size * h * w * out_ch * self.scale ** 2 * 4
+        epi = batch * h * w * out_ch * self.scale ** 2 * 4
         return act + epi
 
     def _tile_size_for(self, h: int, w: int) -> int:

@@ -71,6 +71,28 @@ class SegmentLeaseQueue:
         except OSError:
             return False  # vanished: owner released or finished
 
+    def _owner(self, path: str) -> Optional[str]:
+        try:
+            with open(path) as f:
+                return f.read()
+        except OSError:
+            return None
+
+    def _steal(self, path: str) -> bool:
+        """Take over a stale lease atomically: rename wins exactly once
+        among racing stealers (the losers get ENOENT), so two workers can
+        never both unlink-and-recreate the same stale lease."""
+        grave = f"{path}.stolen.{os.getpid()}.{time.monotonic_ns()}"
+        try:
+            os.rename(path, grave)
+        except OSError:
+            return False  # someone else stole (or owner released) first
+        try:
+            os.unlink(grave)
+        except OSError:
+            pass
+        return self._try_create(path)
+
     def claim(self, segments: List[Segment]) -> Optional[Segment]:
         """Claim the first unowned, uncompleted segment; None if none left
         to claim (they may still be in-flight on other workers)."""
@@ -81,25 +103,31 @@ class SegmentLeaseQueue:
             path = self._lease_path(seg.index)
             if self._try_create(path):
                 return seg
-            if self._is_stale(path):
-                # crashed owner: take over (best-effort unlink + re-create)
-                try:
-                    os.unlink(path)
-                except OSError:
-                    pass
-                if self._try_create(path):
-                    return seg
+            if self._is_stale(path) and self._steal(path):
+                return seg
         return None
 
     def renew(self, seg: Segment) -> None:
+        """Heartbeat — but only while we still own the lease: a worker
+        that was presumed dead (lease stolen) must not freshen the
+        thief's lease file."""
+        path = self._lease_path(seg.index)
+        if self._owner(path) != self.worker_id:
+            return
         try:
-            os.utime(self._lease_path(seg.index))
+            os.utime(path)
         except OSError:
             pass
 
     def release(self, seg: Segment) -> None:
+        """Delete our lease.  Owner-checked: a stalled worker that resumes
+        after its lease was stolen must not delete the new owner's lease
+        (which would open the segment to a third claimant)."""
+        path = self._lease_path(seg.index)
+        if self._owner(path) != self.worker_id:
+            return
         try:
-            os.unlink(self._lease_path(seg.index))
+            os.unlink(path)
         except OSError:
             pass
 
@@ -116,25 +144,15 @@ class SegmentLeaseQueue:
         """Elect exactly one finalizer among workers that all observe
         `all_done` (two workers finishing near-simultaneously must not both
         write the output).  O_EXCL create wins; a stale finalize lease with
-        no output yet means the elected finalizer crashed — steal it."""
+        no output yet means the elected finalizer crashed — steal it.
+        scheduler.finalize writes the output atomically (concat to a tmp,
+        then rename), so `output exists` reliably means `finalize
+        completed` and a crashed finalizer never blocks takeover."""
         path = self._finalize_lease_path()
         if self._try_create(path):
             return True
         if self._is_stale(path) and not os.path.exists(output_path):
-            try:
-                os.unlink(path)
-            except OSError:
-                pass
-            return self._try_create(path)
-        return False
-
-    def wait_all_done(self, segments: List[Segment],
-                      timeout: float = 3600.0, poll: float = 0.5) -> bool:
-        deadline = time.monotonic() + timeout
-        while time.monotonic() < deadline:
-            if self.all_done(segments):
-                return True
-            time.sleep(poll)
+            return self._steal(path)
         return False
 
 

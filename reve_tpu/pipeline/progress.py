@@ -44,13 +44,19 @@ class ProgressTracker:
             "total": StageCounter(total=total_segments, started_at=now),
         }
         self._lock = threading.Lock()
+        # callbacks are serialized on their own lock (decode/submit/encode
+        # threads all advance concurrently; renderers and user callbacks
+        # are not written to be re-entrant).  Separate from the counter
+        # lock so a slow callback never stalls counting.
+        self._cb_lock = threading.Lock()
         self._on_update = on_update
 
     def advance(self, stage: str, n: int = 1) -> None:
         with self._lock:
             self.stages[stage].done += n
         if self._on_update:
-            self._on_update(self)
+            with self._cb_lock:
+                self._on_update(self)
 
     def snapshot(self) -> dict:
         with self._lock:

@@ -288,8 +288,18 @@ class PipelineJob:
             self._put_sentinel(self.encode_q, encode_t)
             decode_t.join(timeout=30)
             encode_t.join(timeout=600)
+            if encode_t.is_alive() and not self.errors:
+                # a hung/glacial encoder must NOT look like success: the
+                # last segment is still in flight and finalize would concat
+                # a truncated output (then destroy the live workspace)
+                self.errors.append(PipelineError(
+                    "encode stage still running after 600 s drain timeout"))
         if self.errors:
             raise self.errors[0]
+        if self.state.pending:
+            raise PipelineError(
+                f"{len(self.state.pending)} segment(s) still pending after "
+                f"run — refusing to report success")
         return self.state
 
 
@@ -306,21 +316,39 @@ def finalize(state: JobState, workspace: Workspace,
     """Concat all parts + remux A/V from the original into the output
     (reference: Video::concatenate_segments, lib.rs:173-206), then validate
     the output exists and is non-empty (main.rs:355-362)."""
-    parts = [
-        workspace.part_path(i, part_ext)
-        for i in workspace.completed_parts(part_ext)
-    ]
+    from reve_tpu.pipeline.planner import plan_segments
+
+    done = workspace.completed_parts(part_ext)
+    parts = [workspace.part_path(i, part_ext) for i in done]
     if not parts:
         raise PipelineError("no completed parts to concatenate")
-    report = concat_mod.concatenate(
-        parts, state.input_path, state.output_path,
-        Fraction(state.fps_num, state.fps_den), backend=io_backend,
-    )
-    if not os.path.exists(state.output_path) or \
-            os.path.getsize(state.output_path) == 0:
+    expected = {s.index for s in (state.plan or plan_segments(
+        state.frame_count, state.segment_size))}
+    missing = sorted(expected - set(done))
+    if missing:
         raise PipelineError(
-            f"output {state.output_path!r} missing or empty after concat"
+            f"refusing to concatenate: segment part(s) {missing} missing")
+    # concat to a tmp with the same container extension, then rename: the
+    # output path existing therefore MEANS finalize completed — which is
+    # what claim_finalize's crashed-finalizer takeover relies on, and a
+    # killed finalizer never leaves a plausible-looking partial output
+    ext = os.path.splitext(state.output_path)[1]
+    tmp_out = f"{state.output_path}.tmp{os.getpid()}{ext}"
+    try:
+        report = concat_mod.concatenate(
+            parts, state.input_path, tmp_out,
+            Fraction(state.fps_num, state.fps_den), backend=io_backend,
         )
+        if not os.path.exists(tmp_out) or os.path.getsize(tmp_out) == 0:
+            raise PipelineError(
+                f"output {tmp_out!r} missing or empty after concat")
+        os.replace(tmp_out, state.output_path)
+    finally:
+        if os.path.exists(tmp_out):
+            try:
+                os.unlink(tmp_out)
+            except OSError:
+                pass
     if not report.get("audio_copied"):
         if state.output_path.endswith(".y4m"):
             log.info("y4m output carries no audio/subtitle tracks")

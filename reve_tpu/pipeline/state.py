@@ -156,13 +156,31 @@ class Workspace:
         return sorted(out)
 
     def clean_stale_tmp(self) -> int:
-        """Delete any *.tmp part files left by a crashed encoder."""
+        """Delete *.tmp part files left by DEAD encoders only.
+
+        Tmp names embed the writer's pid (part_tmp_path); a tmp whose
+        owner is a different, still-alive process is another shard
+        worker's in-flight part — unlinking it would make that worker's
+        commit_part fail.  Own-pid tmps are always stale (an encoder from
+        this process cannot be running when repair is called)."""
         n = 0
         if os.path.isdir(self.parts_dir):
             for name in os.listdir(self.parts_dir):
-                if ".tmp" in name:
-                    os.unlink(os.path.join(self.parts_dir, name))
-                    n += 1
+                i = name.find(".tmp")
+                if i < 0:
+                    continue
+                pid_s = name[i + 4:].split(".", 1)[0]
+                if pid_s.isdigit() and int(pid_s) != os.getpid():
+                    try:
+                        os.kill(int(pid_s), 0)
+                    except ProcessLookupError:
+                        pass            # owner dead: stale, delete
+                    except PermissionError:
+                        continue        # owner alive (other uid): keep
+                    else:
+                        continue        # owner alive: keep
+                os.unlink(os.path.join(self.parts_dir, name))
+                n += 1
         return n
 
 

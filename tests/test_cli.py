@@ -523,6 +523,44 @@ def test_api_scene_align(tmp_path, monkeypatch):
     assert (rd.width, rd.height, rd.frame_count()) == (96, 64, 12)
 
 
+def test_api_scene_align_plan_survives_resume(tmp_path, monkeypatch):
+    """A crashed scene-aligned job must resume with the SAME (non-uniform)
+    boundaries: the plan is persisted in state, not re-derived uniform."""
+    import reve_tpu
+    from reve_tpu.pipeline import scheduler as sched_mod
+    from reve_tpu.pipeline.state import Workspace
+
+    monkeypatch.chdir(tmp_path)
+    inp = str(tmp_path / "cuts.y4m")
+    w = writer.Y4MWriter(inp, 48, 32, fractions.Fraction(30, 1))
+    for i in range(12):
+        w.write(np.full((32, 48, 3), 20 if i < 6 else 220, np.uint8))
+    w.close()
+    out = str(tmp_path / "sa_out.y4m")
+
+    real_run = sched_mod.PipelineJob.run
+
+    def crash(self):
+        raise RuntimeError("simulated crash before any segment")
+
+    monkeypatch.setattr(sched_mod.PipelineJob, "run", crash)
+    with pytest.raises(RuntimeError):
+        reve_tpu.upscale_video(inp, out, scale=2, io_backend="y4m",
+                               segment_size=5, batch=3, dtype="float32",
+                               scene_align=True)
+    st = Workspace(out + ".revework").load()
+    assert st.plan is not None
+    aligned = [(s.start, s.size) for s in st.plan]
+    assert aligned != [(0, 5), (5, 5), (10, 2)], "plan was not snapped"
+
+    monkeypatch.setattr(sched_mod.PipelineJob, "run", real_run)
+    reve_tpu.upscale_video(inp, out, scale=2, io_backend="y4m",
+                           segment_size=5, batch=3, dtype="float32",
+                           scene_align=True)
+    rd = reader.Y4MReader(out)
+    assert (rd.width, rd.height, rd.frame_count()) == (96, 64, 12)
+
+
 def test_api_upscale_image(tmp_path):
     import cv2
 

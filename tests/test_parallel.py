@@ -353,3 +353,71 @@ def test_cross_process_kill9_takeover(tmp_path):
     # w2 won the finalize election (its id is in the lease)
     with open(os.path.join(lease_dir, "finalize.lease")) as f:
         assert f.read() == "w2"
+
+
+def test_stolen_lease_owner_checks(tmp_path):
+    """A presumed-dead worker that resumes must neither delete nor freshen
+    the thief's lease (release/renew are owner-checked); stealing goes
+    through an atomic rename so racing stealers cannot double-claim."""
+    import os
+    import time
+
+    ws, st = _make_job(tmp_path)
+    q1 = leases.SegmentLeaseQueue(ws, "w1", stale_after=0.2, part_ext=".y4m")
+    s = q1.claim(st.pending)
+    time.sleep(0.3)
+    q2 = leases.SegmentLeaseQueue(ws, "w2", stale_after=0.2, part_ext=".y4m")
+    assert q2.claim(st.pending).index == s.index  # stolen
+    path = q2._lease_path(s.index)
+    # w1 resumes: its release must be a no-op on w2's lease...
+    q1.release(s)
+    assert os.path.exists(path)
+    with open(path) as f:
+        assert f.read() == "w2"
+    # ...and its heartbeat must not freshen it
+    old = os.path.getmtime(path)
+    os.utime(path, (old - 100, old - 100))
+    q1.renew(s)
+    assert os.path.getmtime(path) < old - 50
+    # the rightful owner's renew does freshen
+    q2.renew(s)
+    assert os.path.getmtime(path) >= old - 1
+
+
+def test_clean_stale_tmp_keeps_live_workers_tmps(tmp_path):
+    """repair on worker B must not delete worker A's in-flight tmp part
+    (pid-suffixed, owner alive); dead owners' and own tmps are removed."""
+    import os
+
+    ws, st = _make_job(tmp_path)
+    os.makedirs(ws.parts_dir, exist_ok=True)
+    own = ws.part_tmp_path(0, ".y4m")
+    alive = os.path.join(ws.parts_dir, "000001.tmp1.y4m")      # pid 1 lives
+    dead = os.path.join(ws.parts_dir, "000002.tmp999999.y4m")  # no such pid
+    for p in (own, alive, dead):
+        with open(p, "w") as f:
+            f.write("x")
+    n = ws.clean_stale_tmp()
+    assert n == 2
+    assert os.path.exists(alive)
+    assert not os.path.exists(own) and not os.path.exists(dead)
+
+
+def test_finalize_refuses_missing_parts(tmp_path):
+    """finalize must not silently concat a truncated output when a planned
+    segment's part never committed (e.g. a hung encoder)."""
+    import os
+
+    import pytest as _pytest
+
+    from reve_tpu.pipeline.scheduler import PipelineError, finalize
+
+    ws, st = _make_job(tmp_path)
+    os.makedirs(ws.parts_dir, exist_ok=True)
+    # commit only segment 0 of the multi-segment plan
+    with writer.Y4MWriter(ws.part_tmp_path(0, ".y4m"), 32, 32,
+                          fractions.Fraction(24)) as wr:
+        wr.write(np.zeros((32, 32, 3), np.uint8))
+    ws.commit_part(0, ".y4m")
+    with _pytest.raises(PipelineError, match="missing"):
+        finalize(st, ws, io_backend="y4m", part_ext=".y4m")
