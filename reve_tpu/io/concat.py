@@ -38,7 +38,11 @@ def ffmpeg_concat(parts: List[str], original: str, output: str,
         delete=False,
     ) as f:
         for p in parts:
-            f.write(f"file '{os.path.abspath(p)}'\n")
+            # the concat demuxer's quoted-string syntax: ' closes the
+            # string, so embedded quotes are written as '\'' (close,
+            # escaped quote, reopen)
+            quoted = os.path.abspath(p).replace("'", "'\\''")
+            f.write(f"file '{quoted}'\n")
         list_path = f.name
     try:
         subprocess.run(
@@ -90,7 +94,7 @@ def native_concat(parts: List[str], original: str, output: str) -> bool:
 
     if not native.available():
         return False
-    if output.endswith(".y4m"):
+    if output.lower().endswith(".y4m"):
         # byte-exact stream copy (y4m carries no audio to remux)
         if not all(p.endswith(".y4m") for p in parts):
             return False
@@ -98,17 +102,17 @@ def native_concat(parts: List[str], original: str, output: str) -> bool:
         return True
     if not all(p.endswith(".mp4") for p in parts):
         return False
-    if output.endswith(".mkv"):
+    if output.lower().endswith(".mkv"):
         orig = original if (
             original and os.path.exists(original)
             and original.lower().endswith((".mp4", ".mkv"))
         ) else None
         native.concat_mkv(parts, orig, output)
         return True
-    if not output.endswith(".mp4"):
+    if not output.lower().endswith(".mp4"):
         return False
     orig = original if (original and os.path.exists(original)
-                        and original.endswith(".mp4")) else None
+                        and original.lower().endswith(".mp4")) else None
     native.concat_mp4(parts, orig, output)
     return True
 
@@ -123,10 +127,10 @@ def concatenate(parts: List[str], original: str, output: str,
     if backend in (None, "native", "cv2", "y4m"):
         try:
             if native_concat(parts, original, output):
-                if output.endswith(".y4m"):  # y4m carries no audio
+                if output.lower().endswith(".y4m"):  # no audio in y4m
                     return {"backend": "native", "audio_copied": False}
-                ok_exts = (".mp4", ".mkv") if output.endswith(".mkv") \
-                    else (".mp4",)
+                ok_exts = (".mp4", ".mkv") \
+                    if output.lower().endswith(".mkv") else (".mp4",)
                 has_orig = bool(original) and os.path.exists(original) \
                     and original.lower().endswith(ok_exts)
                 return {"backend": "native", "audio_copied": has_orig}

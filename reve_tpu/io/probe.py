@@ -31,33 +31,45 @@ class VideoInfo:
 
 
 def _probe_ffprobe(path: str) -> Optional[VideoInfo]:
+    """None (-> next backend in the chain) on ANY probe failure: ffprobe
+    rejecting the file, no video stream, malformed/zero frame rate."""
     exe = shutil.which("ffprobe")
     if not exe:
         return None
-    out = subprocess.run(
-        [exe, "-v", "error", "-show_streams", "-count_packets",
-         "-of", "json", path],
-        capture_output=True, text=True, check=True,
-    ).stdout
-    data = json.loads(out)
-    vstream = next(
-        s for s in data["streams"] if s.get("codec_type") == "video"
-    )
-    has_audio = any(
-        s.get("codec_type") == "audio" for s in data["streams"]
-    )
-    num, den = (int(t) for t in vstream["r_frame_rate"].split("/"))
-    frames = int(
-        vstream.get("nb_frames") or vstream.get("nb_read_packets") or 0
-    )
-    return VideoInfo(
-        path=path,
-        width=int(vstream["width"]),
-        height=int(vstream["height"]),
-        frame_count=frames,
-        fps=fractions.Fraction(num, den),
-        has_audio=has_audio,
-    )
+    try:
+        proc = subprocess.run(
+            [exe, "-v", "error", "-show_streams", "-count_packets",
+             "-of", "json", path],
+            capture_output=True, text=True,
+        )
+        if proc.returncode != 0:
+            return None
+        data = json.loads(proc.stdout)
+        vstream = next(
+            (s for s in data.get("streams", ())
+             if s.get("codec_type") == "video"), None
+        )
+        if vstream is None:
+            return None
+        has_audio = any(
+            s.get("codec_type") == "audio" for s in data["streams"]
+        )
+        num, den = (int(t) for t in vstream["r_frame_rate"].split("/"))
+        if num <= 0 or den <= 0:
+            return None
+        frames = int(
+            vstream.get("nb_frames") or vstream.get("nb_read_packets") or 0
+        )
+        return VideoInfo(
+            path=path,
+            width=int(vstream["width"]),
+            height=int(vstream["height"]),
+            frame_count=frames,
+            fps=fractions.Fraction(num, den),
+            has_audio=has_audio,
+        )
+    except (OSError, ValueError, KeyError, json.JSONDecodeError):
+        return None
 
 
 def _probe_cv2(path: str) -> Optional[VideoInfo]:

@@ -47,6 +47,15 @@ class Cv2Reader(FrameReader):
     Seeks only move *backwards* via CAP_PROP_POS_FRAMES (container-dependent
     but keyframe-snapped + forward-decode in OpenCV's FFmpeg backend);
     forward motion always decodes sequentially, so ranges are exact.
+
+    KNOWN LIMIT — variable-frame-rate input: OpenCV maps frame indices
+    through the container's average fps, and CAP_PROP_POS_FRAMES after a
+    seek is derived from that same mapping, so a far seek (> SEEK_THRESHOLD,
+    i.e. deep resume) into a VFR file can land frames off with no way to
+    detect it from this API.  Sequential reads (the normal path: segments
+    are consumed in order) are exact regardless.  For VFR sources prefer
+    the ffmpeg pipe backend (frame-index trim + -vsync 0, exact) — it is
+    auto-selected whenever the binary exists.
     """
 
     #: forward jumps larger than this use a container seek (verified, with
@@ -119,9 +128,16 @@ class FfmpegPipeReader(FrameReader):
 
     def read_range(self, start: int, stop: int) -> Iterator[np.ndarray]:
         frame_bytes = self.width * self.height * 3
+        # -vsync 0 (passthrough): no CFR resampling of the rawvideo
+        # output — the default would duplicate/drop frames on VFR input,
+        # breaking packet-count frame indexing (the reference's own decode
+        # uses -vsync 0 for the same reason, lib.rs:108-115); setpts
+        # re-bases the trimmed range's timestamps
         cmd = [
             self.ffmpeg, "-v", "error", "-i", self.path,
-            "-vf", f"trim=start_frame={start}:end_frame={stop}",
+            "-vf", (f"trim=start_frame={start}:end_frame={stop},"
+                    "setpts=PTS-STARTPTS"),
+            "-vsync", "0",
             "-f", "rawvideo", "-pix_fmt", "rgb24", "-",
         ]
         self._proc = subprocess.Popen(
@@ -179,11 +195,31 @@ class Y4MReader(FrameReader):
                     self.bits = 10
         bpe = 1 if self.bits == 8 else 2
         self._frame_size = self.width * self.height * 3 // 2 * bpe
+        # FRAME markers may carry parameters ("FRAME Ixxx\n", spec-valid);
+        # classify by the first marker: bare "FRAME\n" files (what our
+        # writer and ffmpeg emit) get O(1) fixed-stride seeks, files with
+        # frame parameters get an exact marker walk instead
+        with open(path, "rb") as f:
+            f.seek(self._data_start)
+            first = f.readline(256)
+        self._plain_markers = first in (b"", b"FRAME\n")
 
     def frame_count(self) -> int:
-        size = os.path.getsize(self.path) - self._data_start
-        per = self._frame_size + len(b"FRAME\n")
-        return size // per
+        if self._plain_markers:
+            size = os.path.getsize(self.path) - self._data_start
+            per = self._frame_size + len(b"FRAME\n")
+            return size // per
+        n = 0
+        with open(self.path, "rb") as f:
+            f.seek(self._data_start)
+            while True:
+                line = f.readline(256)
+                if not line.startswith(b"FRAME"):
+                    return n
+                end = f.seek(self._frame_size, 1)
+                if end > os.path.getsize(self.path):
+                    return n
+                n += 1
 
     def read_range(self, start: int, stop: int) -> Iterator[np.ndarray]:
         from reve_tpu.ops import color_np as color
@@ -191,9 +227,16 @@ class Y4MReader(FrameReader):
         h, w = self.height, self.width
         per = self._frame_size + len(b"FRAME\n")
         with open(self.path, "rb") as f:
-            f.seek(self._data_start + start * per)
+            if self._plain_markers:
+                f.seek(self._data_start + start * per)
+            else:
+                f.seek(self._data_start)
+                for _ in range(start):
+                    if not f.readline(256).startswith(b"FRAME"):
+                        return
+                    f.seek(self._frame_size, 1)
             for _ in range(stop - start):
-                marker = f.read(6)
+                marker = f.readline(256)
                 if not marker.startswith(b"FRAME"):
                     return
                 raw = f.read(self._frame_size)
@@ -247,6 +290,10 @@ def open_reader(path: str, *, backend: Optional[str] = None,
     if backend in (None, "ffmpeg") and shutil.which("ffmpeg"):
         if width and height:
             return FfmpegPipeReader(path, width, height)
+        if backend == "ffmpeg":
+            raise ValueError(
+                "ffmpeg backend needs width/height (rawvideo pipes carry "
+                "no dimensions — pass the probe's values)")
     if backend == "ffmpeg":
         raise RuntimeError("ffmpeg backend requested but binary not found")
     return Cv2Reader(path)

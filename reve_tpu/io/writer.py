@@ -84,8 +84,14 @@ class FfmpegX265Writer(FrameWriter):
             "-x265-params", settings.x265_params,
             path,
         ]
+        # stderr captured to a file so a failed encode reports the real
+        # diagnostic, not just an exit code (or an opaque BrokenPipeError
+        # on the next write)
+        import tempfile
+
+        self._errf = tempfile.TemporaryFile()
         self._proc = subprocess.Popen(
-            cmd, stdin=subprocess.PIPE, stderr=subprocess.DEVNULL
+            cmd, stdin=subprocess.PIPE, stderr=self._errf
         )
 
     def write_yuv420p10(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
@@ -107,8 +113,15 @@ class FfmpegX265Writer(FrameWriter):
         if self._proc.stdin and not self._proc.stdin.closed:
             self._proc.stdin.close()
         ret = self._proc.wait()
+        try:
+            self._errf.seek(0)
+            err = self._errf.read().decode(errors="replace").strip()
+        finally:
+            self._errf.close()
         if ret != 0:
-            raise RuntimeError(f"ffmpeg encoder exited with {ret}")
+            raise RuntimeError(
+                f"ffmpeg encoder exited with {ret}"
+                + (f": {err[-1000:]}" if err else ""))
 
 
 class Cv2Writer(FrameWriter):

@@ -297,7 +297,9 @@ def load_model(spec, scale: int, weights=None):
     import os
 
     log = logging.getLogger(__name__)
-    if weights and os.path.exists(weights):
+    if weights:
+        # a nonexistent explicit path is a loud error, not a silent
+        # random-init fallback (matches the srvgg path's behavior)
         cfg, params = load_pth(weights)
         if cfg.upscale != scale:
             raise ValueError(
@@ -308,7 +310,13 @@ def load_model(spec, scale: int, weights=None):
 
     found = _find_weight_files(spec.canonical)
     if found and found[0] == "pth":
-        return load_pth(found[1])
+        cfg, params = load_pth(found[1])
+        if cfg.upscale != scale:
+            raise ValueError(
+                f"found weights {found[1]!r} are x{cfg.upscale}, "
+                f"requested x{scale}"
+            )
+        return cfg, params
     log.warning(
         "no weights for %s; using deterministic random init", spec.canonical
     )

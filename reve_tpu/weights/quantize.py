@@ -68,9 +68,10 @@ jax.tree_util.register_pytree_node(
 def collect_act_maxima(params: Dict[str, Any], x: jax.Array, *,
                        cfg: srvgg.SRVGGConfig,
                        compute_dtype=jnp.float32) -> jax.Array:
-    """Calibration forward: returns (num_conv,) max|activation| at the
-    input of each hidden conv (classic domain; s2d is a permutation of the
-    same values, so the scales transfer exactly).
+    """Calibration forward: returns (num_conv + 1,) max|activation| — the
+    input of each hidden conv plus the head conv's input (classic domain;
+    s2d is a permutation of the same values, so the scales transfer
+    exactly).
 
     `x`: (B, H, W, C) float in [0, 1] — representative frames."""
     convs, prelus = params["convs"], params["prelus"]
@@ -94,7 +95,7 @@ def quantize_hidden(params: Dict[str, Any], cfg: srvgg.SRVGGConfig,
                     act_maxima, margin: float = 1.0) -> QuantizedBody:
     """Build int8 hidden-stack params from f32 params + calibration maxima.
 
-    `act_maxima`: (num_conv,) from `collect_act_maxima` (one batch or a
+    `act_maxima`: (num_conv + 1,) from `collect_act_maxima` (one batch or a
     running max over several).  `margin` (>= 1) widens the activation range
     to absorb content hotter than the calibration set (clipping beyond it).
     """

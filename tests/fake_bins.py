@@ -81,13 +81,14 @@ def _pipe_decode_mode(argv):
     path = _arg(argv, "-i")
     vf = _arg(argv, "-vf", "")
     start, stop = 0, 10 ** 9
-    if vf.startswith("trim="):
-        for kv in vf[5:].split(":"):
-            k, v = kv.split("=")
-            if k == "start_frame":
-                start = int(v)
-            if k == "end_frame":
-                stop = int(v)
+    for filt in vf.split(","):
+        if filt.startswith("trim="):
+            for kv in filt[5:].split(":"):
+                k, v = kv.split("=", 1)
+                if k == "start_frame":
+                    start = int(v)
+                if k == "end_frame":
+                    stop = int(v)
     rd = Y4MReader(path)
     stop = min(stop, rd.frame_count())
     outb = sys.stdout.buffer

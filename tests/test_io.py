@@ -206,3 +206,50 @@ def test_cv2_reader_far_seek_frame_exact():
     assert len(seq) == len(via_seek) == 4
     for a, b in zip(seq, via_seek):
         np.testing.assert_array_equal(a, b)
+
+
+def test_y4m_parameterized_frame_markers_exact(tmp_path):
+    """Spec-valid y4m with frame parameters ("FRAME Ip\\n"): the reader
+    must walk markers (no fixed-stride seek) and decode byte-identically
+    to the bare-marker file, including mid-range seeks and frame_count."""
+    plain = str(tmp_path / "plain.y4m")
+    with writer.Y4MWriter(plain, 40, 24, fractions.Fraction(30, 1)) as wr:
+        for i in range(8):
+            wr.write(np.full((24, 40, 3), 20 + 8 * i, np.uint8))
+    param = str(tmp_path / "param.y4m")
+    with open(plain, "rb") as f:
+        data = f.read()
+    with open(param, "wb") as f:
+        f.write(data.replace(b"FRAME\n", b"FRAME Ip\n"))
+
+    rp = reader.Y4MReader(param)
+    assert rp.frame_count() == 8
+    want = list(reader.Y4MReader(plain).read_range(0, 8))
+    got = list(rp.read_range(0, 8))
+    assert len(got) == 8
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(want[3:7], reader.Y4MReader(param).read_range(3, 7)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_rrdb_missing_explicit_weights_is_loud(tmp_path):
+    """A typo'd --weights path must raise, never silently fall back to
+    random init (matches the srvgg loader's behavior)."""
+    from reve_tpu.models import registry
+
+    with pytest.raises((FileNotFoundError, OSError, ValueError)):
+        registry.load_model("realesrgan-x4plus", 4,
+                            str(tmp_path / "nope.pth"))
+
+
+def test_concat_native_case_insensitive_mp4_report(tmp_path):
+    """Report honesty: audio_copied must reflect what native_concat
+    actually did — gates and report both case-fold extensions now."""
+    from reve_tpu.io.concat import native_concat
+
+    # uppercase original extension: the gate should still pass it through
+    # (previously the gate was case-sensitive while the report wasn't)
+    parts = []
+    assert native_concat(parts or ["x.y4m"], "ORIG.MP4",
+                         str(tmp_path / "out.mp4")) is False  # no mp4 parts
