@@ -277,6 +277,12 @@ class FrameRing:
         return self._lib.rc_ring_push(self._ring, ptr, timeout_ms)
 
     def pop(self, out_u8, timeout_ms: int = -1) -> int:
+        # same guard as push: the native side memcpys frame_bytes into the
+        # buffer unconditionally — an undersized/non-contiguous target
+        # would corrupt the heap, not raise
+        assert out_u8.flags["C_CONTIGUOUS"] and \
+            out_u8.nbytes == self.frame_bytes, \
+            (out_u8.nbytes, self.frame_bytes)
         ptr = out_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         return self._lib.rc_ring_pop(self._ring, ptr, timeout_ms)
 

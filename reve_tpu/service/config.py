@@ -33,13 +33,16 @@ class ServiceConfig:
     preset: str = "slow"
 
     def validate(self) -> bool:
-        return (
-            isinstance(self.application_logs, bool)
-            and self.default_upscale_type in VALID_MODELS
-            and self.default_scale in (2, 3, 4)
-            and self.segment_size > 0
-            and 0 <= self.crf <= 51
-        )
+        try:
+            return (
+                isinstance(self.application_logs, bool)
+                and self.default_upscale_type in VALID_MODELS
+                and self.default_scale in (2, 3, 4)
+                and self.segment_size > 0
+                and 0 <= self.crf <= 51
+            )
+        except TypeError:  # non-numeric JSON values: invalid, not a crash
+            return False
 
     def to_json(self) -> dict:
         # key style matches the reference config file (kebab-case keys,

@@ -37,6 +37,7 @@ class Job:
     scale: int
     dtype: str = "bfloat16"   # bfloat16 | float32 | int8 (turbo)
     status: str = "queued"    # queued | running | done | error | cancelled
+    cancel_requested: bool = False
     error: str = ""
     progress: Optional[ProgressTracker] = None
     result: Optional[dict] = None
@@ -172,8 +173,13 @@ class JobManager:
             if job.status == "queued":
                 job.status = "cancelled"
                 return True
-        if job.status == "running" and job.pipeline is not None:
-            job.pipeline.cancel()
+        if job.status == "running":
+            # the flag covers the probe/engine-build/compile window before
+            # job.pipeline is set, and lets the worker classify the
+            # outcome as a user cancellation (no substring matching)
+            job.cancel_requested = True
+            if job.pipeline is not None:
+                job.pipeline.cancel()
             return True
         return False
 
@@ -184,9 +190,13 @@ class JobManager:
     # -- worker ------------------------------------------------------------
 
     def _next_queued(self) -> Optional[Job]:
+        """Claim the next queued job: the queued->running transition
+        happens under the lock, so a concurrent cancel() can never be
+        overwritten by the worker."""
         with self._lock:
             for jid in self._order:
                 if self.jobs[jid].status == "queued":
+                    self.jobs[jid].status = "running"
                     return self.jobs[jid]
         return None
 
@@ -197,12 +207,11 @@ class JobManager:
                 self._wake.wait(timeout=0.2)
                 self._wake.clear()
                 continue
-            job.status = "running"
             try:
                 job.result = self._run_job(job)
                 job.status = "done"
             except Exception as e:  # surfaced via the API, like the
-                if "cancelled" in str(e):
+                if job.cancel_requested:
                     job.status = "cancelled"
                 else:
                     job.error = f"{e}\n{traceback.format_exc(limit=3)}"
@@ -225,6 +234,12 @@ class JobManager:
             # re-submitted after cancel/crash: resume from completed parts,
             # mirroring the CLI path (cancel() documents this contract)
             st = ws.load()
+            if (st.model != job.model or st.scale != job.scale):
+                raise RuntimeError(
+                    f"workspace {ws.root!r} holds progress for model "
+                    f"{st.model!r} x{st.scale}; resubmit with the same "
+                    f"settings to resume, or remove the workspace/choose "
+                    f"another output to start fresh")
             ws.create(keep_parts=True)
             st = repair_pending(st, ws, ext=part_ext)
         else:
@@ -255,6 +270,8 @@ class JobManager:
             part_ext=part_ext, progress=job.progress,
         )
         job.pipeline = pipeline
+        if job.cancel_requested:  # cancelled during probe/compile window
+            pipeline.cancel()
         final = pipeline.run()
         report = scheduler.finalize(
             final, ws, io_backend=self.io_backend, part_ext=part_ext

@@ -357,13 +357,19 @@ class Handler(BaseHTTPRequestHandler):
                     return self._json({"error": "part not committed"}, 404)
                 ctype = ("video/mp4" if job.part_ext == ".mp4"
                          else "application/octet-stream")
-                with open(parts[idx]["path"], "rb") as f:
-                    body = f.read()
+                import os
+
+                size = os.path.getsize(parts[idx]["path"])
                 self.send_response(200)
                 self.send_header("Content-Type", ctype)
-                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Content-Length", str(size))
                 self.end_headers()
-                self.wfile.write(body)
+                with open(parts[idx]["path"], "rb") as f:
+                    while True:
+                        chunk = f.read(1 << 20)
+                        if not chunk:
+                            break
+                        self.wfile.write(chunk)
             else:
                 self._json({"error": "not found"}, 404)
         else:
@@ -375,7 +381,12 @@ class Handler(BaseHTTPRequestHandler):
         except json.JSONDecodeError:
             return self._json({"error": "bad json"}, 400)
         if self.path == "/api/config":
-            cfg = config_mod.ServiceConfig.from_json(data)
+            # partial update: merge the body into the CURRENT config —
+            # fields the client omits keep their saved values instead of
+            # silently resetting to package defaults
+            merged = self.cfg.to_json()
+            merged.update(data)
+            cfg = config_mod.ServiceConfig.from_json(merged)
             if not cfg.validate():
                 return self._json({"error": "invalid configuration"}, 400)
             config_mod.save(cfg)

@@ -69,13 +69,16 @@ class Distiller:
         if hr_batch is not None and hr_weight > 0:
             target = (1.0 - hr_weight) * target + hr_weight * jnp.asarray(
                 hr_batch, jnp.float32)
-        return self.trainer.step(lr_batch, np.asarray(target))
+        # keep the teacher output on device: shard_batch's device_put
+        # accepts jax arrays, and a host round trip per step costs
+        # ~0.3-0.5 s on this stack's 15-25 MB/s relay (CLAUDE.md)
+        return self.trainer.step(lr_batch, target)
 
     def agreement_psnr(self, lr_batch: np.ndarray) -> float:
         """PSNR between student and teacher outputs (the distillation
         objective's own metric)."""
         target = self.teacher_targets(lr_batch)
-        return self.trainer.eval_psnr(lr_batch, np.asarray(target))
+        return self.trainer.eval_psnr(lr_batch, target)
 
 
 def run_distillation(

@@ -65,17 +65,22 @@ def _sn_conv_init(key, cin, cout, k=3):
 
 def _sn_normalize(p):
     """One power iteration from the stored u; returns (w_sn, new_u).
-    Gradients do not flow through the sigma estimate (standard SN)."""
+
+    Standard (Miyato) SN: the power-iteration VECTORS are detached, but
+    sigma = v^T W u keeps its dependence on W, so dL/dW carries the
+    -(v^T g u) W / sigma^2 correction — exactly what torch's
+    spectral_norm (the published Real-ESRGAN discriminator) does."""
     w = p["w"]
     mat = w.reshape(-1, w.shape[-1])          # (k*k*cin, cout)
     u = p["u"]
     v = mat @ u
-    v = v / (jnp.linalg.norm(v) + 1e-12)
+    v = jax.lax.stop_gradient(v / (jnp.linalg.norm(v) + 1e-12))
     u_new = mat.T @ v
-    u_new = u_new / (jnp.linalg.norm(u_new) + 1e-12)
+    u_new = jax.lax.stop_gradient(
+        u_new / (jnp.linalg.norm(u_new) + 1e-12))
     sigma = v @ (mat @ u_new)
-    w_sn = w / jax.lax.stop_gradient(sigma + 1e-12)
-    return w_sn, jax.lax.stop_gradient(u_new)
+    w_sn = w / (sigma + 1e-12)
+    return w_sn, u_new
 
 
 def _sn_conv(x, p, stride=1):
