@@ -69,6 +69,24 @@ def _scale_validation(s: str) -> int:
     return v
 
 
+def _positive_int(name):
+    def check(s: str) -> int:
+        v = int(s)
+        if v <= 0:
+            raise argparse.ArgumentTypeError(f"{name} must be positive")
+        return v
+    return check
+
+
+def _positive_float(name):
+    def check(s: str) -> float:
+        v = float(s)
+        if v <= 0:
+            raise argparse.ArgumentTypeError(f"{name} must be positive")
+        return v
+    return check
+
+
 def _crf_validation(s: str) -> int:
     v = int(s)
     if not 0 <= v <= 51:
@@ -101,7 +119,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="upscale ratio (2, 3, 4)")
     # the reference's README documents -P while its clap derive implements
     # -S (README.md:54 vs reve-shared/src/lib.rs:220); accept both
-    p.add_argument("-S", "-P", "--segmentsize", type=int, default=1000,
+    p.add_argument("-S", "-P", "--segmentsize",
+                   type=_positive_int("segment size"), default=1000,
                    help="segment size (in frames)")
     p.add_argument("-c", "--crf", type=_crf_validation, default=15,
                    help="video constant rate factor (crf: 51-0)")
@@ -119,7 +138,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--denoise", type=float, default=None, metavar="D",
                    help="denoise strength 0..1 (needs --weights and "
                         "--weights-wdn; upstream -dni)")
-    p.add_argument("--batch", type=int, default=4, help="frames per TPU batch")
+    p.add_argument("--batch", type=_positive_int("batch"), default=4,
+                   help="frames per TPU batch")
     p.add_argument("--tile", type=int, default=0,
                    help="tile size (0=auto, -1=never tile)")
     p.add_argument("--dtype", choices=("bfloat16", "float32", "int8"),
@@ -153,7 +173,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="participate as a lease-queue worker (multi-host "
                         "segment sharding over a shared workspace); the "
                         "worker that finds all parts complete finalizes")
-    p.add_argument("--lease-stale-after", type=float, default=None,
+    p.add_argument("--lease-stale-after",
+                   type=_positive_float("lease-stale-after"), default=None,
                    metavar="SECONDS",
                    help="declare a worker's segment lease stale (stealable) "
                         "after this many seconds without a heartbeat "
@@ -212,6 +233,14 @@ def _fresh_state(args) -> JobState:
             "x265_params": args.x265params,
         },
         model=args.model,
+        opts={
+            "weights": args.weights,
+            "weights_wdn": args.weights_wdn,
+            "denoise": args.denoise,
+            "dtype": args.dtype,
+            "fused": args.fused,
+            "io_backend": args.io_backend,
+        },
     )
 
 
@@ -246,6 +275,23 @@ def run(argv: Optional[List[str]] = None) -> int:
     if ws.has_state():
         if _confirm("found an interrupted job — resume?", args.yes):
             state = ws.load()
+            if state.model != args.model:
+                print(f"workspace holds progress for model {state.model!r};"
+                      f" resume with the same --model or start fresh",
+                      file=sys.stderr)
+                return 2
+            # restore the engine/io settings the job was STARTED with
+            # (mirrors the reference's args.temp, main.rs:92-101): resumed
+            # segments must go through the same model/weights/container as
+            # the committed ones
+            for key in ("weights", "weights_wdn", "denoise", "dtype",
+                        "fused", "io_backend"):
+                if key in state.opts and \
+                        getattr(args, key) != state.opts[key]:
+                    print(f"resume: using saved --{key.replace('_', '-')}"
+                          f"={state.opts[key]!r} (command line said "
+                          f"{getattr(args, key)!r})", file=sys.stderr)
+                    setattr(args, key, state.opts[key])
             ws.create(keep_parts=True)
             state = repair_pending(state, ws, ext=_part_ext(args))
             print(
@@ -270,6 +316,10 @@ def run(argv: Optional[List[str]] = None) -> int:
     preloaded, err = _load_preloaded(args)
     if err is not None:
         return err
+    if preloaded is not None and preloaded[0].upscale != state.scale:
+        print(f"--denoise weights are x{preloaded[0].upscale} but -s "
+              f"{state.scale} was requested", file=sys.stderr)
+        return 2
     engine = UpscaleEngine(
         model=state.model,
         scale=state.scale,
@@ -299,16 +349,19 @@ def run(argv: Optional[List[str]] = None) -> int:
     if args.shard_worker:
         from reve_tpu.pipeline import leases
 
-        stale = args.lease_stale_after or leases.DEFAULT_STALE_AFTER
+        stale = (args.lease_stale_after
+                 if args.lease_stale_after is not None
+                 else leases.DEFAULT_STALE_AFTER)
+        q = leases.SegmentLeaseQueue(ws, args.shard_worker,
+                                     stale_after=stale,
+                                     part_ext=_part_ext(args))
         with profile_ctx:
             done = leases.run_sharded(
                 state, ws, engine, args.shard_worker,
                 io_backend=args.io_backend, part_ext=_part_ext(args),
-                progress=tracker, stale_after=stale,
+                progress=tracker, stale_after=stale, tracer=tracer,
+                queue=q,
             )
-        q = leases.SegmentLeaseQueue(ws, args.shard_worker,
-                                     stale_after=stale,
-                                     part_ext=_part_ext(args))
         print(f"worker {args.shard_worker}: {done} segment(s)",
               file=sys.stderr)
         if not q.all_done(state.pending):
@@ -321,7 +374,6 @@ def run(argv: Optional[List[str]] = None) -> int:
         if not q.claim_finalize(state.output_path):
             print("another worker is finalizing; exiting", file=sys.stderr)
             return 0
-        state = dataclasses_replace_pending(state)
     else:
         job = scheduler.PipelineJob(
             state, ws, engine, io_backend=args.io_backend,
@@ -401,12 +453,6 @@ def _run_image(args) -> int:
 
 def _part_ext(args) -> str:
     return ".y4m" if args.io_backend == "y4m" else ".mp4"
-
-
-def dataclasses_replace_pending(state: JobState) -> JobState:
-    import dataclasses
-
-    return dataclasses.replace(state, pending=[])
 
 
 def main() -> None:

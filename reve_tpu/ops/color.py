@@ -73,8 +73,11 @@ def normalize_yuv(y8: jax.Array, uv8: jax.Array, *, bits: int = 8,
     y8 = y8.astype(jnp.float32)
     uv8 = uv8.astype(jnp.float32)
     if full_range:
+        # chroma neutral is code 128<<(bits-8) exactly (JFIF/ffmpeg
+        # convention), NOT maxv/2 = 127.5<<(bits-8): dividing by maxv and
+        # subtracting 0.5 would shift every neutral pixel by half a code
         maxv = float((1 << bits) - 1)
-        return y8 / maxv, uv8 / maxv - 0.5
+        return y8 / maxv, (uv8 - 128.0 * scale) / maxv
     y = (y8 - 16.0 * scale) / (219.0 * scale)
     uv = (uv8 - 128.0 * scale) / (224.0 * scale)
     return y, uv
@@ -91,8 +94,8 @@ def quantize_yuv(y: jax.Array, u: jax.Array, v: jax.Array, *, bits: int = 8,
     if full_range:
         maxv = float((1 << bits) - 1)
         yq = y * maxv
-        uq = (u + 0.5) * maxv
-        vq = (v + 0.5) * maxv
+        uq = u * maxv + 128.0 * scale
+        vq = v * maxv + 128.0 * scale
     else:
         yq = y * (219.0 * scale) + 16.0 * scale
         uq = u * (224.0 * scale) + 128.0 * scale

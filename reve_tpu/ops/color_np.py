@@ -26,6 +26,10 @@ def rgb_to_yuv420_np(rgb_u8: np.ndarray, *, matrix: str = "bt709",
                      full_range: bool = False, bits: int = 10):
     """(H, W, 3) uint8 RGB -> (y, u, v) integer 4:2:0 planes (numpy)."""
     kr, kg, kb = _coeffs(matrix)
+    h0, w0 = rgb_u8.shape[:2]
+    if h0 % 2 or w0 % 2:
+        raise ValueError(
+            f"yuv420 requires even dimensions, got {w0}x{h0}")
     rgb = rgb_u8.astype(np.float32) / 255.0
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     y = kr * r + kg * g + kb * b
@@ -38,8 +42,10 @@ def rgb_to_yuv420_np(rgb_u8: np.ndarray, *, matrix: str = "bt709",
     hi = (1 << bits) - 1
     dtype = np.uint8 if bits == 8 else np.uint16
     if full_range:
+        # neutral chroma = code 128<<(bits-8) exactly (see ops/color.py)
         maxv = float(hi)
-        planes = (y * maxv, (u + 0.5) * maxv, (v + 0.5) * maxv)
+        planes = (y * maxv, u * maxv + 128.0 * scale,
+                  v * maxv + 128.0 * scale)
     else:
         planes = (
             y * (219.0 * scale) + 16.0 * scale,
@@ -61,10 +67,11 @@ def yuv420_to_rgb_np(y: np.ndarray, u: np.ndarray, v: np.ndarray, *,
     uf = u.astype(np.float32)
     vf = v.astype(np.float32)
     if full_range:
+        scale = 1 << (bits - 8)
         maxv = float((1 << bits) - 1)
         yf = yf / maxv
-        uf = uf / maxv - 0.5
-        vf = vf / maxv - 0.5
+        uf = (uf - 128.0 * scale) / maxv
+        vf = (vf - 128.0 * scale) / maxv
     else:
         yf = (yf - 16.0 * scale) / (219.0 * scale)
         uf = (uf - 128.0 * scale) / (224.0 * scale)

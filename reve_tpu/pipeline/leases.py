@@ -186,17 +186,25 @@ class _Heartbeat:
 def run_sharded(state, workspace: Workspace, engine, worker_id: str,
                 io_backend: Optional[str] = None, part_ext: str = ".mp4",
                 progress=None,
-                stale_after: float = DEFAULT_STALE_AFTER) -> int:
+                stale_after: float = DEFAULT_STALE_AFTER,
+                tracer=None, queue: Optional[SegmentLeaseQueue] = None
+                ) -> int:
     """Worker loop: claim segments one at a time and run them through the
     standard pipeline until the queue is exhausted, heartbeat-renewing the
     lease throughout.  Returns the number of segments this worker
-    completed.  Exactly one worker then finalizes (claim_finalize)."""
+    completed.  Exactly one worker then finalizes (claim_finalize).
+
+    `queue`: pass a pre-built SegmentLeaseQueue so the caller's later
+    all_done/claim_finalize checks share this construction (one place to
+    keep the parameters in sync)."""
     import dataclasses
 
     from reve_tpu.pipeline.scheduler import PipelineJob
 
-    queue = SegmentLeaseQueue(workspace, worker_id,
-                              stale_after=stale_after, part_ext=part_ext)
+    if queue is None:
+        queue = SegmentLeaseQueue(workspace, worker_id,
+                                  stale_after=stale_after,
+                                  part_ext=part_ext)
     all_segments = list(state.pending)
     completed = 0
     while True:
@@ -209,7 +217,7 @@ def run_sharded(state, workspace: Workspace, engine, worker_id: str,
                 job = PipelineJob(
                     dataclasses.replace(state, pending=[seg]),
                     workspace, engine, io_backend=io_backend,
-                    part_ext=part_ext, progress=progress,
+                    part_ext=part_ext, progress=progress, tracer=tracer,
                 )
                 job.run()
             completed += 1

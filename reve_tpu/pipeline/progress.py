@@ -106,9 +106,11 @@ class JsonlRenderer:
     only has human-oriented indicatif output, SURVEY.md §5)."""
 
     def __init__(self, path: str, min_interval: float = 0.5):
+        # append: a resumed run must not truncate the prior run's history
+        # (the CLI help documents append semantics)
         import time as _time
 
-        self._f = open(path, "w")
+        self._f = open(path, "a")
         self._min_interval = min_interval
         self._last = 0.0
         self._time = _time

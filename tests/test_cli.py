@@ -561,6 +561,54 @@ def test_api_scene_align_plan_survives_resume(tmp_path, monkeypatch):
     assert (rd.width, rd.height, rd.frame_count()) == (96, 64, 12)
 
 
+def test_cli_resume_restores_saved_opts(tmp_path, monkeypatch, capsys):
+    """A resume run uses the SETTINGS the job was started with (reference
+    semantics: args.temp, main.rs:92-101) — a different --io-backend or
+    --dtype on the resume command line must not orphan committed parts or
+    change the engine mid-job."""
+    from reve_tpu.pipeline import scheduler as sched_mod
+    from reve_tpu.pipeline.state import Workspace
+
+    monkeypatch.chdir(tmp_path)
+    inp = _small_y4m(tmp_path)
+    out = str(tmp_path / "r_out.y4m")
+
+    real_run = sched_mod.PipelineJob.run
+
+    def crash(self):
+        raise RuntimeError("simulated crash")
+
+    monkeypatch.setattr(sched_mod.PipelineJob, "run", crash)
+    with pytest.raises(RuntimeError):
+        cli.run(["-i", inp, "-s", "2", out, "--yes", "--io-backend", "y4m",
+                 "-S", "4", "--batch", "3", "--dtype", "float32"])
+    st = Workspace(out + ".revework").load()
+    assert st.opts["io_backend"] == "y4m"
+    assert st.opts["dtype"] == "float32"
+
+    monkeypatch.setattr(sched_mod.PipelineJob, "run", real_run)
+    # resume WITHOUT --io-backend/--dtype: saved opts win
+    rc = cli.run(["-i", inp, "-s", "2", out, "--yes", "-S", "4",
+                  "--batch", "3"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "using saved --io-backend" in err
+    rd = reader.Y4MReader(out)
+    assert (rd.width, rd.height, rd.frame_count()) == (48, 32, 10)
+
+    # different --model on resume is refused with guidance
+    monkeypatch.setattr(sched_mod.PipelineJob, "run", crash)
+    out2 = str(tmp_path / "r2_out.y4m")
+    with pytest.raises(RuntimeError):
+        cli.run(["-i", inp, "-s", "2", out2, "--yes", "--io-backend",
+                 "y4m", "-S", "4", "--dtype", "float32"])
+    monkeypatch.setattr(sched_mod.PipelineJob, "run", real_run)
+    rc = cli.run(["-i", inp, "-s", "2", out2, "--yes", "--io-backend",
+                  "y4m", "--model", "realesr-general-x4v3", "-s", "4"])
+    assert rc == 2
+    assert "same --model" in capsys.readouterr().err
+
+
 def test_api_upscale_image(tmp_path):
     import cv2
 
