@@ -16,8 +16,8 @@ def test_bench_smoke_offtpu():
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     res = subprocess.run(
-        [sys.executable, "bench.py", "--budget", "240"],
-        capture_output=True, text=True, timeout=420, cwd=repo, env=env,
+        [sys.executable, "bench.py", "--budget", "180"],
+        capture_output=True, text=True, timeout=560, cwd=repo, env=env,
     )
     assert res.returncode == 0, res.stderr[-1500:]
     line = res.stdout.strip().splitlines()[-1]
