@@ -452,7 +452,9 @@ static bool find_descriptor(const uint8_t* p, uint64_t len, uint8_t tag,
         if (flags & 0x40 && pos + skip < len) skip += 1 + p[pos + skip];
         if (flags & 0x20) skip += 2;
       }
-      if (find_descriptor(p + pos + skip, sz - skip, tag, off, dlen)) {
+      // skip may exceed a lying descriptor's sz: sz - skip would wrap
+      if (skip < sz &&
+          find_descriptor(p + pos + skip, sz - skip, tag, off, dlen)) {
         *off += pos + skip;
         return true;
       }
@@ -609,7 +611,7 @@ static bool map_audio_codec(const Track& t, AudioCodec* ac) {
   auto ext = children(p, 36, len);
   if (fmt == "mp4a") {
     const BoxRef* esds = find(ext, "esds");
-    if (!esds) return false;
+    if (!esds || esds->payload_len <= 4) return false;  // verflags(4)
     const uint8_t* e = p + esds->payload_off + 4;
     uint64_t elen = esds->payload_len - 4;
     uint64_t off, dlen;

@@ -57,7 +57,8 @@ std::vector<BoxRef> children(const uint8_t* data, uint64_t off,
     } else if (size == 0) {
       size = end - off;
     }
-    if (size < hdr || off + size > end) break;
+    // overflow-safe: a crafted 64-bit largesize can make off+size wrap
+    if (size < hdr || size > end - off) break;
     out.push_back({type, off + hdr, size - hdr, off, size});
     off += size;
   }
@@ -179,13 +180,19 @@ Movie parse_movie(File& f) {
   std::vector<uint8_t> hdr(16);
   std::vector<uint8_t> moov;
   while (off + 8 <= fsize) {
-    f.read_at(off, hdr.data(), std::min<uint64_t>(16, fsize - off));
+    uint64_t avail = std::min<uint64_t>(16, fsize - off);
+    f.read_at(off, hdr.data(), avail);
     uint64_t size = rd32(hdr.data());
     std::string type(reinterpret_cast<char*>(hdr.data()) + 4, 4);
     uint64_t hsz = 8;
-    if (size == 1) { size = rd64(hdr.data() + 8); hsz = 16; }
+    if (size == 1) {
+      if (avail < 16) throw Error("truncated largesize box header");
+      size = rd64(hdr.data() + 8);
+      hsz = 16;
+    }
     else if (size == 0) size = fsize - off;
-    if (size < hsz) throw Error("bad box size");
+    // overflow-safe advance: size > fsize - off also catches off wrap
+    if (size < hsz || size > fsize - off) throw Error("bad box size");
     if (type == "moov") {
       moov.resize(size);
       f.read_at(off, moov.data(), size);
@@ -251,7 +258,7 @@ struct MergedVideo {
   std::vector<SttsEntry> stts;
   std::vector<CttsEntry> ctts;
   std::vector<uint32_t> stss;
-  bool any_stss = false, all_have_ctts = false;
+  bool any_stss = false, any_ctts = false;
   std::vector<uint32_t> sizes;
   std::vector<uint64_t> chunk_offsets;      // one chunk per part
   std::vector<uint32_t> chunk_sample_counts;
@@ -330,7 +337,7 @@ static void emit_video_trak(Buf& moov, const MergedVideo& v,
       for (auto& e : v.stts) { moov.u32(e.count); moov.u32(e.delta); }
       moov.close(stts);
 
-      if (v.all_have_ctts && !v.ctts.empty()) {
+      if (v.any_ctts && !v.ctts.empty()) {
         size_t ctts = moov.open("ctts");
         moov.u32(0); moov.u32(uint32_t(v.ctts.size()));
         for (auto& e : v.ctts) { moov.u32(e.count); moov.u32(uint32_t(e.offset)); }
@@ -413,11 +420,11 @@ static void concat_mp4(const std::vector<std::string>& parts,
   v.stsd = &pds[0].video->stsd;
   v.width16 = pds[0].video->width16;
   v.height16 = pds[0].video->height16;
-  v.all_have_ctts = true;
+  v.any_ctts = false;  // becomes true if ANY part has ctts
   for (auto& pd : pds) {
     if (pd.video->timescale != v.timescale)
       throw Error("video timescale mismatch between parts");
-    if (pd.video->ctts.empty()) v.all_have_ctts = false;
+    if (!pd.video->ctts.empty()) v.any_ctts = true;
     if (pd.video->has_stss) v.any_stss = true;
   }
 
@@ -488,7 +495,15 @@ static void concat_mp4(const std::vector<std::string>& parts,
       throw Error("stsc/stco inconsistent with sample count");
     for (uint32_t i = 0; i < n; i++) v.sizes.push_back(t.sample_size(i));
     append_stts(v.stts, t.stts);
-    for (auto& e : t.ctts) v.ctts.push_back(e);
+    if (!t.ctts.empty()) {
+      for (auto& e : t.ctts) v.ctts.push_back(e);
+    } else if (v.any_ctts) {
+      // some OTHER part uses composition offsets: a ctts-less part means
+      // pts == dts for its samples, which a merged ctts must state
+      // explicitly as zero offsets — dropping the box entirely would
+      // wreck the B-frame parts' presentation order
+      v.ctts.push_back({n, 0});
+    }
     if (t.has_stss)
       for (uint32_t s : t.stss) v.stss.push_back(sample_base + s);
     else if (v.any_stss)  // part without stss: every sample is sync

@@ -120,7 +120,10 @@ struct Track {
     return n;
   }
   uint32_t sample_size(uint32_t i) const {
-    return fixed_sample_size ? fixed_sample_size : sample_sizes[i];
+    // bounds-checked: stsc may claim more samples than stsz holds in a
+    // corrupt/crafted file — cross-table inconsistency must not read OOB
+    if (fixed_sample_size) return fixed_sample_size;
+    return i < sample_sizes.size() ? sample_sizes[i] : 0;
   }
   // samples in chunk c (0-based) via stsc expansion
   uint32_t samples_in_chunk(uint32_t c) const {

@@ -175,8 +175,14 @@ int rc_probe_y4m(const char* path, long* width, long* height, long* fps_num,
     else if (h.chroma.rfind("444", 0) == 0) denom = 4;
     else if (h.chroma.rfind("mono", 0) == 0) denom = 0;
     else throw std::runtime_error(path + (": unsupported chroma C" + h.chroma));
-    const long frame_bytes =
-        (h.width * h.height + 2 * ((h.width * h.height * denom) / 4)) * bpe;
+    // per-plane rounding: 420/422 chroma planes are ceil(w/2) wide (and
+    // ceil(h/2) tall for 420) — (w*h*denom)/4 undercounts odd dimensions
+    long cw, ch;
+    if (denom == 1) { cw = (h.width + 1) / 2; ch = (h.height + 1) / 2; }
+    else if (denom == 2) { cw = (h.width + 1) / 2; ch = h.height; }
+    else if (denom == 4) { cw = h.width; ch = h.height; }
+    else { cw = 0; ch = 0; }
+    const long frame_bytes = (h.width * h.height + 2 * cw * ch) * bpe;
     const long data_start = std::ftell(in.f);
     std::fseek(in.f, 0, SEEK_END);
     const long file_size = std::ftell(in.f);

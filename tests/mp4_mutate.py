@@ -100,3 +100,37 @@ def truncate_box(src, dst, path, new_payload_len):
     with open(dst, "wb") as f:
         f.write(data)
     return True
+
+
+def largesize_wrap(src, dst):
+    """Copy src->dst, then rewrite the moov header as a 64-bit largesize
+    box whose size wraps uint64 when added to its offset — the
+    overflow-defeats-bounds-check shape.  Parsers must reject cleanly."""
+    data = bytearray(open(src, "rb").read())
+    off, size = find_box_path(data, [b"moov"])
+    if off is None:
+        return False
+    # size==1 switches to largesize; keep the payload in place by writing
+    # the 16-byte header over the first 8 payload bytes (content becomes
+    # garbage — irrelevant, the size check must fire first)
+    struct.pack_into(">I4sQ", data, off, 1, b"moov",
+                     0xFFFFFFFFFFFFFF00)
+    with open(dst, "wb") as f:
+        f.write(data)
+    return True
+
+
+def stsc_lies_bigger_than_stsz(src, dst):
+    """stsc claims a huge samples_per_chunk while stsz stays small: the
+    cross-table inconsistency that drove sample_sizes[] out of bounds."""
+    data = bytearray(open(src, "rb").read())
+    off, size = find_box_path(
+        data, [b"moov", b"trak", b"mdia", b"minf", b"stbl", b"stsc"])
+    if off is None or size < 8 + 8 + 12:
+        return False
+    # first entry: samples_per_chunk (payload: verflags 4, count 4,
+    # then entries of first_chunk 4 / spc 4 / desc 4)
+    struct.pack_into(">I", data, off + 8 + 8 + 4, 0x00FFFFFF)
+    with open(dst, "wb") as f:
+        f.write(data)
+    return True

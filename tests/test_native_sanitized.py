@@ -79,6 +79,14 @@ def test_sanitized_concat_and_corrupt(san_binary, tmp_path):
         p = str(tmp_path / f"lie_{table.decode()}.mp4")
         if mp4_mutate.lie_table_count(parts[1], p, table):
             corrupts.append(p)
+    # uint64-wrapping largesize and cross-table stsc/stsz inconsistency
+    # (third-review-pass memory-safety findings)
+    p = str(tmp_path / "largesize_wrap.mp4")
+    if mp4_mutate.largesize_wrap(parts[1], p):
+        corrupts.append(p)
+    p = str(tmp_path / "stsc_lie.mp4")
+    if mp4_mutate.stsc_lies_bigger_than_stsz(parts[1], p):
+        corrupts.append(p)
     # boxes too small for their fixed-offset fields
     for path, plen in [([b"moov", b"mvhd"], 4),
                        ([b"moov", b"trak", b"tkhd"], 2),
