@@ -134,3 +134,31 @@ def stsc_lies_bigger_than_stsz(src, dst):
     with open(dst, "wb") as f:
         f.write(data)
     return True
+
+
+def insert_ctts(src, dst, offset_ticks, sample_count):
+    """Copy src->dst adding a one-entry ctts box ({sample_count,
+    offset_ticks}) into the first trak's stbl, growing every ancestor's
+    size field.  Valid only when moov follows mdat (OpenCV's layout), so
+    chunk offsets don't shift."""
+    data = bytearray(open(src, "rb").read())
+    path = [b"moov", b"trak", b"mdia", b"minf", b"stbl"]
+    stbl_off, stbl_size = find_box_path(data, path)
+    if stbl_off is None:
+        return False
+    mdat_off, _ = find_box_path(data, [b"mdat"])
+    moov_off, _ = find_box_path(data, [b"moov"])
+    if mdat_off is None or moov_off is None or moov_off < mdat_off:
+        return False  # moov before mdat: insertion would shift chunks
+    ctts = struct.pack(">I4sIIIi", 24, b"ctts", 0, 1,
+                       sample_count, offset_ticks)
+    # grow each ancestor on the path
+    start, end = 0, len(data)
+    for typ in path:
+        off, size = _find_box(data, start, end, typ)
+        struct.pack_into(">I", data, off, size + len(ctts))
+        start, end = off + 8, off + size
+    data[stbl_off + stbl_size:stbl_off + stbl_size] = ctts
+    with open(dst, "wb") as f:
+        f.write(bytes(data))
+    return True

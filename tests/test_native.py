@@ -422,3 +422,41 @@ def test_io_concat_routes_y4m_to_native(tmp_path):
     for p in parts:
         want += [f.tobytes() for f in reader.Y4MReader(p).read_range(0, 5)]
     assert got == want
+
+
+def test_concat_mixed_ctts_parts(tmp_path):
+    """One part with composition offsets (B-frame-style ctts) + one
+    without: the merged trak must keep a ctts covering ALL samples
+    (zero offsets synthesized for the ctts-less part), not drop it."""
+    import struct
+
+    import mp4_mutate
+
+    parts = _write_parts(tmp_path, [6, 6])
+    with_ctts = str(tmp_path / "bframes.mp4")
+    assert mp4_mutate.insert_ctts(parts[0], with_ctts,
+                                  offset_ticks=512, sample_count=6)
+    out = str(tmp_path / "out.mp4")
+    native.concat_mp4([with_ctts, parts[1]], None, out)
+    info = native.probe_mp4(out)
+    assert info["video_samples"] == 12
+
+    data = open(out, "rb").read()
+    off, size = mp4_mutate.find_box_path(
+        data, [b"moov", b"trak", b"mdia", b"minf", b"stbl", b"ctts"])
+    assert off is not None, "merged ctts box missing"
+    n = struct.unpack(">I", data[off + 12:off + 16])[0]
+    entries = [struct.unpack(">Ii", data[off + 16 + 8 * i:
+                                         off + 24 + 8 * i])
+               for i in range(n)]
+    assert sum(c for c, _ in entries) == 12
+    # part 1's offsets survive; part 2 contributes explicit zeros
+    assert entries[0] == (6, 512)
+    assert entries[-1] == (6, 0)
+    # output still decodes
+    import cv2
+
+    cap = cv2.VideoCapture(out)
+    assert cap.isOpened()
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 12
+    cap.release()
