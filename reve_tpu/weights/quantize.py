@@ -11,9 +11,14 @@ hidden activations.
 Scheme (standard symmetric PTQ):
   * weights: per-output-channel symmetric int8,
     ``w8[..., o] = round(w[..., o] / sw[o])``, ``sw[o] = max|w[..., o]|/127``
-  * activations: per-layer symmetric int8 scales from a calibration pass
-    recording ``max|activation|`` at each hidden conv input
-    (`collect_act_maxima`); PReLU outputs are signed, so symmetric fits.
+  * activations: per-layer (per-tensor) symmetric int8 scales from a
+    calibration pass recording ``max|activation|`` at each hidden conv
+    input (`collect_act_maxima`); PReLU outputs are signed, so symmetric
+    fits.  Per-CHANNEL activation scales folded into the next layer's
+    weights were tried and measured WORSE (68.4 vs 70.0 dB on the full
+    -shape oracle): the folded weights' wider per-output dynamic range
+    costs more than the finer activation grid buys — per-tensor
+    activations + per-channel weights is the standard for a reason.
   * dequant + bias + PReLU + requant happen in f32 between convs; XLA fuses
     them into the conv epilogue (no extra HBM round trips).
 
