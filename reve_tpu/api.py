@@ -67,13 +67,26 @@ def upscale_video(
             not output_path.lower().endswith(".mkv"):
         raise ValueError("mkv input requires mkv output")
 
-    part_ext = ".y4m" if io_backend == "y4m" else ".mp4"
     ws = Workspace(workspace or output_path + ".revework")
     if resume and ws.has_state():
         state = ws.load()
+        if state.model != model or state.scale != scale:
+            raise ValueError(
+                f"workspace {ws.root!r} holds progress for model "
+                f"{state.model!r} x{state.scale}; resume with the same "
+                f"model/scale or remove the workspace to start fresh")
+        # restore the engine/io settings the job was STARTED with (the
+        # CLI's resume contract, cli.run): resumed segments must go
+        # through the same weights/dtype/container as committed ones —
+        # a changed io_backend would even flip part_ext and discard them
+        weights = state.opts.get("weights", weights)
+        dtype = state.opts.get("dtype", dtype)
+        io_backend = state.opts.get("io_backend", io_backend)
+        part_ext = ".y4m" if io_backend == "y4m" else ".mp4"
         ws.create(keep_parts=True)
         state = repair_pending(state, ws, ext=part_ext)
     else:
+        part_ext = ".y4m" if io_backend == "y4m" else ".mp4"
         info = probe_mod.probe(input_path, backend=io_backend)
         if info.frame_count <= 0:
             raise ValueError(f"could not determine frame count of "
@@ -105,6 +118,8 @@ def upscale_video(
             encode={"crf": crf, "preset": preset,
                     "x265_params": x265_params},
             model=model,
+            opts={"weights": weights, "dtype": dtype,
+                  "io_backend": io_backend},
         )
     ws.save(state)
 
@@ -125,6 +140,8 @@ def upscale_video(
     state = job.run()
     report = scheduler.finalize(state, ws, io_backend=io_backend,
                                 part_ext=part_ext)
+    if job.encoder_desc:
+        report["encoder"] = job.encoder_desc
     if not keep_workspace:
         ws.destroy()
     return report

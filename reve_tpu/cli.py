@@ -346,6 +346,7 @@ def run(argv: Optional[List[str]] = None) -> int:
         trace_mod.from_env()
     profile_ctx = trace_mod.device_profile(args.profile_dir)
 
+    encoder_desc = None
     if args.shard_worker:
         from reve_tpu.pipeline import leases
 
@@ -382,6 +383,7 @@ def run(argv: Optional[List[str]] = None) -> int:
         try:
             with profile_ctx:
                 state = job.run()
+            encoder_desc = job.encoder_desc
         except KeyboardInterrupt:
             # graceful interrupt: committed parts + state are already on
             # disk (checkpoint after every segment) — same guarantee the
@@ -394,8 +396,9 @@ def run(argv: Optional[List[str]] = None) -> int:
     report = scheduler.finalize(
         state, ws, io_backend=args.io_backend, part_ext=_part_ext(args)
     )
-    print(f"\ndone: {state.output_path} (concat backend: {report['backend']})",
-          file=sys.stderr)
+    enc_note = f", encoder: {encoder_desc}" if encoder_desc else ""
+    print(f"\ndone: {state.output_path} (concat backend: "
+          f"{report['backend']}{enc_note})", file=sys.stderr)
     if not args.keep_workspace:
         ws.destroy()
     return 0

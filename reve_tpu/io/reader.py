@@ -198,22 +198,50 @@ class Y4MReader(FrameReader):
         # FRAME markers may carry parameters ("FRAME Ixxx\n", spec-valid);
         # classify by the first marker: bare "FRAME\n" files (what our
         # writer and ffmpeg emit) get O(1) fixed-stride seeks, files with
-        # frame parameters get an exact marker walk instead
+        # frame parameters get an exact marker walk instead.  The stride
+        # assumption is RE-VERIFIED at every seek/count (a spec-valid file
+        # may switch to parameterized markers mid-stream) and demoted to
+        # the exact walk on first mismatch.  Marker lines are read
+        # unbounded (readline(), not readline(N)): a cap would silently
+        # truncate a long parameter line and desync the walk.
         with open(path, "rb") as f:
             f.seek(self._data_start)
-            first = f.readline(256)
+            first = f.readline()
         self._plain_markers = first in (b"", b"FRAME\n")
 
+    def _stride_ok(self, f, index: int) -> bool:
+        """Verify frame `index` starts with a bare marker at the fixed
+        stride offset; on mismatch demote this reader to marker-walking."""
+        per = self._frame_size + len(b"FRAME\n")
+        f.seek(self._data_start + index * per)
+        if f.readline() in (b"", b"FRAME\n"):
+            return True
+        self._plain_markers = False
+        return False
+
+    def _walk_to(self, f, start: int) -> bool:
+        """Position f at frame `start`'s marker by walking markers."""
+        f.seek(self._data_start)
+        for _ in range(start):
+            if not f.readline().startswith(b"FRAME"):
+                return False
+            f.seek(self._frame_size, 1)
+        return True
+
     def frame_count(self) -> int:
-        if self._plain_markers:
-            size = os.path.getsize(self.path) - self._data_start
-            per = self._frame_size + len(b"FRAME\n")
-            return size // per
-        n = 0
         with open(self.path, "rb") as f:
+            if self._plain_markers:
+                size = os.path.getsize(self.path) - self._data_start
+                per = self._frame_size + len(b"FRAME\n")
+                n = size // per
+                # the last frame's marker sitting at its stride offset
+                # confirms no parameterized marker shifted the layout
+                if n == 0 or self._stride_ok(f, n - 1):
+                    return n
+            n = 0
             f.seek(self._data_start)
             while True:
-                line = f.readline(256)
+                line = f.readline()
                 if not line.startswith(b"FRAME"):
                     return n
                 end = f.seek(self._frame_size, 1)
@@ -227,16 +255,12 @@ class Y4MReader(FrameReader):
         h, w = self.height, self.width
         per = self._frame_size + len(b"FRAME\n")
         with open(self.path, "rb") as f:
-            if self._plain_markers:
+            if self._plain_markers and self._stride_ok(f, start):
                 f.seek(self._data_start + start * per)
-            else:
-                f.seek(self._data_start)
-                for _ in range(start):
-                    if not f.readline(256).startswith(b"FRAME"):
-                        return
-                    f.seek(self._frame_size, 1)
+            elif not self._walk_to(f, start):
+                return
             for _ in range(stop - start):
-                marker = f.readline(256)
+                marker = f.readline()
                 if not marker.startswith(b"FRAME"):
                     return
                 raw = f.read(self._frame_size)

@@ -15,6 +15,7 @@ with in-memory frame feeds:
 from __future__ import annotations
 
 import fractions
+import logging
 import shutil
 import subprocess
 from typing import Optional, Sequence
@@ -23,12 +24,18 @@ import numpy as np
 
 from reve_tpu.io.probe import VideoInfo  # noqa: F401  (re-export convenience)
 
+log = logging.getLogger(__name__)
+
 
 class FrameWriter:
     """Consume RGB uint8 (H, W, 3) frames into a video file."""
 
     def write(self, frame: np.ndarray) -> None:
         raise NotImplementedError
+
+    def describe(self) -> str:
+        """Human-readable encoder identity for done-lines/job reports."""
+        return type(self).__name__
 
     def close(self) -> None:
         pass
@@ -109,6 +116,9 @@ class FfmpegX265Writer(FrameWriter):
         y, u, v = color.rgb_to_yuv420_np(frame, bits=10)
         self.write_yuv420p10(y, u, v)
 
+    def describe(self) -> str:
+        return "ffmpeg:libx265"
+
     def close(self):
         if self._proc.stdin and not self._proc.stdin.closed:
             self._proc.stdin.close()
@@ -124,14 +134,24 @@ class FfmpegX265Writer(FrameWriter):
                 + (f": {err[-1000:]}" if err else ""))
 
 
+_warned_dropped_knobs = False
+
+
 class Cv2Writer(FrameWriter):
-    """OpenCV VideoWriter fallback (no ffmpeg binary needed)."""
+    """OpenCV VideoWriter fallback (no ffmpeg binary needed).
+
+    The cv2 API exposes no crf/preset/x265-params knobs, so this fallback
+    CANNOT honor the encode settings the reference always applies
+    (reve-shared/src/lib.rs:232-246) — when `settings` is passed, the drop
+    is warned once per process instead of silent, and the chosen codec is
+    surfaced via `describe()` into the CLI done-line / job report."""
 
     #: preference order; first that opens wins
     CODECS: Sequence[str] = ("avc1", "hev1", "vp09", "mp4v")
 
     def __init__(self, path: str, width: int, height: int,
-                 fps: fractions.Fraction, codec: Optional[str] = None):
+                 fps: fractions.Fraction, codec: Optional[str] = None,
+                 settings: Optional["EncodeSettings"] = None):
         import cv2
 
         self._cv2 = cv2
@@ -151,6 +171,17 @@ class Cv2Writer(FrameWriter):
             raise RuntimeError(
                 f"no usable cv2 codec among {candidates} for {path!r}"
             )
+        global _warned_dropped_knobs
+        if settings is not None and not _warned_dropped_knobs:
+            _warned_dropped_knobs = True
+            log.warning(
+                "no ffmpeg binary: falling back to the cv2 encoder "
+                "(codec %s, 8-bit) — crf=%s / preset=%s / x265-params are "
+                "NOT applied on this path", self.codec, settings.crf,
+                settings.preset)
+
+    def describe(self) -> str:
+        return f"cv2:{self.codec}"
 
     def write(self, frame: np.ndarray) -> None:
         self.writer.write(np.ascontiguousarray(frame[:, :, ::-1]))  # RGB->BGR
@@ -195,6 +226,9 @@ class Y4MWriter(FrameWriter):
             else:
                 self._f.write(plane.astype("<u2").tobytes())
 
+    def describe(self) -> str:
+        return f"y4m:{self.bits}bit"
+
     def close(self):
         self._f.close()
 
@@ -212,4 +246,4 @@ def open_writer(path: str, width: int, height: int, fps: fractions.Fraction,
         return FfmpegX265Writer(path, width, height, fps, settings)
     if backend == "ffmpeg":
         raise RuntimeError("ffmpeg backend requested but binary not found")
-    return Cv2Writer(path, width, height, fps)
+    return Cv2Writer(path, width, height, fps, settings=settings)

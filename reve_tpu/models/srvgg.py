@@ -264,9 +264,15 @@ def _conv3x3_s8(x8: jax.Array, w8: jax.Array) -> jax.Array:
 
 
 def _quant_s8(x: jax.Array, scale: jax.Array) -> jax.Array:
-    """f32-ish -> symmetric int8 with scalar scale (x ~= q * scale)."""
+    """f32-ish -> symmetric int8 with scalar scale (x ~= q * scale).
+
+    Clips to ±127, matching the symmetric per-channel weight grid
+    (weights/quantize.py): the scale maps max|x| to 127, so -128 is only
+    reachable for content hotter than calibration+margin — keeping the
+    range symmetric costs nothing and keeps |q*scale| <= max|x|*margin
+    on both sides."""
     q = jnp.round(x.astype(jnp.float32) * (1.0 / scale))
-    return jnp.clip(q, -128, 127).astype(jnp.int8)
+    return jnp.clip(q, -127, 127).astype(jnp.int8)
 
 
 @functools.partial(

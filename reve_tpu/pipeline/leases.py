@@ -107,17 +107,26 @@ class SegmentLeaseQueue:
                 return seg
         return None
 
-    def renew(self, seg: Segment) -> None:
+    def renew(self, seg: Segment) -> bool:
         """Heartbeat — but only while we still own the lease: a worker
         that was presumed dead (lease stolen) must not freshen the
-        thief's lease file."""
+        thief's lease file.
+
+        Returns False when ownership was lost (the lease was stolen or
+        released) so the caller can abandon the segment instead of
+        racing the new owner.  The owner is re-read AFTER the utime:
+        a steal landing between the first check and the touch would
+        otherwise freshen the thief's lease undetected — the freshening
+        itself is harmless (the thief is alive and heartbeating), but
+        the loss must surface."""
         path = self._lease_path(seg.index)
         if self._owner(path) != self.worker_id:
-            return
+            return False
         try:
             os.utime(path)
         except OSError:
             pass
+        return self._owner(path) == self.worker_id
 
     def release(self, seg: Segment) -> None:
         """Delete our lease.  Owner-checked: a stalled worker that resumes
@@ -160,19 +169,32 @@ class _Heartbeat:
     """Daemon thread that touches a segment's lease file while the owning
     worker runs it, so a live worker is never mistaken for a crashed one
     and its lease stolen mid-segment (which would let two workers write the
-    same part file)."""
+    same part file).
+
+    If a renewal discovers the lease was stolen anyway (this worker
+    stalled past stale_after — SIGSTOP, VM pause), `lost` is set and
+    `on_lost` fires once so the worker loop can abort the segment: the
+    takeover worker owns it now, and two workers must not keep encoding
+    the same part."""
 
     def __init__(self, queue: SegmentLeaseQueue, seg: Segment,
-                 interval: float = HEARTBEAT_INTERVAL):
+                 interval: float = HEARTBEAT_INTERVAL,
+                 on_lost=None):
         self._queue = queue
         self._seg = seg
         self._interval = interval
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
+        self.lost = False
+        self.on_lost = on_lost
 
     def _run(self):
         while not self._stop.wait(self._interval):
-            self._queue.renew(self._seg)
+            if not self._queue.renew(self._seg):
+                self.lost = True
+                if self.on_lost is not None:
+                    self.on_lost()
+                return
 
     def __enter__(self):
         self._thread.start()
@@ -213,13 +235,23 @@ def run_sharded(state, workspace: Workspace, engine, worker_id: str,
             return completed
         try:
             hb_interval = min(HEARTBEAT_INTERVAL, stale_after / 4)
-            with _Heartbeat(queue, seg, interval=hb_interval):
-                job = PipelineJob(
-                    dataclasses.replace(state, pending=[seg]),
-                    workspace, engine, io_backend=io_backend,
-                    part_ext=part_ext, progress=progress, tracer=tracer,
-                )
-                job.run()
-            completed += 1
+            job = PipelineJob(
+                dataclasses.replace(state, pending=[seg]),
+                workspace, engine, io_backend=io_backend,
+                part_ext=part_ext, progress=progress, tracer=tracer,
+            )
+            hb = _Heartbeat(queue, seg, interval=hb_interval,
+                            on_lost=job.cancel)
+            try:
+                with hb:
+                    job.run()
+                completed += 1
+            except Exception:
+                if not hb.lost:
+                    raise
+                # lease stolen mid-segment (we stalled past stale_after):
+                # the takeover worker owns this segment now — abandon it
+                # and move on; release() below is owner-checked so it
+                # cannot touch the new owner's lease
         finally:
             queue.release(seg)

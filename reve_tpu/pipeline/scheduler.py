@@ -94,6 +94,10 @@ class PipelineJob:
         self.decode_q: "queue.Queue" = queue.Queue(maxsize=decode_queue_depth)
         self.encode_q: "queue.Queue" = queue.Queue(maxsize=device_queue_depth)
         self.errors: list = []
+        #: identity of the encoder actually used (e.g. "ffmpeg:libx265",
+        #: "cv2:mp4v") — surfaced in the CLI done-line / job report so a
+        #: fallback that cannot honor crf/preset is never invisible
+        self.encoder_desc: Optional[str] = None
         self._stop = threading.Event()
         remaining = sum(s.size for s in state.pending)
         self.progress = progress or ProgressTracker(
@@ -174,6 +178,7 @@ class PipelineJob:
                         out_w, out_h, fps, settings=settings,
                         backend=self.io_backend,
                     )
+                    self.encoder_desc = writer.describe()
                 with self.tracer.span("encode_batch", seg=item.seg_index,
                                       n=len(frames)):
                     for f in frames:

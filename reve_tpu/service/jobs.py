@@ -276,5 +276,7 @@ class JobManager:
         report = scheduler.finalize(
             final, ws, io_backend=self.io_backend, part_ext=part_ext
         )
+        if pipeline.encoder_desc:
+            report["encoder"] = pipeline.encoder_desc
         ws.destroy()
         return report

@@ -561,6 +561,42 @@ def test_api_scene_align_plan_survives_resume(tmp_path, monkeypatch):
     assert (rd.width, rd.height, rd.frame_count()) == (96, 64, 12)
 
 
+def test_api_resume_restores_saved_opts(tmp_path, monkeypatch):
+    """upscale_video's resume must restore weights/dtype/io_backend from
+    the saved state (and refuse a model/scale mismatch) exactly like
+    cli.run — different kwargs on the resume call must not orphan
+    committed parts (changed part_ext) or switch engines mid-job."""
+    import reve_tpu
+    from reve_tpu.pipeline import scheduler as sched_mod
+    from reve_tpu.pipeline.state import Workspace
+
+    monkeypatch.chdir(tmp_path)
+    inp = _small_y4m(tmp_path)
+    out = str(tmp_path / "opts_out.y4m")
+    real_run = sched_mod.PipelineJob.run
+
+    def crash(self):
+        raise RuntimeError("simulated crash before any segment")
+
+    monkeypatch.setattr(sched_mod.PipelineJob, "run", crash)
+    with pytest.raises(RuntimeError):
+        reve_tpu.upscale_video(inp, out, scale=2, io_backend="y4m",
+                               segment_size=4, batch=3, dtype="float32")
+    st = Workspace(out + ".revework").load()
+    assert st.opts == {"weights": None, "dtype": "float32",
+                       "io_backend": "y4m"}
+
+    monkeypatch.setattr(sched_mod.PipelineJob, "run", real_run)
+    with pytest.raises(ValueError, match="holds progress"):
+        reve_tpu.upscale_video(inp, out, scale=2, io_backend="y4m",
+                               segment_size=4, model="some-other-model")
+    # resume with DIFFERENT dtype/io_backend kwargs: saved opts win
+    reve_tpu.upscale_video(inp, out, scale=2, io_backend=None,
+                           segment_size=4, batch=3, dtype="bfloat16")
+    rd = reader.Y4MReader(out)
+    assert (rd.width, rd.height, rd.frame_count()) == (48, 32, 10)
+
+
 def test_cli_resume_restores_saved_opts(tmp_path, monkeypatch, capsys):
     """A resume run uses the SETTINGS the job was started with (reference
     semantics: args.temp, main.rs:92-101) — a different --io-backend or

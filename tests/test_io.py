@@ -233,6 +233,45 @@ def test_y4m_parameterized_frame_markers_exact(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_y4m_mixed_frame_markers_exact(tmp_path):
+    """Spec-valid y4m whose FIRST marker is bare but later frames carry
+    parameters: the first-marker classification alone would take the
+    fixed-stride fast path and read shifted garbage — the stride
+    assumption must be re-verified per seek (and in frame_count)."""
+    plain = str(tmp_path / "plain.y4m")
+    with writer.Y4MWriter(plain, 40, 24, fractions.Fraction(30, 1)) as wr:
+        for i in range(8):
+            wr.write(np.full((24, 40, 3), 20 + 8 * i, np.uint8))
+    with open(plain, "rb") as f:
+        data = f.read()
+    # frames 0-2 keep bare markers; 3.. carry a parameter (and one of
+    # them a >255-byte parameter line, which a capped readline truncates)
+    frame_size = 40 * 24 * 3 // 2
+    per = frame_size + len(b"FRAME\n")
+    header_end = data.index(b"\n") + 1
+    long_param = b"FRAME X" + b"q" * 300 + b"\n"
+    mixed = bytearray(data[:header_end + 3 * per])
+    for i in range(3, 8):
+        off = header_end + i * per
+        marker = long_param if i == 5 else b"FRAME Ip\n"
+        mixed += marker + data[off + 6:off + per]
+    param = str(tmp_path / "mixed.y4m")
+    with open(param, "wb") as f:
+        f.write(bytes(mixed))
+
+    want = list(reader.Y4MReader(plain).read_range(0, 8))
+    rp = reader.Y4MReader(param)
+    assert rp.frame_count() == 8
+    got = list(rp.read_range(0, 8))
+    assert len(got) == 8
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(a, b)
+    # a mid-range seek landing past the parameterized region must not
+    # use the (now wrong) stride either
+    for a, b in zip(want[4:7], reader.Y4MReader(param).read_range(4, 7)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_rrdb_missing_explicit_weights_is_loud(tmp_path):
     """A typo'd --weights path must raise, never silently fall back to
     random init (matches the srvgg loader's behavior)."""
