@@ -110,6 +110,14 @@ class UpscaleEngine:
             raise ValueError("int8 turbo mode supports SRVGG models only")
         self._qbody = None
         self._qbody_provisional = False
+        self._act_maxima = None
+        #: optional arbitration hook for calibration determinism: called
+        #: with this engine's freshly computed activation maxima, returns
+        #: the AUTHORITATIVE maxima to use (e.g. Workspace.claim_calibration
+        #: persists first-wins maxima so resumed runs and shard workers all
+        #: quantize with identical scales).  Only consulted for real
+        #: (non-provisional) calibrations.
+        self.calibration_hook = None
         self.compute_dtype = jnp.bfloat16 if compute_dtype in (
             "bfloat16", "bf16", "int8"
         ) else jnp.float32
@@ -279,8 +287,15 @@ class UpscaleEngine:
         x = self._place(
             np.ascontiguousarray(frames, np.uint8).astype(np.float32)
             / 255.0)
-        maxima = quantize.collect_act_maxima(
-            self.params, x, cfg=self.cfg, compute_dtype=jnp.float32)
+        maxima = np.asarray(quantize.collect_act_maxima(
+            self.params, x, cfg=self.cfg, compute_dtype=jnp.float32))
+        if self.calibration_hook is not None and not provisional:
+            maxima = np.asarray(self.calibration_hook(maxima), np.float32)
+        self._install_qbody(maxima, provisional)
+
+    def _install_qbody(self, maxima: np.ndarray, provisional: bool) -> None:
+        from reve_tpu.weights import quantize
+
         # margin absorbs content hotter than the calibration batch
         qbody = quantize.quantize_hidden(self.params, self.cfg,
                                          np.asarray(maxima), margin=1.25)
@@ -292,6 +307,36 @@ class UpscaleEngine:
             qbody = jax.device_put(qbody, self.device)
         self._qbody = qbody
         self._qbody_provisional = provisional
+        self._act_maxima = np.asarray(maxima, np.float32)
+
+    def get_calibration(self):
+        """The activation maxima the current int8 quantization was built
+        from, or None (not int8 / not yet calibrated / provisional)."""
+        if not self._int8 or self._qbody_provisional:
+            return None
+        return self._act_maxima
+
+    def set_calibration(self, maxima) -> None:
+        """Quantize the hidden stack with EXTERNALLY provided activation
+        maxima (e.g. persisted by a previous run): resumed jobs and shard
+        workers inject the job's saved calibration so every segment of one
+        output video is quantized with identical scales.  No recompile —
+        the quantized pytree is a jit argument."""
+        if not self._int8:
+            raise ValueError("set_calibration requires an int8 engine")
+        maxima = np.asarray(maxima, np.float32)
+        if (self._act_maxima is not None and not self._qbody_provisional
+                and np.array_equal(self._act_maxima, maxima)):
+            return  # already quantized with exactly these scales
+        self._install_qbody(maxima, provisional=False)
+
+    def reset_calibration(self) -> None:
+        """Drop any existing int8 calibration so the next real batch
+        recalibrates — engines reused across jobs (service JobManager)
+        must not carry a previous input's activation scales."""
+        self._qbody = None
+        self._qbody_provisional = False
+        self._act_maxima = None
 
     def _maybe_calibrate(self, frames: np.ndarray, provisional: bool) -> None:
         if not self._int8:

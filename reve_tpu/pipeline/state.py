@@ -33,6 +33,7 @@ from reve_tpu.pipeline.planner import Segment
 STATE_VERSION = 1
 STATE_FILE = "state.json"
 PARTS_DIR = "parts"
+CALIBRATION_FILE = "int8_calibration.json"
 
 
 @dataclasses.dataclass
@@ -131,6 +132,49 @@ class Workspace:
     def load(self) -> JobState:
         with open(self.state_path) as f:
             return JobState.from_json(json.load(f))
+
+    # -- int8 calibration (first-wins, job-scoped) -------------------------
+
+    @property
+    def calibration_path(self) -> str:
+        return os.path.join(self.root, CALIBRATION_FILE)
+
+    def load_calibration(self):
+        """The job's persisted int8 activation maxima, or None."""
+        try:
+            with open(self.calibration_path) as f:
+                return json.load(f)["act_maxima"]
+        except (OSError, KeyError, ValueError):
+            return None
+
+    def claim_calibration(self, maxima):
+        """First-calibration-wins arbitration (engine.calibration_hook):
+        atomically publish `maxima` as THE job's calibration; if another
+        worker (or a pre-crash run) already published one, return that
+        instead.  One output video must never mix segments quantized with
+        different scales, and kill/resume must be reproducible.
+
+        Atomicity: write a complete tmp file, then hardlink it into place
+        — link() fails with EEXIST exactly once per race, and a reader can
+        never observe a half-written file."""
+        maxima = [float(v) for v in maxima]
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".calib.tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump({"act_maxima": maxima}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, self.calibration_path)
+                return maxima
+            except FileExistsError:
+                saved = self.load_calibration()
+                # unreadable existing file (torn by something non-atomic?)
+                # -> fall back to our own maxima rather than crash
+                return saved if saved is not None else maxima
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     # -- part files --------------------------------------------------------
 

@@ -104,6 +104,166 @@ def test_engine_int8_rejects_rrdb():
                       compute_dtype="int8")
 
 
+# -- calibration determinism across resume / shard workers ------------------
+
+
+def _varied_y4m(tmp_path, num_frames=24, w=32, h=24):
+    """Input whose brightness RAMPS across frames: an engine calibrating on
+    segment k sees different activation maxima than one calibrating on
+    segment j, so any un-persisted recalibration changes output bytes."""
+    import fractions
+
+    from reve_tpu.io import writer
+
+    path = str(tmp_path / "ramp.y4m")
+    rs = np.random.RandomState(7)
+    with writer.Y4MWriter(path, w, h, fractions.Fraction(24)) as wr:
+        for i in range(num_frames):
+            base = 10 * (i + 1)
+            wr.write((rs.rand(h, w, 3) * base).astype(np.uint8))
+    return path
+
+
+def _int8_state(tmp_path, inp, name, num_frames=24, seg=8, w=32, h=24):
+    from reve_tpu.pipeline import planner, state
+
+    ws = state.Workspace(str(tmp_path / f"work_{name}"))
+    ws.create()
+    st = state.JobState(
+        input_path=inp, output_path=str(tmp_path / f"{name}.y4m"),
+        scale=2, segment_size=seg, frame_count=num_frames,
+        fps_num=24, fps_den=1, width=w, height=h,
+        pending=planner.plan_segments(num_frames, seg),
+    )
+    ws.save(st)
+    return ws, st
+
+
+def _run_job(st, ws, engine):
+    from reve_tpu.pipeline import scheduler
+
+    job = scheduler.PipelineJob(st, ws, engine, io_backend="y4m",
+                                part_ext=".y4m")
+    final = job.run()
+    scheduler.finalize(final, ws, io_backend="y4m", part_ext=".y4m")
+
+
+def test_int8_crash_resume_byte_identical(tmp_path):
+    """An int8 job killed mid-run and resumed must produce output
+    byte-identical to an uninterrupted run: the first calibration is
+    persisted in the workspace and the resumed engine reuses it instead
+    of recalibrating on its first PENDING segment (whose frames differ)."""
+    from reve_tpu.pipeline import scheduler, state
+
+    inp = _varied_y4m(tmp_path)
+
+    # reference: uninterrupted run
+    ws_a, st_a = _int8_state(tmp_path, inp, "a")
+    e_a = UpscaleEngine(scale=2, batch_size=4, compute_dtype="int8")
+    _run_job(st_a, ws_a, e_a)
+    with open(st_a.output_path, "rb") as f:
+        want = f.read()
+
+    # crashed run: engine fault after segment 0 commits
+    ws_b, st_b = _int8_state(tmp_path, inp, "b")
+    e_crash = UpscaleEngine(scale=2, batch_size=4, compute_dtype="int8")
+    real_submit, count = e_crash.submit, [0]
+
+    def faulty_submit(frames):
+        count[0] += 1
+        if count[0] > 3:  # seg 0 = 8 frames = 2 batches; die in seg 1
+            raise RuntimeError("injected crash")
+        return real_submit(frames)
+
+    e_crash.submit = faulty_submit
+    job = scheduler.PipelineJob(st_b, ws_b, e_crash, io_backend="y4m",
+                                part_ext=".y4m")
+    with pytest.raises(RuntimeError, match="injected"):
+        job.run()
+    assert 0 in ws_b.completed_parts(".y4m")
+    assert ws_b.load_calibration() is not None  # persisted before the crash
+
+    # resume with a FRESH engine (new process semantics)
+    st_b2 = state.repair_pending(ws_b.load(), ws_b, ext=".y4m")
+    e_resume = UpscaleEngine(scale=2, batch_size=4, compute_dtype="int8")
+    _run_job(st_b2, ws_b, e_resume)
+    np.testing.assert_array_equal(e_resume.get_calibration(),
+                                  e_a.get_calibration())
+    with open(st_b.output_path, "rb") as f:
+        assert f.read() == want
+
+
+def test_int8_shard_workers_share_calibration(tmp_path):
+    """Every shard worker of one job must quantize with the SAME scales:
+    the first worker's calibration is claimed into the shared workspace
+    and later workers adopt it (first-wins), so one output video never
+    mixes differently-quantized segments — and the result is byte-equal
+    to a single-worker run."""
+    import dataclasses
+
+    from reve_tpu.pipeline import scheduler
+
+    inp = _varied_y4m(tmp_path)
+
+    ws_a, st_a = _int8_state(tmp_path, inp, "solo")
+    e_solo = UpscaleEngine(scale=2, batch_size=4, compute_dtype="int8")
+    _run_job(st_a, ws_a, e_solo)
+    with open(st_a.output_path, "rb") as f:
+        want = f.read()
+
+    # "worker 1" processes segment 0, then a separate engine ("worker 2",
+    # fresh process semantics) processes segments 1-2 of the same job
+    ws_b, st_b = _int8_state(tmp_path, inp, "shard")
+    e1 = UpscaleEngine(scale=2, batch_size=4, compute_dtype="int8")
+    e2 = UpscaleEngine(scale=2, batch_size=4, compute_dtype="int8")
+    job1 = scheduler.PipelineJob(
+        dataclasses.replace(st_b, pending=st_b.pending[:1]), ws_b, e1,
+        io_backend="y4m", part_ext=".y4m")
+    job1.run()
+    job2 = scheduler.PipelineJob(
+        dataclasses.replace(st_b, pending=st_b.pending[1:]), ws_b, e2,
+        io_backend="y4m", part_ext=".y4m")
+    job2.run()
+    np.testing.assert_array_equal(e1.get_calibration(), e2.get_calibration())
+    scheduler.finalize(dataclasses.replace(st_b, pending=[]), ws_b,
+                       io_backend="y4m", part_ext=".y4m")
+    with open(st_b.output_path, "rb") as f:
+        assert f.read() == want
+
+
+def test_int8_engine_reuse_recalibrates_per_job(tmp_path):
+    """An engine cached across service jobs must NOT carry job A's
+    activation scales into job B (a hotter video would clip beyond the
+    margin with no recovery): with no persisted calibration in B's
+    workspace, stale scales are dropped and B recalibrates on its own
+    first batch."""
+    import fractions
+
+    from reve_tpu.io import writer
+
+    dark = str(tmp_path / "dark.y4m")
+    with writer.Y4MWriter(dark, 32, 24, fractions.Fraction(24)) as wr:
+        for _ in range(8):
+            wr.write(np.full((24, 32, 3), 16, np.uint8))
+    bright = str(tmp_path / "bright.y4m")
+    with writer.Y4MWriter(bright, 32, 24, fractions.Fraction(24)) as wr:
+        for _ in range(8):
+            wr.write(np.full((24, 32, 3), 235, np.uint8))
+
+    engine = UpscaleEngine(scale=2, batch_size=4, compute_dtype="int8")
+    ws_a, st_a = _int8_state(tmp_path, dark, "dark", num_frames=8)
+    _run_job(st_a, ws_a, engine)
+    scales_a = np.array(engine.get_calibration())
+
+    ws_b, st_b = _int8_state(tmp_path, bright, "bright", num_frames=8)
+    _run_job(st_b, ws_b, engine)
+    scales_b = np.array(engine.get_calibration())
+    # brighter input -> larger early-layer activation maxima (deep layers
+    # converge regardless of input level, so only the head is decisive)
+    assert scales_b[0] > scales_a[0] * 2, (scales_a, scales_b)
+    assert not np.array_equal(scales_a, scales_b)
+
+
 def test_engine_int8_sharded_matches_single_device():
     from reve_tpu.parallel import mesh as mesh_lib
 
