@@ -26,7 +26,17 @@ API (cf. the six Tauri commands, reve-gui/src-tauri/src/main.rs:12-19):
 Trust model: binds to 127.0.0.1 by default and (like the reference's
 desktop GUI) is a LOCAL operator tool — /api/browse and job inputs
 intentionally reach the operator's filesystem; do not expose the port
-publicly without an auth proxy.
+publicly without an auth proxy.  Hardening on top of that model:
+
+  * every request's Host header must name a known host (loopback names +
+    the bound host + --allow-host extras) — closes DNS-rebinding, the
+    classic hole in localhost HTTP tools (a victim's browser resolving
+    evil.com -> 127.0.0.1 sends Host: evil.com and is refused);
+  * state-changing requests (POST/DELETE) with a browser Origin header
+    must come from an allowed origin (CSRF);
+  * optional bearer token (--token / REVE_TPU_TOKEN) required on every
+    /api request when set;
+  * optional --browse-root jails /api/browse to a directory subtree.
 """
 
 from __future__ import annotations
@@ -209,9 +219,58 @@ class Handler(BaseHTTPRequestHandler):
     manager: JobManager = None
     cfg: config_mod.ServiceConfig = None
     logger: ServiceLogger = None
+    #: hostnames accepted in Host/Origin headers (loopback + bound host
+    #: + --allow-host extras); populated by make_server
+    allowed_hosts = frozenset({"localhost", "127.0.0.1", "::1"})
+    #: when set, every /api request must carry it (Authorization: Bearer
+    #: or ?token=)
+    token: Optional[str] = None
+    #: when set, /api/browse may not escape this directory
+    browse_root: Optional[str] = None
 
     def log_message(self, *args):  # quiet
         pass
+
+    @staticmethod
+    def _hostname_of(netloc: str) -> Optional[str]:
+        """Hostname from a Host header / origin netloc ('[::1]:8321' ->
+        '::1', 'Example.com:80' -> 'example.com')."""
+        from urllib.parse import urlsplit
+
+        try:
+            return urlsplit("//" + netloc).hostname
+        except ValueError:
+            return None
+
+    def _authorize(self, state_changing: bool) -> bool:
+        """Host / Origin / token gate; sends the 403 itself on refusal."""
+        host = self._hostname_of(self.headers.get("Host") or "")
+        if host is None or host not in self.allowed_hosts:
+            self._json({"error": f"refused: unknown Host {host!r} "
+                        "(DNS-rebinding guard; see --allow-host)"}, 403)
+            return False
+        origin = self.headers.get("Origin")
+        if state_changing and origin and origin != "null":
+            from urllib.parse import urlsplit
+
+            o_host = urlsplit(origin).hostname
+            if o_host is None or o_host not in self.allowed_hosts:
+                self._json({"error": f"refused: cross-site Origin "
+                            f"{origin!r}"}, 403)
+                return False
+        if self.token and self.path.startswith("/api"):
+            from urllib.parse import parse_qs, urlsplit as _us
+
+            auth = self.headers.get("Authorization") or ""
+            q = parse_qs(_us(self.path).query)
+            given = (auth[7:] if auth.startswith("Bearer ")
+                     else (q.get("token") or [None])[0])
+            import hmac
+
+            if not (given and hmac.compare_digest(given, self.token)):
+                self._json({"error": "missing or invalid token"}, 401)
+                return False
+        return True
 
     def _json(self, obj, code=200):
         body = json.dumps(obj).encode()
@@ -226,16 +285,19 @@ class Handler(BaseHTTPRequestHandler):
         return json.loads(self.rfile.read(n) or b"{}")
 
     def do_GET(self):
-        if self.path in ("/", "/index.html"):
+        if not self._authorize(state_changing=False):
+            return
+        route = self.path.split("?", 1)[0]  # routing ignores the query
+        if route in ("/", "/index.html"):
             body = _PAGE.encode()
             self.send_response(200)
             self.send_header("Content-Type", "text/html")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
-        elif self.path == "/api/version":
+        elif route == "/api/version":
             self._json({"version": __version__})
-        elif self.path == "/api/models":
+        elif route == "/api/models":
             from reve_tpu.models import registry
 
             self._json([
@@ -243,9 +305,9 @@ class Handler(BaseHTTPRequestHandler):
                  "scales": [spec.upscale] if spec.upscale else [2, 3, 4]}
                 for name, spec in registry.list_models()
             ])
-        elif self.path == "/api/config":
+        elif route == "/api/config":
             self._json(self.cfg.to_json())
-        elif self.path == "/api/metrics" or self.path == "/metrics":
+        elif route in ("/api/metrics", "/metrics"):
             # Prometheus text exposition: machine-readable ops counters
             # (SURVEY.md §5 metrics/observability; the reference has none)
             jobs = self.manager.list_jobs()
@@ -273,7 +335,7 @@ class Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
-        elif self.path.startswith("/api/log"):
+        elif route == "/api/log":
             from urllib.parse import parse_qs, urlparse
 
             q = parse_qs(urlparse(self.path).query)
@@ -281,12 +343,20 @@ class Handler(BaseHTTPRequestHandler):
             self._json({"log": self.logger.tail(lines),
                         "path": self.logger.path,
                         "enabled": self.cfg.application_logs})
-        elif self.path.startswith("/api/browse"):
+        elif route == "/api/browse":
             import os
             from urllib.parse import parse_qs, urlparse
 
             q = parse_qs(urlparse(self.path).query)
             d = os.path.abspath(q.get("dir", ["."])[0] or ".")
+            if self.browse_root is not None:
+                root = os.path.realpath(self.browse_root)
+                if not d or not os.path.isdir(d):
+                    d = root
+                real = os.path.realpath(d)
+                if os.path.commonpath([root, real]) != root:
+                    return self._json(
+                        {"error": f"outside --browse-root: {d}"}, 403)
             if not os.path.isdir(d):
                 return self._json({"error": f"not a directory: {d}"}, 400)
             video_exts = (".mp4", ".mkv", ".avi", ".y4m", ".webm", ".mov")
@@ -306,12 +376,15 @@ class Handler(BaseHTTPRequestHandler):
                                  name.lower().endswith(video_exts)),
                 })
             parent = os.path.dirname(d) if d != "/" else None
+            if self.browse_root is not None and \
+                    os.path.realpath(d) == os.path.realpath(self.browse_root):
+                parent = None  # the jail root has no browsable parent
             self._json({"dir": d, "parent": parent, "entries": entries})
-        elif self.path == "/api/jobs":
+        elif route == "/api/jobs":
             self._json(self.manager.list_jobs())
-        elif self.path.startswith("/api/jobs/"):
+        elif route.startswith("/api/jobs/"):
             # /api/jobs/<id> | /api/jobs/<id>/parts | /api/jobs/<id>/parts/<i>
-            rest = self.path[len("/api/jobs/"):].split("/")
+            rest = route[len("/api/jobs/"):].split("/")
             try:
                 job = self.manager.get(int(rest[0]))
             except ValueError:
@@ -376,6 +449,8 @@ class Handler(BaseHTTPRequestHandler):
             self._json({"error": "not found"}, 404)
 
     def do_POST(self):
+        if not self._authorize(state_changing=True):
+            return
         try:
             data = self._body()
         except json.JSONDecodeError:
@@ -422,6 +497,8 @@ class Handler(BaseHTTPRequestHandler):
 
 
     def do_DELETE(self):
+        if not self._authorize(state_changing=True):
+            return
         if self.path.startswith("/api/jobs/"):
             try:
                 job_id = int(self.path.rsplit("/", 1)[1])
@@ -436,23 +513,43 @@ class Handler(BaseHTTPRequestHandler):
 
 
 def make_server(host="127.0.0.1", port=8321, cfg=None, manager=None,
-                io_backend: Optional[str] = None) -> ThreadingHTTPServer:
+                io_backend: Optional[str] = None,
+                token: Optional[str] = None,
+                browse_root: Optional[str] = None,
+                allow_hosts=()) -> ThreadingHTTPServer:
     cfg = cfg or config_mod.load()
     handler = type("BoundHandler", (Handler,), {})
     handler.cfg = cfg
     handler.manager = manager or JobManager(cfg, io_backend=io_backend)
     handler.logger = ServiceLogger(cfg)
+    handler.allowed_hosts = frozenset(
+        {"localhost", "127.0.0.1", "::1", host} | set(allow_hosts))
+    handler.token = token
+    handler.browse_root = browse_root
     return ThreadingHTTPServer((host, port), handler)
 
 
 def main():
     import argparse
+    import os
 
     ap = argparse.ArgumentParser(prog="reve-serve")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8321)
+    ap.add_argument("--token", default=os.environ.get("REVE_TPU_TOKEN"),
+                    help="require this bearer token on every /api request "
+                         "(default: $REVE_TPU_TOKEN if set)")
+    ap.add_argument("--browse-root", default=None, metavar="DIR",
+                    help="jail /api/browse to this directory subtree")
+    ap.add_argument("--allow-host", action="append", default=[],
+                    metavar="HOSTNAME",
+                    help="additional hostname accepted in Host/Origin "
+                         "headers (repeatable; loopback names and the "
+                         "bound host are always accepted)")
     args = ap.parse_args()
-    server = make_server(args.host, args.port)
+    server = make_server(args.host, args.port, token=args.token,
+                         browse_root=args.browse_root,
+                         allow_hosts=args.allow_host)
     print(f"reve-tpu service on http://{args.host}:{args.port}")
     try:
         server.serve_forever()

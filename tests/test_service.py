@@ -509,3 +509,101 @@ def test_job_dtype_turbo_plumbing(tmp_path):
         assert "dtype" in bad.error
     finally:
         manager.shutdown()
+
+
+# -- hardening: Host/Origin checks, bearer token, browse jail ---------------
+
+
+def _req(url, method="GET", headers=None, data=None):
+    req = urllib.request.Request(url, method=method, data=data,
+                                 headers=headers or {})
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return r.status, json.loads(r.read() or b"{}")
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"{}")
+
+
+def test_host_header_rebinding_refused(server):
+    """DNS rebinding: the victim's browser resolves evil.com to 127.0.0.1
+    and sends Host: evil.com — every endpoint must refuse it."""
+    code, body = _req(server + "/api/jobs",
+                      headers={"Host": "evil.example:8321"})
+    assert code == 403 and "Host" in body["error"]
+    code, _ = _req(server + "/api/config", method="POST", data=b"{}",
+                   headers={"Host": "evil.example",
+                            "Content-Type": "application/json"})
+    assert code == 403
+    # normal loopback Host still works (urllib sets it automatically)
+    assert _req(server + "/api/version")[0] == 200
+
+
+def test_cross_site_origin_refused_on_state_change(server):
+    """A browser CSRF attempt carries the attacker page's Origin on the
+    POST — refuse it; same-origin and origin-less (curl) POSTs pass."""
+    code, body = _req(server + "/api/suffix", method="POST",
+                      data=b'{"path": "/x/v.mp4"}',
+                      headers={"Origin": "http://evil.example",
+                               "Content-Type": "application/json"})
+    assert code == 403 and "Origin" in body["error"]
+    code, _ = _req(server + "/api/suffix", method="POST",
+                   data=b'{"path": "/x/v.mp4"}',
+                   headers={"Origin": "http://127.0.0.1:999",
+                            "Content-Type": "application/json"})
+    assert code == 200
+    # GETs are not blocked by Origin (reads are safe; Host already checked)
+    code, _ = _req(server + "/api/jobs",
+                   headers={"Origin": "http://evil.example"})
+    assert code == 200
+
+
+@pytest.fixture
+def tokened_server(tmp_path):
+    from reve_tpu.service import server as server_mod
+
+    cfg = config_mod.ServiceConfig(segment_size=5)
+    manager = JobManager(
+        cfg, engine_factory=lambda m, s: FakeEngine(), io_backend="y4m"
+    )
+    srv = server_mod.make_server("127.0.0.1", 0, cfg=cfg, manager=manager,
+                                 token="sekrit",
+                                 browse_root=str(tmp_path / "jail"))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    manager.shutdown()
+
+
+def test_bearer_token_required(tokened_server):
+    assert _req(tokened_server + "/api/jobs")[0] == 401
+    code, _ = _req(tokened_server + "/api/jobs",
+                   headers={"Authorization": "Bearer wrong"})
+    assert code == 401
+    code, _ = _req(tokened_server + "/api/jobs",
+                   headers={"Authorization": "Bearer sekrit"})
+    assert code == 200
+    assert _req(tokened_server + "/api/jobs?token=sekrit")[0] == 200
+    # the landing page itself needs no token (static html, no data)
+    req = urllib.request.Request(tokened_server + "/")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        assert r.status == 200
+
+
+def test_browse_root_jail(tokened_server, tmp_path):
+    jail = tmp_path / "jail"
+    (jail / "sub").mkdir(parents=True)
+    (jail / "clip.mp4").write_bytes(b"x")
+    auth = {"Authorization": "Bearer sekrit"}
+    code, body = _req(tokened_server + "/api/browse?dir=" + str(jail),
+                      headers=auth)
+    assert code == 200
+    assert body["parent"] is None  # jail root has no browsable parent
+    names = {e["name"] for e in body["entries"]}
+    assert names == {"sub", "clip.mp4"}
+    # escapes are refused: absolute outside, and ../ traversal
+    code, body = _req(tokened_server + "/api/browse?dir=/etc", headers=auth)
+    assert code == 403 and "browse-root" in body["error"]
+    code, _ = _req(tokened_server + "/api/browse?dir="
+                   + str(jail / "sub" / ".." / ".."), headers=auth)
+    assert code == 403
