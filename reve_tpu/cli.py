@@ -146,6 +146,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="bfloat16",
                    help="compute dtype; int8 = turbo mode (~1.5x fps, "
                         "hidden stack quantized, costs some PSNR)")
+    p.add_argument("--int8-gate", type=float, default=None, metavar="DB",
+                   help="with --dtype int8: refuse to run if the measured "
+                        "int8-vs-f32 PSNR on this video's first frames is "
+                        "below DB (the turbo PSNR is always reported; "
+                        "BASELINE's quality gate is 50)")
     p.add_argument("--io-backend", choices=("ffmpeg", "cv2", "y4m"),
                    default=None)
     p.add_argument("--workspace", default=None,
@@ -330,6 +335,10 @@ def run(argv: Optional[List[str]] = None) -> int:
         preloaded=preloaded,
         fused=args.fused,
     )
+    if args.dtype == "int8":
+        err = _certify_int8(args, state, engine)
+        if err is not None:
+            return err
     from reve_tpu.pipeline.progress import JsonlRenderer, TeeRenderer
 
     renderer = ConsoleRenderer()
@@ -402,6 +411,44 @@ def run(argv: Optional[List[str]] = None) -> int:
     if not args.keep_workspace:
         ws.destroy()
     return 0
+
+
+def _certify_int8(args, state, engine) -> Optional[int]:
+    """Report (and optionally gate) the int8 turbo quantization cost on
+    THIS video before committing to a long job: int8-vs-f32 PSNR on the
+    first frames, using the exact scales the job will run with (persisted
+    via the workspace, so resume re-certifies identically).  Returns an
+    exit code to abort with, or None to proceed."""
+    import numpy as np
+
+    from reve_tpu.io import reader as reader_mod
+    from reve_tpu.pipeline import scheduler
+
+    ws = Workspace(args.workspace or args.outputpath + ".revework")
+    scheduler.wire_int8_calibration(engine, ws)
+    try:
+        with reader_mod.open_reader(
+                state.input_path, backend=args.io_backend,
+                width=state.width, height=state.height) as rd:
+            frames = list(rd.read_range(0, min(engine.batch_size,
+                                               state.frame_count)))
+        if not frames:
+            return None
+        db = engine.certify_int8(np.stack(frames))
+    except Exception as e:  # never block a run on the certifier itself
+        print(f"int8 certification skipped: {e}", file=sys.stderr)
+        return None
+    print(f"int8 turbo: {db:.1f} dB vs f32 on the first "
+          f"{len(frames)} frame(s) (quality gate reference: 50 dB)",
+          file=sys.stderr)
+    if args.int8_gate is not None and db < args.int8_gate:
+        print(f"refusing: int8 PSNR {db:.1f} dB is below --int8-gate "
+              f"{args.int8_gate:g} — run without --dtype int8 (or lower "
+              f"the gate)", file=sys.stderr)
+        if not ws.completed_parts(_part_ext(args)):
+            ws.destroy()  # nothing committed: don't leave a resume prompt
+        return 3
+    return None
 
 
 def _load_preloaded(args):

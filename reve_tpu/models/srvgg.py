@@ -276,20 +276,26 @@ def _quant_s8(x: jax.Array, scale: jax.Array) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "compute_dtype", "quantize_u8", "s2d"),
+    jax.jit, static_argnames=("cfg", "compute_dtype", "quantize_u8", "s2d",
+                              "int8_head"),
 )
 def apply_int8(params: Params, qbody, x: jax.Array, *, cfg: SRVGGConfig,
                compute_dtype=jnp.bfloat16, quantize_u8: bool = False,
-               s2d: bool = True) -> jax.Array:
+               s2d: bool = True, int8_head: bool = True) -> jax.Array:
     """Forward pass with the hidden stack quantized to int8 (turbo mode).
 
     `qbody`: reve_tpu.weights.quantize.QuantizedBody (classic-domain int8
     weights + per-layer activation scales; s2d kernel transform applied
-    here, mirroring `apply`).  The hidden stack AND the head conv run in
-    int8; the first conv, PReLU math, residual and epilogue run in
-    `compute_dtype`/f32 exactly like `apply`.  Dequant + bias + PReLU +
-    requant between convs are f32 elementwise chains XLA fuses into the
-    conv epilogues (measured ~1.4 ms total for 16 layers).
+    here, mirroring `apply`).  The hidden stack AND (by default) the head
+    conv run in int8; the first conv, PReLU math, residual and epilogue
+    run in `compute_dtype`/f32 exactly like `apply`.  Dequant + bias +
+    PReLU + requant between convs are f32 elementwise chains XLA fuses
+    into the conv epilogues (measured ~1.4 ms total for 16 layers).
+
+    `int8_head=False` runs the head conv in `compute_dtype` instead (the
+    quality/fps trade measured in scripts/int8_frontier.py; the head conv
+    feeds the pixel-shuffle directly, so its quantization error lands
+    unfiltered in the output).
 
     Costs PSNR vs `apply` (documented in PERF.md); opt-in via
     `--dtype int8` / UpscaleEngine(compute_dtype="int8").
@@ -336,12 +342,20 @@ def apply_int8(params: Params, qbody, x: jax.Array, *, cfg: SRVGGConfig,
             if pad_mask is not None:
                 fy = fy * pad_mask(cfg.num_feat, jnp.float32)
             q = _quant_s8(fy, sx[i + 1])
-        # head conv in int8 too (its input scale is the last calibration
-        # entry); output dequantized straight into the f32 epilogue
-        y32 = _conv3x3_s8(q, _s2d_kernel(qbody.w8_last))
-        hs = (y32.astype(jnp.float32)
-              * (sx[cfg.num_conv] * jnp.tile(qbody.sw_last, 2))
-              + jnp.tile(qbody.b_last, 2))
+        if int8_head:
+            # head conv in int8 too (its input scale is the last
+            # calibration entry); output dequantized straight into the
+            # f32 epilogue
+            y32 = _conv3x3_s8(q, _s2d_kernel(qbody.w8_last))
+            hs = (y32.astype(jnp.float32)
+                  * (sx[cfg.num_conv] * jnp.tile(qbody.sw_last, 2))
+                  + jnp.tile(qbody.b_last, 2))
+        else:
+            hf = q.astype(compute_dtype) * sx[cfg.num_conv].astype(
+                compute_dtype)
+            hs = _conv3x3(hf,
+                          _s2d_kernel(convs[-1]["w"].astype(compute_dtype)),
+                          jnp.tile(convs[-1]["b"], 2)).astype(jnp.float32)
         return _epilogue_s2d(hs, orig, cfg, H, quantize_u8=quantize_u8)
 
     h = _prelu(_conv3x3(h, convs[0]["w"].astype(compute_dtype),
@@ -351,9 +365,14 @@ def apply_int8(params: Params, qbody, x: jax.Array, *, cfg: SRVGGConfig,
     for i in range(cfg.num_conv):
         fy = dq_prelu(_conv3x3_s8(q, qbody.w8[i]), i, 1)
         q = _quant_s8(fy, sx[i + 1])
-    y32 = _conv3x3_s8(q, qbody.w8_last)
-    h = (y32.astype(jnp.float32) * (sx[cfg.num_conv] * qbody.sw_last)
-         + qbody.b_last)
+    if int8_head:
+        y32 = _conv3x3_s8(q, qbody.w8_last)
+        h = (y32.astype(jnp.float32) * (sx[cfg.num_conv] * qbody.sw_last)
+             + qbody.b_last)
+    else:
+        hf = q.astype(compute_dtype) * sx[cfg.num_conv].astype(compute_dtype)
+        h = _conv3x3(hf, convs[-1]["w"].astype(compute_dtype),
+                     convs[-1]["b"]).astype(jnp.float32)
     return _epilogue(h, orig, cfg, quantize_u8=quantize_u8)
 
 

@@ -345,6 +345,34 @@ class UpscaleEngine:
                                    and not provisional):
             self._calibrate_int8(frames, provisional)
 
+    def certify_int8(self, frames: np.ndarray) -> float:
+        """PSNR (dB, 8-bit scale) of the int8 turbo path vs the f32 path
+        on `frames` ((n, H, W, 3) uint8; center-cropped to <=720p like
+        calibration).  Calibrates first if needed — the measurement uses
+        the exact scales the job will run with, so the number certifies
+        THIS job's quantization on THIS content (BASELINE's 50 dB gate is
+        defined vs the reference engine; f32-vs-int8 on the same weights
+        isolates the quantization cost, scripts/compare_reference.py
+        covers the reference side)."""
+        if not self._int8:
+            raise ValueError("certify_int8 requires an int8 engine")
+        self._maybe_calibrate(frames, provisional=False)
+        n, h, w, _ = frames.shape
+        ch, cw = min(h, 720), min(w, 1280)
+        y0, x0 = (h - ch) // 2, (w - cw) // 2
+        x = self._place(
+            np.ascontiguousarray(frames[:, y0:y0 + ch, x0:x0 + cw],
+                                 np.uint8).astype(np.float32) / 255.0)
+        y8 = srvgg.apply_int8(self.params, self._qbody, x, cfg=self.cfg,
+                              compute_dtype=self.compute_dtype,
+                              quantize_u8=True)
+        yf = srvgg.apply(self.params, x, cfg=self.cfg,
+                         compute_dtype=jnp.float32, quantize_u8=True)
+        mse = jnp.mean(jnp.square(y8.astype(jnp.float32)
+                                  - yf.astype(jnp.float32)))
+        mse = max(float(mse), 1e-12)
+        return float(10.0 * np.log10(255.0 ** 2 / mse))
+
     def warmup(self, h: int, w: int) -> None:
         """Pre-compile for a resolution (first XLA compile is ~20-40 s)."""
         fn = self._get_compiled(h, w)

@@ -68,6 +68,28 @@ class PipelineError(RuntimeError):
     pass
 
 
+def wire_int8_calibration(engine, workspace: Workspace) -> None:
+    """int8 determinism: ONE calibration per job, persisted in the
+    workspace — a resumed run or a parallel shard worker must quantize
+    with the exact scales the job started with (never mix
+    differently-quantized segments in one output), and an engine reused
+    across service jobs must not carry a previous input's scales.
+    Idempotent; no-op for non-int8 engines."""
+    if not getattr(engine, "_int8", False):
+        return
+    saved = workspace.load_calibration()
+    if saved is not None:
+        engine.set_calibration(saved)
+    else:
+        # no persisted calibration: any non-provisional scales the engine
+        # carries are from a DIFFERENT job (this job's own hook would have
+        # persisted them) — drop them
+        if engine.get_calibration() is not None and \
+                engine.calibration_hook != workspace.claim_calibration:
+            engine.reset_calibration()
+        engine.calibration_hook = workspace.claim_calibration
+
+
 class PipelineJob:
     """Runs one upscale job (possibly resumed) to completion."""
 
@@ -99,23 +121,7 @@ class PipelineJob:
         #: fallback that cannot honor crf/preset is never invisible
         self.encoder_desc: Optional[str] = None
         self._stop = threading.Event()
-        if getattr(engine, "_int8", False):
-            # int8 determinism: ONE calibration per job, persisted in the
-            # workspace — a resumed run or a parallel shard worker must
-            # quantize with the exact scales the job started with (never
-            # mix differently-quantized segments in one output), and an
-            # engine reused across service jobs must not carry a previous
-            # input's scales.
-            saved = workspace.load_calibration()
-            if saved is not None:
-                engine.set_calibration(saved)
-            else:
-                # no persisted calibration: any non-provisional scales the
-                # engine carries are from a DIFFERENT job (this job's hook
-                # would have persisted its own) — drop them
-                if engine.get_calibration() is not None:
-                    engine.reset_calibration()
-                engine.calibration_hook = workspace.claim_calibration
+        wire_int8_calibration(engine, workspace)
         remaining = sum(s.size for s in state.pending)
         self.progress = progress or ProgressTracker(
             total_frames=remaining, total_segments=len(state.pending)

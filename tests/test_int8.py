@@ -5,6 +5,8 @@ first/last conv + epilogue stay float.  These tests pin the scheme's
 invariants on CPU; throughput claims live in PERF.md (TPU-measured).
 """
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -102,6 +104,62 @@ def test_engine_int8_rejects_rrdb():
     with pytest.raises(ValueError, match="SRVGG"):
         UpscaleEngine(model="realesrgan-x4plus", scale=4,
                       compute_dtype="int8")
+
+
+def test_apply_int8_float_head_variant(small):
+    """int8_head=False runs the head conv in float: output is at least as
+    close to f32 as the all-int8 path (the head feeds the pixel shuffle
+    directly), and s2d/classic still agree."""
+    cfg, params, x = small
+    qb = quantize.quantize_hidden(
+        params, cfg, quantize.collect_act_maxima(params, x, cfg=cfg))
+    ref = np.asarray(srvgg.apply(params, x, cfg=cfg,
+                                 compute_dtype=jnp.float32))
+
+    def psnr(a):
+        return 10 * np.log10(1.0 / max(np.mean((ref - a) ** 2), 1e-12))
+
+    outs = {}
+    for s2d in (True, False):
+        got = np.asarray(srvgg.apply_int8(params, qb, x, cfg=cfg,
+                                          compute_dtype=jnp.float32,
+                                          s2d=s2d, int8_head=False))
+        outs[s2d] = got
+        assert psnr(got) > 45.0
+    np.testing.assert_allclose(outs[True], outs[False], atol=2e-6)
+    full8 = np.asarray(srvgg.apply_int8(params, qb, x, cfg=cfg,
+                                        compute_dtype=jnp.float32))
+    assert psnr(outs[True]) >= psnr(full8) - 0.5  # head-f32 never worse
+
+
+def test_cli_int8_gate_refuses_and_reports(tmp_path, monkeypatch, capsys):
+    """--dtype int8 always reports the measured quantization PSNR; an
+    unmeetable --int8-gate refuses with exit 3 and leaves no resume
+    droppings; a meetable gate proceeds."""
+    import fractions
+
+    from reve_tpu import cli
+    from reve_tpu.io import writer
+
+    monkeypatch.chdir(tmp_path)
+    inp = str(tmp_path / "in.y4m")
+    rs = np.random.RandomState(0)
+    with writer.Y4MWriter(inp, 32, 24, fractions.Fraction(24)) as wr:
+        for i in range(6):
+            wr.write((rs.rand(24, 32, 3) * 255).astype(np.uint8))
+    out = str(tmp_path / "o.y4m")
+    rc = cli.run(["-i", inp, "-s", "2", out, "--yes", "--io-backend", "y4m",
+                  "--dtype", "int8", "--batch", "3", "--int8-gate", "200"])
+    err = capsys.readouterr().err
+    assert rc == 3
+    assert "int8 turbo:" in err and "refusing" in err
+    assert not os.path.exists(out + ".revework")  # no resume droppings
+
+    rc = cli.run(["-i", inp, "-s", "2", out, "--yes", "--io-backend", "y4m",
+                  "--dtype", "int8", "--batch", "3", "--int8-gate", "30"])
+    err = capsys.readouterr().err
+    assert rc == 0 and "int8 turbo:" in err
+    assert os.path.exists(out)
 
 
 # -- calibration determinism across resume / shard workers ------------------
