@@ -39,6 +39,9 @@ class Job:
     status: str = "queued"    # queued | running | done | error | cancelled
     cancel_requested: bool = False
     error: str = ""
+    #: int8 turbo only: measured quantization PSNR (dB) vs f32 on this
+    #: video's first frames (engine.certify_int8)
+    int8_psnr: Optional[float] = None
     progress: Optional[ProgressTracker] = None
     result: Optional[dict] = None
     pipeline: object = None   # live PipelineJob while running
@@ -78,6 +81,7 @@ class Job:
             "dtype": self.dtype,
             "status": self.status,
             "error": self.error,
+            "int8_psnr": self.int8_psnr,
             "progress": self.progress.snapshot() if self.progress else None,
             "result": self.result,
         }
@@ -269,6 +273,25 @@ class JobManager:
             st, ws, engine, io_backend=self.io_backend,
             part_ext=part_ext, progress=job.progress,
         )
+        if job.dtype == "int8":
+            # report the quantization cost on THIS video (same contract as
+            # the CLI's --dtype int8 report; uses the job's persisted
+            # scales, so a resumed job re-certifies identically)
+            try:
+                from reve_tpu.io import reader as reader_mod
+
+                with reader_mod.open_reader(
+                        st.input_path, backend=self.io_backend,
+                        width=st.width, height=st.height) as rd:
+                    frames = list(rd.read_range(
+                        0, min(engine.batch_size, st.frame_count)))
+                if frames:
+                    import numpy as np
+
+                    job.int8_psnr = round(
+                        engine.certify_int8(np.stack(frames)), 2)
+            except Exception:
+                pass  # certification must never fail the job
         job.pipeline = pipeline
         if job.cancel_requested:  # cancelled during probe/compile window
             pipeline.cancel()

@@ -607,3 +607,32 @@ def test_browse_root_jail(tokened_server, tmp_path):
     code, _ = _req(tokened_server + "/api/browse?dir="
                    + str(jail / "sub" / ".." / ".."), headers=auth)
     assert code == 403
+
+
+def test_job_int8_psnr_reported(tmp_path):
+    """An int8 job through the JobManager reports the measured
+    quantization PSNR (parity with the CLI's --dtype int8 report)."""
+    from reve_tpu.pipeline.engine import UpscaleEngine
+
+    cfg = config_mod.ServiceConfig(segment_size=5)
+    inp = str(tmp_path / "in.y4m")
+    rs = np.random.RandomState(0)
+    with writer.Y4MWriter(inp, 32, 24, fractions.Fraction(24)) as wr:
+        for i in range(5):
+            wr.write((rs.rand(24, 32, 3) * 255).astype(np.uint8))
+    manager = JobManager(
+        cfg,
+        engine_factory=lambda m, s, d: UpscaleEngine(
+            model=m, scale=s, batch_size=3, compute_dtype=d),
+        io_backend="y4m")
+    try:
+        job = manager.submit(inp, scale=2, dtype="int8",
+                             output_path=str(tmp_path / "out.y4m"))
+        deadline = time.time() + 120
+        while time.time() < deadline and job.status not in ("done", "error"):
+            time.sleep(0.2)
+        assert job.status == "done", job.error
+        assert job.int8_psnr is not None and job.int8_psnr > 30.0
+        assert job.to_json()["int8_psnr"] == job.int8_psnr
+    finally:
+        manager.shutdown()
