@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from reve_tpu.ops.pixel_shuffle import pixel_shuffle
+from reve_tpu.ops.pixel_shuffle import (pixel_shuffle,
+                                         pixel_shuffle_rowphase)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,11 +130,12 @@ from reve_tpu.ops.s2d import (  # noqa: E402
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "compute_dtype", "quantize_u8", "s2d"),
+    static_argnames=("cfg", "compute_dtype", "quantize_u8", "s2d",
+                     "pre_shuffle"),
 )
 def apply(params: Params, x: jax.Array, *, cfg: SRVGGConfig,
           compute_dtype=jnp.float32, quantize_u8: bool = False,
-          s2d: bool = True) -> jax.Array:
+          s2d: bool = True, pre_shuffle: bool = False) -> jax.Array:
     """Forward pass.
 
     Args:
@@ -197,7 +199,8 @@ def apply(params: Params, x: jax.Array, *, cfg: SRVGGConfig,
                 hs = hs * pad_mask(cfg.num_feat)
         hs = _conv3x3(hs, _s2d_kernel(convs[-1]["w"].astype(compute_dtype)),
                       jnp.tile(convs[-1]["b"], 2))
-        return _epilogue_s2d(hs, orig, cfg, H, quantize_u8=quantize_u8)
+        return _epilogue_s2d(hs, orig, cfg, H, quantize_u8=quantize_u8,
+                             pre_shuffle=pre_shuffle)
     h = _prelu(_conv3x3(h, convs[0]["w"].astype(compute_dtype), convs[0]["b"]),
                prelus[0]["alpha"])
     for i in range(cfg.num_conv):
@@ -207,11 +210,13 @@ def apply(params: Params, x: jax.Array, *, cfg: SRVGGConfig,
             prelus[i + 1]["alpha"],
         )
     h = _conv3x3(h, convs[-1]["w"].astype(compute_dtype), convs[-1]["b"])
-    return _epilogue(h, orig, cfg, quantize_u8=quantize_u8)
+    return _epilogue(h, orig, cfg, quantize_u8=quantize_u8,
+                     pre_shuffle=pre_shuffle)
 
 
 def _epilogue_s2d(hs: jax.Array, orig: jax.Array, cfg: SRVGGConfig,
-                  H: int, quantize_u8: bool = False) -> jax.Array:
+                  H: int, quantize_u8: bool = False,
+                  pre_shuffle: bool = False) -> jax.Array:
     """_epilogue for a row-s2d-domain head output (B, H2, W, 2*out*r^2).
 
     The residual base is built by s2d-ing the 3-channel input (cheap) and
@@ -227,11 +232,14 @@ def _epilogue_s2d(hs: jax.Array, orig: jax.Array, cfg: SRVGGConfig,
     if quantize_u8:
         y = jnp.clip(y * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
     y = _d2s_rows(y)[:, :H]
+    if pre_shuffle:
+        return y  # (B, H, W, out*r^2): caller shuffles (see _epilogue)
     return pixel_shuffle(y, r)
 
 
 def _epilogue(h: jax.Array, orig: jax.Array, cfg: SRVGGConfig,
-              quantize_u8: bool = False) -> jax.Array:
+              quantize_u8: bool = False,
+              pre_shuffle: bool = False) -> jax.Array:
     """Residual + upsample.  torch does pixel_shuffle(h) + nearest(x);
     because pixel_shuffle is a pure permutation, that equals
     pixel_shuffle(h + repeat(x, r^2, channel)) — the add then happens at
@@ -246,6 +254,12 @@ def _epilogue(h: jax.Array, orig: jax.Array, cfg: SRVGGConfig,
     y = h.astype(jnp.float32) + base
     if quantize_u8:
         y = jnp.clip(y * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+    if pre_shuffle:
+        # return the pre-shuffle (B, H, W, out*r^2) tensor: at 4K-class
+        # outputs the in-graph d2s transpose crashes / degrades this
+        # stack's compiler (PERF.md round-3 "4K story"); the engine runs
+        # ops.pixel_shuffle_rowphase as a separate small jit instead
+        return y
     return pixel_shuffle(y, r)
 
 
@@ -277,11 +291,12 @@ def _quant_s8(x: jax.Array, scale: jax.Array) -> jax.Array:
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "compute_dtype", "quantize_u8", "s2d",
-                              "int8_head"),
+                              "int8_head", "pre_shuffle"),
 )
 def apply_int8(params: Params, qbody, x: jax.Array, *, cfg: SRVGGConfig,
                compute_dtype=jnp.bfloat16, quantize_u8: bool = False,
-               s2d: bool = True, int8_head: bool = True) -> jax.Array:
+               s2d: bool = True, int8_head: bool = True,
+               pre_shuffle: bool = False) -> jax.Array:
     """Forward pass with the hidden stack quantized to int8 (turbo mode).
 
     `qbody`: reve_tpu.weights.quantize.QuantizedBody (classic-domain int8
@@ -356,7 +371,8 @@ def apply_int8(params: Params, qbody, x: jax.Array, *, cfg: SRVGGConfig,
             hs = _conv3x3(hf,
                           _s2d_kernel(convs[-1]["w"].astype(compute_dtype)),
                           jnp.tile(convs[-1]["b"], 2)).astype(jnp.float32)
-        return _epilogue_s2d(hs, orig, cfg, H, quantize_u8=quantize_u8)
+        return _epilogue_s2d(hs, orig, cfg, H, quantize_u8=quantize_u8,
+                             pre_shuffle=pre_shuffle)
 
     h = _prelu(_conv3x3(h, convs[0]["w"].astype(compute_dtype),
                         convs[0]["b"]),
@@ -373,7 +389,8 @@ def apply_int8(params: Params, qbody, x: jax.Array, *, cfg: SRVGGConfig,
         hf = q.astype(compute_dtype) * sx[cfg.num_conv].astype(compute_dtype)
         h = _conv3x3(hf, convs[-1]["w"].astype(compute_dtype),
                      convs[-1]["b"]).astype(jnp.float32)
-    return _epilogue(h, orig, cfg, quantize_u8=quantize_u8)
+    return _epilogue(h, orig, cfg, quantize_u8=quantize_u8,
+                     pre_shuffle=pre_shuffle)
 
 
 @functools.partial(
@@ -400,4 +417,5 @@ def apply_fused(params: Params, x: jax.Array, *, cfg: SRVGGConfig,
         strip=strip, core=core, compute_dtype=compute_dtype,
     )
     h = _conv3x3(h, convs[-1]["w"].astype(compute_dtype), convs[-1]["b"])
-    return _epilogue(h, orig, cfg, quantize_u8=quantize_u8)
+    return _epilogue(h, orig, cfg, quantize_u8=quantize_u8,
+                     pre_shuffle=pre_shuffle)

@@ -6,6 +6,8 @@ In NHWC the channel index math is identical on the last axis.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
 
@@ -18,6 +20,33 @@ def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
     x = x.reshape(b, h, w, c, r, r)
     x = x.transpose(0, 1, 4, 2, 5, 3)  # B, H, r_i, W, r_j, C
     return x.reshape(b, h * r, w * r, c)
+
+
+def pixel_shuffle_rowphase(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """pixel_shuffle, reformulated so NO intermediate carries a tiny
+    minor dimension.
+
+    The classic reshape-transpose materializes a (B, H, r, W, r, C)
+    tensor whose minor dim is the size-r shuffle axis; at 4K this stack's
+    layout assignment lane-pads r=4 to 128 (a 32x-inflated 25 GB copy,
+    PERF.md round 3).  Here instead: one static channel permutation
+    (torch's (c, i, j) order -> (i, j, c)), a free reshape per row phase
+    ((B, H, W, r*C) -> (B, H, W*r, C)), and a stack over the r row
+    phases — every intermediate keeps (W*r, C)-contiguous minor dims
+    that merge into full lanes.  Bit-identical to pixel_shuffle (pure
+    permutation; asserted in tests/test_color.py)."""
+    b, h, w, crr = x.shape
+    c = crr // (r * r)
+    if c * r * r != crr:
+        raise ValueError(f"channels {crr} not divisible by r^2={r * r}")
+    # channel index in torch order: ch = c*r*r + i*r + j; select (i, j, c)
+    i_, j_, c_ = np.meshgrid(np.arange(r), np.arange(r), np.arange(c),
+                             indexing="ij")
+    perm = (c_ * r * r + i_ * r + j_).reshape(-1)
+    x = x[..., jnp.asarray(perm)]                 # (B, H, W, r*(r*c))
+    x = x.reshape(b, h, w, r, r * c)
+    rows = [x[:, :, :, i, :].reshape(b, h, w * r, c) for i in range(r)]
+    return jnp.stack(rows, axis=2).reshape(b, h * r, w * r, c)
 
 
 def pixel_unshuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:

@@ -129,6 +129,29 @@ def assemble_tiles(tiles: jax.Array, plan: TilePlan, scale: int,
     return out
 
 
+def _chunked_apply(apply_fn: Callable[[jax.Array], jax.Array],
+                   batch: jax.Array, chunk: int) -> jax.Array:
+    """Run `apply_fn` over `batch` in fixed-size chunks via lax.map.
+
+    One ROLLED loop instead of one giant batched call: peak activation
+    memory is bounded by `chunk` items, and the compiled graph contains a
+    single model body regardless of batch size — measured necessary at 4K,
+    where the all-windows-in-one-batch graph crashes this stack's compiler
+    (HTTP 500) and a full-batch whole-frame pass exceeds HBM (PERF.md
+    round 3, "4K story").  Zero-pads to a chunk multiple (padding computes
+    garbage that is sliced off; exactness of real items is untouched)."""
+    n = batch.shape[0]
+    if chunk >= n:
+        return apply_fn(batch)
+    pad = (-n) % chunk
+    if pad:
+        batch = jnp.concatenate(
+            [batch, jnp.zeros((pad,) + batch.shape[1:], batch.dtype)])
+    groups = batch.reshape(-1, chunk, *batch.shape[1:])
+    out = jax.lax.map(apply_fn, groups)
+    return out.reshape(-1, *out.shape[2:])[:n]
+
+
 def upscale_tiled(
     apply_fn: Callable[[jax.Array], jax.Array],
     x: jax.Array,
@@ -136,17 +159,25 @@ def upscale_tiled(
     scale: int,
     tile: int,
     halo: int,
+    chunk: int = 0,
 ) -> jax.Array:
     """Run `apply_fn` (an upscale-by-`scale` model) over halo-padded tiles.
 
     Bit-identical to the whole-frame pass when `halo` >= the model's
     receptive-field radius; SRVGGNetCompact's radius is num_conv + 2
     (one pixel per 3x3 conv).
+
+    chunk > 0: process at most `chunk` windows per model call (lax.map)
+    instead of all windows in one batch — bounds peak memory and graph
+    size for large frames (see _chunked_apply).
     """
     b, h, w, _ = x.shape
     plan = plan_tiles(h, w, tile, halo)
     if plan.num_tiles == 1:
         return apply_fn(x)
     tiles = extract_tiles(x, plan)
-    out = apply_fn(tiles)
+    if chunk > 0:
+        out = _chunked_apply(apply_fn, tiles, chunk)
+    else:
+        out = apply_fn(tiles)
     return assemble_tiles(out, plan, scale, b)

@@ -30,15 +30,25 @@ from reve_tpu.models import registry, srvgg
 from reve_tpu.ops import tiling
 
 #: HBM budget for whole-frame inference. Measured: whole-frame beats halo
-#: tiling by ~40% whenever it fits (PERF.md 720p sweep), so tile only when
-#: the activation working set would not fit. Peak live activations for the
-#: conv stack ≈ a few (B, H, W, feat) buffers plus the f32 pre-shuffle
-#: epilogue; 6x the single-buffer size is a conservative envelope.
-#: calibrated against the measured working config: batch 8 @ 1080p bf16
-#: runs whole-frame on a 16 GB v5e (bench.py), batch 12 does not compile
-_HBM_BUDGET_BYTES = 12 << 30
+#: tiling decisively whenever a frame fits (720p: +40%, PERF.md sweep;
+#: 4K: 2.5x, PERF.md round-3 "4K story"), so the engine runs whole-frame
+#: with a lax.map chunk over the batch when the full batch would not fit,
+#: and only tiles when a SINGLE frame exceeds the budget (8K+) or the
+#: user forces --tile.  Constants calibrated against measured configs on
+#: a 16 GB v5e: bf16 1080p b8 fits / b12 does not; int8 1080p b16 fits /
+#: b24 does not; bf16+int8 4K b2 fit / b4 does not.
+_HBM_BUDGET_BYTES = 13 << 30
 _ACT_BUFFERS = 3
-_DEFAULT_TILE = 768
+#: int8 hidden activations are 1 byte (2 live buffers) and the bf16
+#: first-conv transient amortizes — 3 bytes/elem reproduces the measured
+#: fit boundary (16 frames of 1080p fit, 24 do not)
+_INT8_BYTES_PER_ELEM = 3
+#: measured at 4K: tile 512 compiles + runs chunked; 768/1024 windows
+#: crash this stack's compiler at any chunking (PERF.md round 3)
+_DEFAULT_TILE = 512
+#: windows per model call on the tiled path: the all-windows-in-one-batch
+#: graph crashes the compiler at 4K (80 windows); 8 per call compiles
+_TILE_CHUNK = 8
 
 
 @dataclasses.dataclass
@@ -49,21 +59,33 @@ class EngineStats:
 
 
 class PendingBatch:
-    """Handle to an in-flight device computation."""
+    """Handle to an in-flight device computation (one or more pieces —
+    several sub-batch calls when the whole batch exceeds the HBM budget,
+    e.g. 4K; see UpscaleEngine._plan_execution)."""
 
-    def __init__(self, device_out: jax.Array, valid: int):
-        self._out = device_out
+    def __init__(self, device_out, valid: int):
+        self._outs = device_out if isinstance(device_out, list) \
+            else [device_out]
         self._valid = valid
-        try:
-            # start the device->host copy as soon as the compute finishes,
-            # overlapping D2H of batch k with compute of batch k+1
-            device_out.copy_to_host_async()
-        except AttributeError:
-            pass
+        for o in self._outs:
+            try:
+                # start the device->host copy as soon as the compute
+                # finishes, overlapping D2H of batch k with compute of k+1
+                o.copy_to_host_async()
+            except AttributeError:
+                pass
+
+    @property
+    def _out(self):  # single-piece access (tests/back-compat)
+        assert len(self._outs) == 1
+        return self._outs[0]
 
     def result(self) -> np.ndarray:
         """Block until done; returns (valid, H*s, W*s, 3) uint8."""
-        return np.asarray(self._out)[: self._valid]
+        if len(self._outs) == 1:
+            return np.asarray(self._outs[0])[: self._valid]
+        return np.concatenate(
+            [np.asarray(o) for o in self._outs], axis=0)[: self._valid]
 
 
 class UpscaleEngine:
@@ -150,57 +172,86 @@ class UpscaleEngine:
     # -- jitted core -------------------------------------------------------
 
     def _arch_apply(self, params, x, quantize_u8=False, s2d=True,
-                    qbody=None):
+                    qbody=None, pre_shuffle=False):
         from reve_tpu.models import rrdb
 
         if isinstance(self.cfg, srvgg.SRVGGConfig):
             if qbody is not None:
                 return srvgg.apply_int8(params, qbody, x, cfg=self.cfg,
                                         compute_dtype=self.compute_dtype,
-                                        quantize_u8=quantize_u8, s2d=s2d)
+                                        quantize_u8=quantize_u8, s2d=s2d,
+                                        pre_shuffle=pre_shuffle)
             if self.fused:
                 return srvgg.apply_fused(params, x, cfg=self.cfg,
                                          compute_dtype=self.compute_dtype,
                                          quantize_u8=quantize_u8)
             return srvgg.apply(params, x, cfg=self.cfg,
                                compute_dtype=self.compute_dtype,
-                               quantize_u8=quantize_u8, s2d=s2d)
+                               quantize_u8=quantize_u8, s2d=s2d,
+                               pre_shuffle=pre_shuffle)
         y = rrdb.apply(params, x, cfg=self.cfg,
                        compute_dtype=self.compute_dtype)
         if quantize_u8:
             y = jnp.clip(y * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
         return y
 
-    def _whole_frame_bytes(self, h: int, w: int) -> int:
-        """Rough peak HBM PER DEVICE for an un-tiled batch at (h, w):
-        a dp mesh shards the batch, so each chip holds batch/dp frames."""
-        batch = self.batch_size
-        if self.mesh is not None:
-            batch = max(1, batch // self.mesh.shape["dp"])
+    def _frame_bytes(self, h: int, w: int) -> int:
+        """Rough peak HBM for ONE frame of un-tiled inference at (h, w)."""
+        return self._act_bytes(h, w) + self._epi_bytes(h, w)
+
+    def _act_bytes(self, h: int, w: int) -> int:
         feat = getattr(self.cfg, "num_feat", 64)
         bpe = 2 if self.compute_dtype == jnp.bfloat16 else 4
-        if self._int8:
-            # hidden activations are int8 (1 byte); one bf16 buffer (the
-            # first-conv output) dominates the rest: 2 + 2x1 vs 3x2 —
-            # this is what lets batch 16 run whole-frame at 1080p
-            # (measured; bench.py's int8 path) while bf16 tops out at 8
-            per_elem = 2 + 2 * 1
-        else:
-            per_elem = bpe * _ACT_BUFFERS
-        act = batch * h * w * feat * per_elem
+        per_elem = _INT8_BYTES_PER_ELEM if self._int8 \
+            else bpe * _ACT_BUFFERS
+        return h * w * feat * per_elem
+
+    def _epi_bytes(self, h: int, w: int) -> int:
         # f32 epilogue at input res x out_ch*scale^2 channels
         out_ch = getattr(self.cfg, "num_out_ch", 3)
-        epi = batch * h * w * out_ch * self.scale ** 2 * 4
-        return act + epi
+        return h * w * out_ch * self.scale ** 2 * 4
 
-    def _tile_size_for(self, h: int, w: int) -> int:
-        if self.tile == -1:
-            return 0
-        if self.tile > 0:
-            return self.tile
-        if self._whole_frame_bytes(h, w) <= _HBM_BUDGET_BYTES:
-            return 0
-        return _DEFAULT_TILE
+    def _per_device_batch(self) -> int:
+        if self.mesh is not None:
+            return max(1, self.batch_size // self.mesh.shape["dp"])
+        return self.batch_size
+
+    def _plan_execution(self, h: int, w: int):
+        """Measurement-derived execution plan (PERF.md round-3 "4K story"):
+        whole-frame whenever a single frame fits the HBM budget, chunking
+        the batch via lax.map when the FULL batch does not (4K: whole-frame
+        beats tiling 2.5x); halo tiling only for user-forced --tile or
+        frames too large for the budget alone (8K+), with windows chunked
+        (the one-giant-batch tiled graph crashes this stack's compiler).
+
+        Returns (tile, wf_chunk, tile_chunk): tile == 0 -> whole-frame,
+        wf_chunk = frames per model call (0 = full batch at once);
+        tile_chunk = windows per model call on the tiled path."""
+        batch = self._per_device_batch()
+        if self.tile > 0 or (self.tile == 0
+                             and self._frame_bytes(h, w)
+                             > _HBM_BUDGET_BYTES):
+            tile = self.tile if self.tile > 0 else _DEFAULT_TILE
+            halo = self.halo
+            wh = min(h, tile + 2 * halo)
+            ww = min(w, tile + 2 * halo)
+            per_win = max(1, self._frame_bytes(wh, ww))
+            tile_chunk = max(1, min(_TILE_CHUNK,
+                                    _HBM_BUDGET_BYTES // per_win))
+            return tile, 0, tile_chunk
+        # whole-frame; mesh batches are already per-device small and the
+        # chunked reshape would fight the dp sharding — no chunking there
+        if self.mesh is None:
+            # the chunked (pre_shuffle) path carries an extra epilogue-res
+            # f32 temp (measured: 4K int8 chunk 4 OOMs while the formula
+            # said it fits; chunk 2 runs) — size chunks with epi counted
+            # twice, while the full-batch whole-frame check keeps the
+            # calibrated single-count formula
+            per_frame = self._frame_bytes(h, w) + self._epi_bytes(h, w)
+            if self._frame_bytes(h, w) * batch > _HBM_BUDGET_BYTES:
+                fits = max(1, _HBM_BUDGET_BYTES // per_frame)
+                return 0, int(min(fits, batch)), 0
+        return 0, 0, 0
 
     @property
     def halo(self) -> int:
@@ -212,12 +263,11 @@ class UpscaleEngine:
         return 24
 
     def _build(self, h: int, w: int):
-        tile = self._tile_size_for(h, w)
+        tile, wf_chunk, tile_chunk = self._plan_execution(h, w)
 
         def fn(params, qbody, u8):
-            x = u8.astype(jnp.float32) * (1.0 / 255.0)
-
             if tile:
+                x = u8.astype(jnp.float32) * (1.0 / 255.0)
                 # s2d in tiles is bit-exact vs the s2d whole frame iff every
                 # window row-origin is even (same global row parity -> same
                 # reduction order): true when frame height, tile and halo
@@ -231,13 +281,25 @@ class UpscaleEngine:
                     lambda t: self._arch_apply(params, t, s2d=s2d_ok,
                                                qbody=qbody),
                     x, scale=self.scale, tile=tile, halo=self.halo,
+                    chunk=tile_chunk,
                 )
                 y = jnp.clip(y * 255.0 + 0.5, 0.0, 255.0)
                 return y.astype(jnp.uint8)
-            # whole-frame: quantize before the pixel-shuffle inside the
-            # model epilogue (exact; 4x less HBM traffic at output res)
+
+            # whole-frame.  When the full batch exceeds HBM (wf_chunk > 0,
+            # e.g. 4K), this fn is compiled for wf_chunk-frame sub-batches
+            # and submit() dispatches it several times per batch —
+            # measured 2.5x faster than tiling at 4K (PERF.md round 3).
+            x = u8.astype(jnp.float32) * (1.0 / 255.0)
+            # quantize before the pixel-shuffle inside the model epilogue
+            # (exact; 4x less HBM traffic at output res).  wf_chunk
+            # (4K-class frames): emit the PRE-shuffle u8 tensor and run
+            # the depth-to-space as a separate small jit (submit) — the
+            # in-graph d2s transpose at this size crashes / degrades the
+            # compiler (PERF.md round-3 "4K story")
             return self._arch_apply(params, x, quantize_u8=True,
-                                    qbody=qbody)
+                                    qbody=qbody,
+                                    pre_shuffle=bool(wf_chunk))
 
         opts = self._compiler_options
         if opts == "auto":
@@ -255,10 +317,22 @@ class UpscaleEngine:
                 # explicit REVE_TPU_XLA_OPTIONS override still applies
                 opts = compileopts.env_compiler_options()
         jitted = jax.jit(fn, compiler_options=opts or None)
+        shuffle = None
+        if wf_chunk:
+            from reve_tpu.ops.pixel_shuffle import pixel_shuffle_rowphase
+
+            # the d2s for the pre-shuffle output, as its own tiny jit
+            # (row-phase formulation: the classic transpose at 4K-class
+            # shapes crashes this stack's compiler even standalone)
+            shuffle = jax.jit(
+                lambda y: pixel_shuffle_rowphase(y, self.scale))
         self.stats.compile_count += 1
-        return jitted
+        return jitted, wf_chunk, shuffle
 
     def _get_compiled(self, h: int, w: int):
+        """Returns (jitted_fn, wf_chunk, shuffle_fn); wf_chunk > 0 means
+        the fn is compiled for wf_chunk-frame sub-batches (submit splits)
+        and emits pre-shuffle u8 that `shuffle_fn` finishes."""
         key = (h, w)
         if key not in self._compiled:
             self._compiled[key] = self._build(h, w)
@@ -375,17 +449,25 @@ class UpscaleEngine:
 
     def warmup(self, h: int, w: int) -> None:
         """Pre-compile for a resolution (first XLA compile is ~20-40 s)."""
-        fn = self._get_compiled(h, w)
+        fn, wf_chunk, shuffle = self._get_compiled(h, w)
+        call_batch = wf_chunk or self.batch_size
         dummy = np.zeros((self.batch_size, h, w, 3), np.uint8)
         self._maybe_calibrate(dummy, provisional=True)
-        fn(self.params, self._qbody,
-           self._place(jnp.asarray(dummy))).block_until_ready()
+        out = fn(self.params, self._qbody,
+                 self._place(jnp.asarray(dummy[:call_batch])))
+        if shuffle is not None:
+            out = shuffle(out)
+        out.block_until_ready()
 
     def submit(self, frames: np.ndarray) -> PendingBatch:
         """Enqueue a batch; returns a handle. frames: (n<=batch, H, W, 3) u8.
 
         Short batches are padded to `batch_size` by repeating the last frame
         (keeps the compiled shape static); padding is cropped in result().
+        When the resolution's plan chunks the batch (wf_chunk > 0, e.g.
+        4K), the compiled fn covers wf_chunk frames and is dispatched
+        ceil(batch/wf_chunk) times — all calls enqueue asynchronously, so
+        the device pipelines them like one submission.
         """
         n, h, w, _ = frames.shape
         if n < self.batch_size:
@@ -394,9 +476,20 @@ class UpscaleEngine:
         elif n > self.batch_size:
             raise ValueError(f"batch {n} > batch_size {self.batch_size}")
         self._maybe_calibrate(frames, provisional=False)
-        fn = self._get_compiled(h, w)
-        dev_in = self._place(frames)
-        out = fn(self.params, self._qbody, dev_in)
+        fn, wf_chunk, shuffle = self._get_compiled(h, w)
+        if wf_chunk:
+            outs = []
+            for i in range(0, self.batch_size, wf_chunk):
+                piece = frames[i:i + wf_chunk]
+                if len(piece) < wf_chunk:  # ragged tail: repeat-pad
+                    piece = np.concatenate(
+                        [piece, np.repeat(piece[-1:],
+                                          wf_chunk - len(piece), axis=0)])
+                outs.append(shuffle(fn(self.params, self._qbody,
+                                       self._place(piece))))
+            out = outs
+        else:
+            out = fn(self.params, self._qbody, self._place(frames))
         self.stats.frames += n
         self.stats.batches += 1
         return PendingBatch(out, n)

@@ -5,7 +5,7 @@ int8, tile sizes {512, 768, 1024} + the whole-frame HBM boundary.
 Same methodology as bench.py: on-device sustained throughput, checksum
 output (no host transfers in the timed region), best-of fresh compiles
 against the compile lottery.  The result calibrates the engine's
-auto-tile decision (pipeline/engine.py _tile_size_for) with measured
+auto-tile decision (pipeline/engine.py _plan_execution) with measured
 numbers instead of a pixel-count guess.
 
 Usage: python scripts/bench_4k.py [--dtypes bf16,int8] [--tiles 0,512,768,1024]

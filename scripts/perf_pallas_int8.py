@@ -43,25 +43,24 @@ def main():
     def run(dtype_name):
         if dtype_name == "int8":
             x = jnp.asarray(rs.randint(-127, 128, (M, K)), jnp.int8)
-            w = jnp.asarray(rs.randint(-127, 128, (K, N)), jnp.int8)
+            w = jnp.asarray(rs.randint(-127, 128, (2 * K, N)), jnp.int8)
             acc_t, out_t = jnp.int32, jnp.int32
         else:
             x = jnp.asarray(rs.rand(M, K) - 0.5, jnp.bfloat16)
-            w = jnp.asarray(rs.rand(K, N) - 0.5, jnp.bfloat16)
+            w = jnp.asarray(rs.rand(2 * K, N) - 0.5, jnp.bfloat16)
             acc_t, out_t = jnp.float32, jnp.float32
 
         def kernel(x_ref, w_ref, o_ref):
             xv = x_ref[...]
-            wv = w_ref[...]
             acc = jnp.zeros((M, N), acc_t)
 
             def body(i, acc):
-                # rotate the operand with a data-dependent-ish tweak the
-                # compiler cannot hoist: add the loop counter to x
-                xi = (xv + i.astype(xv.dtype)) if xv.dtype != jnp.bfloat16 \
-                    else xv * (1.0 + i.astype(jnp.bfloat16) * 0)
+                # loop-dependent weight slice (alternating K-halves of a
+                # 2K buffer) so the dot cannot be hoisted out of the loop
+                wv = jax.lax.dynamic_slice(w_ref[...], ((i % 2) * K, 0),
+                                           (K, N))
                 return acc + jax.lax.dot_general(
-                    xi, wv, (((1,), (0,)), ((), ())),
+                    xv, wv, (((1,), (0,)), ((), ())),
                     preferred_element_type=acc_t)
 
             acc = jax.lax.fori_loop(0, loops, body, acc)

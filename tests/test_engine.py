@@ -21,16 +21,58 @@ def test_tiled_equals_whole_frame():
     np.testing.assert_array_equal(whole, tiled)
 
 
-def test_auto_tile_threshold():
+def test_chunked_execution_exact(monkeypatch):
+    """Shrinking the HBM budget so the plan chunks (whole-frame batch
+    chunking AND tiled window chunking) must not change a single byte of
+    output vs the one-call paths."""
+    from reve_tpu.pipeline import engine as engine_mod
+
+    frames = np.random.RandomState(3).randint(0, 256, (5, 40, 56, 3),
+                                              np.uint8)
+    ref = _engine(tile=-1, batch_size=5).upscale_frames(frames)
+
+    # budget below one batch but above one frame -> whole-frame chunked
+    e = _engine(tile=0, batch_size=5)
+    per = e._frame_bytes(40, 56) + e._epi_bytes(40, 56)  # chunk cost model
+    monkeypatch.setattr(engine_mod, "_HBM_BUDGET_BYTES", 2 * per)
+    tile, wf_chunk, _ = e._plan_execution(40, 56)
+    assert tile == 0 and wf_chunk == 2  # 5 frames -> chunks of 2 (padded)
+    np.testing.assert_array_equal(e.upscale_frames(frames), ref)
+
+    # budget below one frame -> tiled with chunked windows
+    e2 = _engine(tile=0, batch_size=5)
+    monkeypatch.setattr(engine_mod, "_HBM_BUDGET_BYTES",
+                        e2._frame_bytes(40, 56) - 1)
+    monkeypatch.setattr(engine_mod, "_DEFAULT_TILE", 24)
+    monkeypatch.setattr(engine_mod, "_TILE_CHUNK", 3)
+    tile, _, tile_chunk = e2._plan_execution(40, 56)
+    assert tile == 24 and tile_chunk >= 1
+    np.testing.assert_array_equal(e2.upscale_frames(frames), ref)
+
+
+def test_auto_execution_plan():
+    """Measurement-derived plan (PERF.md round-3 "4K story"): whole-frame
+    whenever a single frame fits, lax.map-chunking the batch when the
+    FULL batch does not (whole-frame beats tiling 2.5x at 4K); tiling
+    only when one frame alone exceeds the budget (8K+) or forced."""
     e = _engine(tile=0)
-    assert e._tile_size_for(100, 100) == 0          # small: whole frame
-    assert e._tile_size_for(2160, 3840) > 0         # 4K f32 batch2: tiles
-    # HBM-budget decision: 4K fits whole-frame at batch 1 bf16, not batch 8
-    b1 = _engine(tile=0, batch_size=1, compute_dtype="bfloat16")
+    assert e._plan_execution(100, 100) == (0, 0, 0)   # small: one call
+    # 4K bf16: one frame fits; batch 8 does not -> whole-frame, chunked
     b8 = _engine(tile=0, batch_size=8, compute_dtype="bfloat16")
-    assert b1._tile_size_for(2160, 3840) == 0
-    assert b8._tile_size_for(2160, 3840) > 0
-    assert b8._tile_size_for(1080, 1920) == 0       # the bench config
+    tile, wf_chunk, _ = b8._plan_execution(2160, 3840)
+    assert tile == 0 and 1 <= wf_chunk < 8
+    assert b8._plan_execution(1080, 1920) == (0, 0, 0)  # the bench config
+    # 8K: a single bf16 frame blows the budget -> tiled, chunked windows
+    tile, _, tile_chunk = b8._plan_execution(4320, 7680)
+    assert tile > 0 and tile_chunk >= 1
+    # forced tile: honored, windows chunked
+    f = _engine(tile=384, batch_size=4)
+    tile, _, tile_chunk = f._plan_execution(2160, 3840)
+    assert tile == 384 and tile_chunk >= 1
+    # tile=-1 (never tile): whole-frame even at 8K, chunked to fit
+    n = _engine(tile=-1, batch_size=8, compute_dtype="bfloat16")
+    tile, wf_chunk, _ = n._plan_execution(4320, 7680)
+    assert tile == 0 and wf_chunk == 1
 
 
 def test_short_batch_padding():
