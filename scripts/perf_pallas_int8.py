@@ -52,13 +52,15 @@ def main():
 
         def kernel(x_ref, w_ref, o_ref):
             xv = x_ref[...]
+            w0 = w_ref[0:K, :]
+            w1 = w_ref[K:2 * K, :]
             acc = jnp.zeros((M, N), acc_t)
 
             def body(i, acc):
-                # loop-dependent weight slice (alternating K-halves of a
-                # 2K buffer) so the dot cannot be hoisted out of the loop
-                wv = jax.lax.dynamic_slice(w_ref[...], ((i % 2) * K, 0),
-                                           (K, N))
+                # loop-dependent weight choice (alternating K-halves; a
+                # static-slice select — Mosaic lacks dynamic_slice) so
+                # the dot cannot be hoisted out of the loop
+                wv = jnp.where((i % 2) == 0, w0, w1)
                 return acc + jax.lax.dot_general(
                     xv, wv, (((1,), (0,)), ((), ())),
                     preferred_element_type=acc_t)

@@ -96,12 +96,16 @@ def measure_blockjit(iters=4, opts=VMEM64):
         return rrdb._raw_conv(hs, params["conv_first"]["w"],
                               params["conv_first"]["b"], jnp.bfloat16)
 
-    def block(bp, v):
+    def block(bp, carry):
+        # carry = (feat, body): feat rides along untouched so donating the
+        # carry never invalidates the residual input the tail still needs
+        feat, v = carry
+
         def conv_fn(vv, p, dt, parts):
             return rrdb._raw_conv(vv, p["w"], p["b"], dt)
 
-        return rrdb._rrdb(v, bp, jnp.bfloat16, conv_fn,
-                          cfg.num_feat, cfg.num_grow_ch)
+        return feat, rrdb._rrdb(v, bp, jnp.bfloat16, conv_fn,
+                                cfg.num_feat, cfg.num_grow_ch)
 
     def tail(params, body, feat_s):
         feat_s = feat_s + rrdb._raw_conv(
@@ -126,9 +130,12 @@ def measure_blockjit(iters=4, opts=VMEM64):
 
     def full(tp, x):
         feat = jhead(tp, x)
-        body = feat
+        # body starts as a DISTINCT buffer (feat + 0): the donated carry
+        # must not alias feat twice
+        carry = (feat, feat + 0)
         for bp in tp["body"]:
-            body = jblock(bp, body)
+            carry = jblock(bp, carry)
+        feat, body = carry
         return jtail(tp, body, feat)
 
     t0 = time.perf_counter()

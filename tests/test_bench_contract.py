@@ -13,10 +13,17 @@ import jax
 def test_bench_smoke_offtpu():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # force CPU via jax.config BEFORE bench runs: on this image a
+    # sitecustomize overrides the JAX_PLATFORMS env var, so env alone
+    # silently left this "off-TPU" smoke running on the real TPU
+    # (CLAUDE.md "environment quirks")
     res = subprocess.run(
-        [sys.executable, "bench.py", "--budget", "180"],
+        [sys.executable, "-c",
+         "import sys, runpy; import jax; "
+         "jax.config.update('jax_platforms', 'cpu'); "
+         "sys.argv = ['bench.py', '--budget', '180']; "
+         "runpy.run_path('bench.py', run_name='__main__')"],
         capture_output=True, text=True, timeout=560, cwd=repo, env=env,
     )
     assert res.returncode == 0, res.stderr[-1500:]
