@@ -27,10 +27,10 @@ Measurement hygiene (round-2 additions, PERF.md "Benchmark hygiene"):
     WITH A FRESH COMPILE (the HLO is cache-busted with a shape-varying
     optimization-barrier constant so the compile cache cannot return the
     same bad binary).  The reported number is the best full measurement.
-  * `--report` emits one JSON line per path (xla / fused) so rounds can be
+  * `--report` emits one JSON line per path (xla / int8) so rounds can be
     compared path-by-path.
 
-Usage: python bench.py [--report] [--paths xla,fused] [--budget SECONDS]
+Usage: python bench.py [--report] [--paths xla,int8] [--budget SECONDS]
        [--4k]   (measure the 4K-input corner instead: whole-frame b2/b1)
 """
 
@@ -62,11 +62,7 @@ def _make_step(path, cfg, attempt, qbody=None):
         # uint8 quantization happens BEFORE the pixel-shuffle inside the
         # epilogue (exact permutation-commute; 4x less HBM traffic) — the
         # same graph UpscaleEngine compiles for whole-frame inference
-        if path == "fused":
-            y = srvgg.apply_fused(params, x, cfg=cfg,
-                                  compute_dtype=jnp.bfloat16,
-                                  quantize_u8=True)
-        elif path == "int8":
+        if path == "int8":
             # turbo mode: quantized hidden stack (engine `--dtype int8`)
             y = srvgg.apply_int8(params, qbody, x, cfg=cfg,
                                  compute_dtype=jnp.bfloat16,

@@ -16,7 +16,7 @@ Layer map (mirrors SURVEY.md §1, redesigned TPU-first):
            ├─ io backends             reve_tpu.io.{probe,reader,writer,concat}
            └─ TPU inference engine    reve_tpu.pipeline.engine
                 ├─ models             reve_tpu.models.{srvgg,rrdb}
-                ├─ ops                reve_tpu.ops.{color,pixel_shuffle,tiling,fused_body}
+                ├─ ops                reve_tpu.ops.{color,pixel_shuffle,tiling,s2d}
                 └─ parallel           reve_tpu.parallel.{mesh,sharding}
 """
 

@@ -162,11 +162,6 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scene-align", action="store_true",
                    help="snap segment boundaries to detected scene cuts "
                         "(one extra decode pre-pass)")
-    p.add_argument("--fused", action="store_true",
-                   help="run the conv body in the experimental Pallas "
-                        "line-buffer kernel (TPU only; PERF.md for current "
-                        "measurements — XLA is the faster default on the "
-                        "tested stack)")
     p.add_argument("--progress-json", default=None, metavar="FILE",
                    help="append machine-readable JSON progress snapshots "
                         "to FILE (one object per line)")
@@ -243,7 +238,6 @@ def _fresh_state(args) -> JobState:
             "weights_wdn": args.weights_wdn,
             "denoise": args.denoise,
             "dtype": args.dtype,
-            "fused": args.fused,
             "io_backend": args.io_backend,
         },
     )
@@ -289,8 +283,11 @@ def run(argv: Optional[List[str]] = None) -> int:
             # (mirrors the reference's args.temp, main.rs:92-101): resumed
             # segments must go through the same model/weights/container as
             # the committed ones
+            # ("fused" may appear in pre-round-3 state files; the Pallas
+            # fused kernel was deleted after three rounds of losing to
+            # XLA - PERF.md round 3)
             for key in ("weights", "weights_wdn", "denoise", "dtype",
-                        "fused", "io_backend"):
+                        "io_backend"):
                 if key in state.opts and \
                         getattr(args, key) != state.opts[key]:
                     print(f"resume: using saved --{key.replace('_', '-')}"
@@ -333,7 +330,6 @@ def run(argv: Optional[List[str]] = None) -> int:
         tile=args.tile,
         compute_dtype=args.dtype,
         preloaded=preloaded,
-        fused=args.fused,
     )
     if args.dtype == "int8":
         err = _certify_int8(args, state, engine)
@@ -489,7 +485,7 @@ def _run_image(args) -> int:
     engine = UpscaleEngine(
         model=args.model, scale=args.scale, weights=args.weights,
         batch_size=1, tile=args.tile, compute_dtype=args.dtype,
-        preloaded=preloaded, fused=args.fused,
+        preloaded=preloaded,
     )
     rgb = bgr[:, :, ::-1]
     out = engine.upscale_frames(np.ascontiguousarray(rgb[None]))[0]

@@ -391,31 +391,3 @@ def apply_int8(params: Params, qbody, x: jax.Array, *, cfg: SRVGGConfig,
                      convs[-1]["b"]).astype(jnp.float32)
     return _epilogue(h, orig, cfg, quantize_u8=quantize_u8,
                      pre_shuffle=pre_shuffle)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "compute_dtype", "strip", "core", "quantize_u8"),
-)
-def apply_fused(params: Params, x: jax.Array, *, cfg: SRVGGConfig,
-                compute_dtype=jnp.bfloat16, strip: int = 8,
-                core: int = 640, quantize_u8: bool = False) -> jax.Array:
-    """Forward pass with the hidden convs running in the Pallas fused
-    line-buffer kernel (reve_tpu.ops.fused_body); first/last conv and the
-    epilogue stay in XLA (~10% of FLOPs).  Numerics match `apply` to
-    compute-dtype rounding.  TPU only (use `apply` elsewhere)."""
-    from reve_tpu.ops import fused_body
-
-    orig = x
-    h = x.astype(compute_dtype)
-    convs, prelus = params["convs"], params["prelus"]
-    h = _prelu(_conv3x3(h, convs[0]["w"].astype(compute_dtype), convs[0]["b"]),
-               prelus[0]["alpha"])
-    ws, bs, as_ = fused_body.stack_hidden_params(params, cfg.num_conv)
-    h = fused_body.fused_hidden_body(
-        h, ws, bs, as_, height=h.shape[1], width=h.shape[2],
-        strip=strip, core=core, compute_dtype=compute_dtype,
-    )
-    h = _conv3x3(h, convs[-1]["w"].astype(compute_dtype), convs[-1]["b"])
-    return _epilogue(h, orig, cfg, quantize_u8=quantize_u8,
-                     pre_shuffle=pre_shuffle)

@@ -101,7 +101,6 @@ class UpscaleEngine:
         compute_dtype: str = "bfloat16",
         device: Optional[jax.Device] = None,
         mesh=None,
-        fused: bool = False,
         preloaded=None,
         compiler_options="auto",
     ):
@@ -144,10 +143,6 @@ class UpscaleEngine:
             "bfloat16", "bf16", "int8"
         ) else jnp.float32
         self.mesh = mesh
-        #: experimental: run the SRVGG hidden body in the Pallas line-buffer
-        #: kernel (ops/fused_body.py). Perf roadmap in PERF.md; numerics
-        #: match to compute-dtype rounding. TPU only.
-        self.fused = fused
         self._compiler_options = compiler_options
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -181,10 +176,6 @@ class UpscaleEngine:
                                         compute_dtype=self.compute_dtype,
                                         quantize_u8=quantize_u8, s2d=s2d,
                                         pre_shuffle=pre_shuffle)
-            if self.fused:
-                return srvgg.apply_fused(params, x, cfg=self.cfg,
-                                         compute_dtype=self.compute_dtype,
-                                         quantize_u8=quantize_u8)
             return srvgg.apply(params, x, cfg=self.cfg,
                                compute_dtype=self.compute_dtype,
                                quantize_u8=quantize_u8, s2d=s2d,

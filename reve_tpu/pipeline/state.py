@@ -57,7 +57,7 @@ class JobState:
     encode: dict = dataclasses.field(default_factory=dict)
     model: str = "realesr-animevideov3"
     #: engine/io settings the job was started with (weights, dtype,
-    #: io_backend, fused, denoise...).  A resume restores these instead of
+    #: io_backend, denoise...).  A resume restores these instead of
     #: trusting the new command line — the reference persists its whole
     #: Args for the same reason (reve-cli/src/main.rs:112-113).
     opts: dict = dataclasses.field(default_factory=dict)

@@ -72,8 +72,10 @@ def adapt_weights(cfg, frames, steps, seed=0):
     tr = Trainer(cfg, TrainConfig(learning_rate=2e-4), seed=seed)
     rs = np.random.RandomState(seed)
     s = cfg.upscale
-    crop = 48 * s
     h, w = frames.shape[1:3]
+    # the reference test clip is only 100x100 — clamp the crop to the
+    # frame (divisible by the scale for the box downsample)
+    crop = min(48 * s, (min(h, w) // s) * s)
     for step in range(steps):
         ys = rs.randint(0, h - crop + 1, 4)
         xs = rs.randint(0, w - crop + 1, 4)

@@ -2,9 +2,10 @@
 
 Round-2's in-kernel measurement (int8 1.3x bf16, nowhere near the 2x MXU
 ratio) predates the row-s2d layout and the compiler-options discovery.
-The fused line-buffer kernel is only worth converting to int8 (VERDICT r2
-item 8's "int8 vehicle" option) if Mosaic can actually issue s8 dots at
-a rate meaningfully above the XLA int8 conv emitter's 197-257 TOP/s.
+A Pallas line-buffer int8 body is only worth building (VERDICT r2 item
+8's "int8 vehicle" option; the bf16 fused kernel was deleted round 3) if
+Mosaic can actually issue s8 dots at a rate meaningfully above the XLA
+int8 conv emitter's 197-257 TOP/s.
 
 This measures a minimal streaming kernel: a strip loop over rows doing
 the s2d hidden-layer dot chain — (S*W, 256pad) @ (256pad, 128) per tap
