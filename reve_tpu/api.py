@@ -30,6 +30,7 @@ def upscale_video(
     batch: int = 4,
     tile: int = 0,
     dtype: str = "bfloat16",
+    int8_calib: str = "max",
     io_backend: Optional[str] = None,
     crf: int = 15,
     preset: str = "slow",
@@ -81,6 +82,7 @@ def upscale_video(
         # a changed io_backend would even flip part_ext and discard them
         weights = state.opts.get("weights", weights)
         dtype = state.opts.get("dtype", dtype)
+        int8_calib = state.opts.get("int8_calib", int8_calib)
         io_backend = state.opts.get("io_backend", io_backend)
         part_ext = ".y4m" if io_backend == "y4m" else ".mp4"
         ws.create(keep_parts=True)
@@ -119,13 +121,13 @@ def upscale_video(
                     "x265_params": x265_params},
             model=model,
             opts={"weights": weights, "dtype": dtype,
-                  "io_backend": io_backend},
+                  "int8_calib": int8_calib, "io_backend": io_backend},
         )
     ws.save(state)
 
     engine = UpscaleEngine(model=state.model, scale=state.scale,
                            weights=weights, batch_size=batch, tile=tile,
-                           compute_dtype=dtype)
+                           compute_dtype=dtype, int8_calib=int8_calib)
     progress = None
     if on_progress is not None:
         from reve_tpu.pipeline.progress import ProgressTracker

@@ -146,6 +146,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default="bfloat16",
                    help="compute dtype; int8 = turbo mode (~1.5x fps, "
                         "hidden stack quantized, costs some PSNR)")
+    p.add_argument("--int8-calib", choices=("max", "p99.9", "p99.99"),
+                   default="max", dest="int8_calib",
+                   help="with --dtype int8: calibration statistic for "
+                        "activation scales. max = true maxima (default); "
+                        "p99.9 clips the outlier tail (+7 dB on the "
+                        "trained-weights proxy, PERF.md int8 frontier)")
     p.add_argument("--int8-gate", type=float, default=None, metavar="DB",
                    help="with --dtype int8: refuse to run if the measured "
                         "int8-vs-f32 PSNR on this video's first frames is "
@@ -238,6 +244,7 @@ def _fresh_state(args) -> JobState:
             "weights_wdn": args.weights_wdn,
             "denoise": args.denoise,
             "dtype": args.dtype,
+            "int8_calib": args.int8_calib,
             "io_backend": args.io_backend,
         },
     )
@@ -287,7 +294,7 @@ def run(argv: Optional[List[str]] = None) -> int:
             # fused kernel was deleted after three rounds of losing to
             # XLA - PERF.md round 3)
             for key in ("weights", "weights_wdn", "denoise", "dtype",
-                        "io_backend"):
+                        "int8_calib", "io_backend"):
                 if key in state.opts and \
                         getattr(args, key) != state.opts[key]:
                     print(f"resume: using saved --{key.replace('_', '-')}"
@@ -329,6 +336,7 @@ def run(argv: Optional[List[str]] = None) -> int:
         batch_size=args.batch,
         tile=args.tile,
         compute_dtype=args.dtype,
+        int8_calib=args.int8_calib,
         preloaded=preloaded,
     )
     if args.dtype == "int8":
@@ -485,6 +493,7 @@ def _run_image(args) -> int:
     engine = UpscaleEngine(
         model=args.model, scale=args.scale, weights=args.weights,
         batch_size=1, tile=args.tile, compute_dtype=args.dtype,
+        int8_calib=args.int8_calib,
         preloaded=preloaded,
     )
     rgb = bgr[:, :, ::-1]

@@ -99,6 +99,7 @@ class UpscaleEngine:
         batch_size: int = 4,
         tile: int = 0,            # 0 = auto, -1 = never tile
         compute_dtype: str = "bfloat16",
+        int8_calib: str = "max",
         device: Optional[jax.Device] = None,
         mesh=None,
         preloaded=None,
@@ -132,6 +133,27 @@ class UpscaleEngine:
         self._qbody = None
         self._qbody_provisional = False
         self._act_maxima = None
+        #: int8 calibration statistic: "max" (true maxima, default) or
+        #: "p<value>" (|activation| percentile, e.g. "p99.9" — clips the
+        #: outlier tail for a finer bulk grid; measured +7 dB over max on
+        #: the trained-weights proxy, scripts/int8_frontier.py / PERF.md).
+        #: Affects only how fresh calibrations are computed; persisted /
+        #: injected scales (set_calibration) are used verbatim either way.
+        self._calib_percentile = None
+        if int8_calib != "max":
+            if not int8_calib.startswith("p"):
+                raise ValueError(
+                    f"int8_calib must be 'max' or 'p<percentile>', "
+                    f"got {int8_calib!r}")
+            try:
+                self._calib_percentile = float(int8_calib[1:])
+            except ValueError:
+                raise ValueError(
+                    f"invalid int8_calib percentile {int8_calib!r}")
+            if not 0.0 < self._calib_percentile <= 100.0:
+                raise ValueError(
+                    f"int8_calib percentile out of range: {int8_calib!r}")
+        self.int8_calib = int8_calib
         #: optional arbitration hook for calibration determinism: called
         #: with this engine's freshly computed activation maxima, returns
         #: the AUTHORITATIVE maxima to use (e.g. Workspace.claim_calibration
@@ -353,7 +375,8 @@ class UpscaleEngine:
             np.ascontiguousarray(frames, np.uint8).astype(np.float32)
             / 255.0)
         maxima = np.asarray(quantize.collect_act_maxima(
-            self.params, x, cfg=self.cfg, compute_dtype=jnp.float32))
+            self.params, x, cfg=self.cfg, compute_dtype=jnp.float32,
+            percentile=self._calib_percentile))
         if self.calibration_hook is not None and not provisional:
             maxima = np.asarray(self.calibration_hook(maxima), np.float32)
         self._install_qbody(maxima, provisional)

@@ -69,22 +69,38 @@ jax.tree_util.register_pytree_node(
     QuantizedBody, QuantizedBody.tree_flatten, QuantizedBody.tree_unflatten)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "compute_dtype", "percentile"))
 def collect_act_maxima(params: Dict[str, Any], x: jax.Array, *,
                        cfg: srvgg.SRVGGConfig,
-                       compute_dtype=jnp.float32) -> jax.Array:
-    """Calibration forward: returns (num_conv + 1,) max|activation| — the
-    input of each hidden conv plus the head conv's input (classic domain;
-    s2d is a permutation of the same values, so the scales transfer
-    exactly).
+                       compute_dtype=jnp.float32,
+                       percentile: float = None) -> jax.Array:
+    """Calibration forward: returns (num_conv + 1,) |activation| stats —
+    the input of each hidden conv plus the head conv's input (classic
+    domain; s2d is a permutation of the same values, so the scales
+    transfer exactly).
+
+    `percentile`: None (default) records the true max; a value (e.g.
+    99.9) records that percentile of |activation| instead — deliberately
+    clipping the outlier tail buys a finer grid for the bulk of the
+    distribution (measured +7 dB over max-calibration on the
+    trained-weights/real-frames proxy, scripts/int8_frontier.py; the
+    engine exposes it as ``int8_calib="p99.9"``).
 
     `x`: (B, H, W, C) float in [0, 1] — representative frames."""
     convs, prelus = params["convs"], params["prelus"]
+
+    def stat(h):
+        a = jnp.abs(h.astype(jnp.float32))
+        if percentile is None:
+            return jnp.max(a)
+        return jnp.percentile(a, percentile)
+
     h = srvgg._prelu(
         srvgg._conv3x3(x.astype(compute_dtype),
                        convs[0]["w"].astype(compute_dtype), convs[0]["b"]),
         prelus[0]["alpha"])
-    maxima = [jnp.max(jnp.abs(h.astype(jnp.float32)))]
+    maxima = [stat(h)]
     # inputs of hidden convs 2..num_conv (outputs of hidden prelus
     # 1..num_conv-1) plus the last conv's input (hidden prelu num_conv)
     for i in range(cfg.num_conv):
@@ -92,7 +108,7 @@ def collect_act_maxima(params: Dict[str, Any], x: jax.Array, *,
             srvgg._conv3x3(h, convs[i + 1]["w"].astype(compute_dtype),
                            convs[i + 1]["b"]),
             prelus[i + 1]["alpha"])
-        maxima.append(jnp.max(jnp.abs(h.astype(jnp.float32))))
+        maxima.append(stat(h))
     return jnp.stack(maxima)
 
 

@@ -584,7 +584,7 @@ def test_api_resume_restores_saved_opts(tmp_path, monkeypatch):
                                segment_size=4, batch=3, dtype="float32")
     st = Workspace(out + ".revework").load()
     assert st.opts == {"weights": None, "dtype": "float32",
-                       "io_backend": "y4m"}
+                       "int8_calib": "max", "io_backend": "y4m"}
 
     monkeypatch.setattr(sched_mod.PipelineJob, "run", real_run)
     with pytest.raises(ValueError, match="holds progress"):

@@ -106,6 +106,40 @@ def test_engine_int8_rejects_rrdb():
                       compute_dtype="int8")
 
 
+def test_engine_int8_percentile_calibration():
+    """int8_calib="p99.9" (the frontier's best single lever, PERF.md)
+    yields tighter scales than max-calibration, still-close output, and
+    the persisted-scales contract is statistic-agnostic."""
+    rs = np.random.RandomState(7)
+    frames = rs.randint(0, 256, (3, 33, 40, 3), np.uint8)
+    ep = UpscaleEngine(scale=2, batch_size=3, compute_dtype="int8",
+                       int8_calib="p99.9")
+    em = UpscaleEngine(scale=2, batch_size=3, compute_dtype="int8")
+    op = ep.upscale_frames(frames)
+    om = em.upscale_frames(frames)
+    # a percentile stat can never exceed the true max, and on random
+    # frames the tail clip must actually bite somewhere
+    assert np.all(ep.get_calibration() <= em.get_calibration() + 1e-6)
+    assert np.any(ep.get_calibration() < em.get_calibration() * 0.999)
+    ef = UpscaleEngine(scale=2, batch_size=3, compute_dtype="float32")
+    of = ef.upscale_frames(frames)
+    for o in (op, om):
+        mse = np.mean((o.astype(np.float64) - of.astype(np.float64)) ** 2)
+        assert 10 * np.log10(255.0 ** 2 / mse) > 45.0
+    # injected scales are used verbatim regardless of the engine's own
+    # calibration statistic (resume/shard determinism contract)
+    e2 = UpscaleEngine(scale=2, batch_size=3, compute_dtype="int8",
+                       int8_calib="p99.9")
+    e2.set_calibration(em.get_calibration())
+    np.testing.assert_array_equal(e2.upscale_frames(frames), om)
+
+
+def test_engine_int8_calib_validation():
+    for bad in ("p", "q99", "p0", "p101", "pxyz"):
+        with pytest.raises(ValueError):
+            UpscaleEngine(scale=2, compute_dtype="int8", int8_calib=bad)
+
+
 def test_apply_int8_float_head_variant(small):
     """int8_head=False runs the head conv in float: output is at least as
     close to f32 as the all-int8 path (the head feeds the pixel shuffle
