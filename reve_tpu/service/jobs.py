@@ -36,6 +36,9 @@ class Job:
     model: str
     scale: int
     dtype: str = "bfloat16"   # bfloat16 | float32 | int8 (turbo)
+    #: int8 only: calibration statistic ("max" or "p<percentile>",
+    #: engine.int8_calib; PERF.md int8 frontier)
+    int8_calib: str = "max"
     status: str = "queued"    # queued | running | done | error | cancelled
     cancel_requested: bool = False
     error: str = ""
@@ -79,6 +82,7 @@ class Job:
             "model": self.model,
             "scale": self.scale,
             "dtype": self.dtype,
+            "int8_calib": self.int8_calib,
             "status": self.status,
             "error": self.error,
             "int8_psnr": self.int8_psnr,
@@ -106,30 +110,41 @@ class JobManager:
 
     @staticmethod
     def _default_engine_factory(model: str, scale: int,
-                                dtype: str = "bfloat16"):
+                                dtype: str = "bfloat16",
+                                int8_calib: str = "max"):
         from reve_tpu.pipeline.engine import UpscaleEngine
 
-        return UpscaleEngine(model=model, scale=scale, compute_dtype=dtype)
+        return UpscaleEngine(model=model, scale=scale, compute_dtype=dtype,
+                             int8_calib=int8_calib)
 
-    def _get_engine(self, model: str, scale: int, dtype: str = "bfloat16"):
+    def _get_engine(self, model: str, scale: int, dtype: str = "bfloat16",
+                    int8_calib: str = "max"):
         """Engines (and their compiled executables) are reused across jobs
-        of the same (model, scale, dtype) — a fresh engine per job would
-        pay the multi-second XLA compile for every batch-queue entry.
+        of the same (model, scale, dtype, calib) — a fresh engine per job
+        would pay the multi-second XLA compile for every batch-queue entry.
 
-        Custom 2-arg engine factories (tests/plugins) keep working for the
-        default dtype; a non-default dtype with such a factory is an
-        explicit error rather than a silent bf16 run."""
-        key = (model, scale, dtype)
+        Custom engine factories with fewer parameters (tests/plugins) keep
+        working for the default dtype/calib; a non-default value with such
+        a factory is an explicit error rather than a silent fallback."""
+        key = (model, scale, dtype, int8_calib)
         engine = self._engines.get(key)
         if engine is None:
             import inspect
 
             try:
-                takes_dtype = len(inspect.signature(
-                    self.engine_factory).parameters) >= 3
+                nparams = len(inspect.signature(
+                    self.engine_factory).parameters)
             except (TypeError, ValueError):  # builtins/partials: assume new
-                takes_dtype = True
-            if takes_dtype:
+                nparams = 4
+            if nparams >= 4:
+                engine = self.engine_factory(model, scale, dtype,
+                                             int8_calib)
+            elif int8_calib != "max":
+                raise ValueError(
+                    f"engine_factory {self.engine_factory!r} does not "
+                    f"accept an int8_calib argument; cannot run an "
+                    f"int8_calib={int8_calib!r} job")
+            elif nparams >= 3:
                 engine = self.engine_factory(model, scale, dtype)
             elif dtype == "bfloat16":
                 engine = self.engine_factory(model, scale)
@@ -143,17 +158,23 @@ class JobManager:
     def submit(self, input_path: str, scale: Optional[int] = None,
                model: Optional[str] = None,
                output_path: Optional[str] = None,
-               dtype: Optional[str] = None) -> Job:
+               dtype: Optional[str] = None,
+               int8_calib: Optional[str] = None) -> Job:
         scale = scale or self.cfg.default_scale
         model = model or self.cfg.default_upscale_type
         if dtype not in (None, "bfloat16", "float32", "int8"):
             raise ValueError(f"invalid dtype {dtype!r}")
+        if int8_calib is not None and int8_calib != "max" and not (
+                int8_calib.startswith("p")
+                and int8_calib[1:].replace(".", "", 1).isdigit()):
+            raise ValueError(f"invalid int8_calib {int8_calib!r}")
         output_path = output_path or replace_file_suffix(input_path, scale)
         with self._lock:
             job = Job(
                 id=next(self._ids), input_path=input_path,
                 output_path=output_path, model=model, scale=scale,
                 dtype=dtype or "bfloat16",
+                int8_calib=int8_calib or "max",
             )
             self.jobs[job.id] = job
             self._order.append(job.id)
@@ -264,7 +285,8 @@ class JobManager:
             )
             ws.create()
         ws.save(st)
-        engine = self._get_engine(job.model, job.scale, job.dtype)
+        engine = self._get_engine(job.model, job.scale, job.dtype,
+                                  job.int8_calib)
         job.progress = ProgressTracker(
             total_frames=sum(s.size for s in st.pending),
             total_segments=len(st.pending),

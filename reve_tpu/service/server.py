@@ -488,6 +488,7 @@ class Handler(BaseHTTPRequestHandler):
                     inp, scale=data.get("scale"), model=data.get("model"),
                     output_path=data.get("output"),
                     dtype=data.get("dtype"),
+                    int8_calib=data.get("int8_calib"),
                 )
             except ValueError as e:
                 return self._json({"error": str(e)}, 400)

@@ -511,6 +511,53 @@ def test_job_dtype_turbo_plumbing(tmp_path):
         manager.shutdown()
 
 
+def test_job_int8_calib_plumbing(tmp_path):
+    """int8_calib reaches the Job, the engine cache key, and a 4-arg
+    factory; a 3-arg factory errors the job on a non-default calib (no
+    silent max run); invalid calib rejected at submit."""
+    cfg = config_mod.ServiceConfig(segment_size=5)
+    seen = []
+
+    def factory4(m, s, dtype, calib):
+        seen.append((m, s, dtype, calib))
+        return FakeEngine()
+
+    inp = str(tmp_path / "in.y4m")
+    with writer.Y4MWriter(inp, 32, 24, fractions.Fraction(24)) as wr:
+        for i in range(6):
+            wr.write(np.full((24, 32, 3), 30 + i * 10, np.uint8))
+
+    def _wait(job):
+        deadline = time.time() + 60
+        while time.time() < deadline and job.status not in ("done", "error"):
+            time.sleep(0.1)
+        return job
+
+    manager = JobManager(cfg, engine_factory=factory4, io_backend="y4m")
+    try:
+        job = _wait(manager.submit(inp, scale=2, dtype="int8",
+                                   int8_calib="p99.9",
+                                   output_path=str(tmp_path / "o.y4m")))
+        assert (job.int8_calib, job.to_json()["int8_calib"]) == \
+            ("p99.9", "p99.9")
+        assert job.status == "done", job.error
+        assert seen == [("realesr-animevideov3", 2, "int8", "p99.9")]
+        with pytest.raises(ValueError, match="int8_calib"):
+            manager.submit(inp, scale=2, dtype="int8", int8_calib="q9")
+    finally:
+        manager.shutdown()
+
+    manager = JobManager(cfg, engine_factory=lambda m, s, d: FakeEngine(),
+                         io_backend="y4m")
+    try:
+        bad = _wait(manager.submit(inp, scale=2, dtype="int8",
+                                   int8_calib="p99.9",
+                                   output_path=str(tmp_path / "b.y4m")))
+        assert bad.status == "error" and "int8_calib" in bad.error
+    finally:
+        manager.shutdown()
+
+
 # -- hardening: Host/Origin checks, bearer token, browse jail ---------------
 
 
