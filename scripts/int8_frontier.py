@@ -177,7 +177,7 @@ def main():
     from reve_tpu.weights import quantize
 
     argv = sys.argv[1:]
-    steps, n_frames, scale = 300, 16, 4
+    steps, n_frames, scale, seed = 300, 16, 4, 0
     for i, a in enumerate(argv):
         if a == "--steps":
             steps = int(argv[i + 1])
@@ -185,18 +185,21 @@ def main():
             n_frames = int(argv[i + 1])
         if a == "--scale":
             scale = int(argv[i + 1])
+        if a == "--seed":
+            seed = int(argv[i + 1])
 
     cfg = srvgg.SRVGGConfig(num_feat=64, num_conv=16, upscale=scale)
     frames = load_real_frames(n_frames)
     print(f"frames: {frames.shape} from {TEST_MP4}", file=sys.stderr)
-    params = jax.device_put(adapt_weights(cfg, frames, steps))
+    params = jax.device_put(adapt_weights(cfg, frames, steps, seed=seed))
 
     # calibrate on the first half, evaluate on the held-out second half
     split = max(1, len(frames) // 2)
     x_cal = jax.device_put(frames[:split].astype(np.float32) / 255.0)
     x_eval = jax.device_put(frames[split:].astype(np.float32) / 255.0)
 
-    results = {"weights": f"self-SR {steps} steps on real frames"
+    results = {"seed": seed,
+               "weights": f"self-SR {steps} steps on real frames"
                if steps else "random init", "scale": scale}
 
     maxima = np.asarray(quantize.collect_act_maxima(
