@@ -439,7 +439,17 @@ def _certify_int8(args, state, engine) -> Optional[int]:
         if not frames:
             return None
         db = engine.certify_int8(np.stack(frames))
-    except Exception as e:  # never block a run on the certifier itself
+    except Exception as e:
+        if args.int8_gate is not None:
+            # an explicit gate must fail CLOSED: if we cannot measure the
+            # quantization cost we cannot prove it clears the bar
+            print(f"refusing: int8 certification failed ({e}) and "
+                  f"--int8-gate {args.int8_gate:g} demands a measured "
+                  f"PSNR — run without --dtype int8 or without the gate",
+                  file=sys.stderr)
+            if not ws.completed_parts(_part_ext(args)):
+                ws.destroy()
+            return 3
         print(f"int8 certification skipped: {e}", file=sys.stderr)
         return None
     print(f"int8 turbo: {db:.1f} dB vs f32 on the first "

@@ -34,8 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from reve_tpu.ops.pixel_shuffle import (pixel_shuffle,
-                                         pixel_shuffle_rowphase)
+from reve_tpu.ops.pixel_shuffle import pixel_shuffle
 
 
 @dataclasses.dataclass(frozen=True)

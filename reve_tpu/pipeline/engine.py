@@ -49,6 +49,33 @@ _DEFAULT_TILE = 512
 #: windows per model call on the tiled path: the all-windows-in-one-batch
 #: graph crashes the compiler at 4K (80 windows); 8 per call compiles
 _TILE_CHUNK = 8
+#: frames above this area use the epi-double-counted whole-frame gate
+#: (between 1080p's 2.1 MP — measured to follow the single-count model —
+#: and 4K's 8.3 MP, which does not; see _plan_execution)
+_BIG_FRAME_PIXELS = 4 << 20
+
+
+def parse_int8_calib(int8_calib: str):
+    """Validate an int8_calib spec ("max" or "p<percentile>", percentile
+    in (0, 100]) and return the percentile as a float, or None for "max".
+    Raises ValueError on anything else — shared by the engine constructor
+    and the service's submit-time validation (service/jobs.py) so invalid
+    specs are refused at the API instead of exploding in the worker."""
+    if int8_calib == "max":
+        return None
+    if not int8_calib.startswith("p"):
+        raise ValueError(
+            f"int8_calib must be 'max' or 'p<percentile>', "
+            f"got {int8_calib!r}")
+    try:
+        pct = float(int8_calib[1:])
+    except ValueError:
+        raise ValueError(
+            f"invalid int8_calib percentile {int8_calib!r}")
+    if not 0.0 < pct <= 100.0:
+        raise ValueError(
+            f"int8_calib percentile out of range: {int8_calib!r}")
+    return pct
 
 
 @dataclasses.dataclass
@@ -139,20 +166,7 @@ class UpscaleEngine:
         #: the trained-weights proxy, scripts/int8_frontier.py / PERF.md).
         #: Affects only how fresh calibrations are computed; persisted /
         #: injected scales (set_calibration) are used verbatim either way.
-        self._calib_percentile = None
-        if int8_calib != "max":
-            if not int8_calib.startswith("p"):
-                raise ValueError(
-                    f"int8_calib must be 'max' or 'p<percentile>', "
-                    f"got {int8_calib!r}")
-            try:
-                self._calib_percentile = float(int8_calib[1:])
-            except ValueError:
-                raise ValueError(
-                    f"invalid int8_calib percentile {int8_calib!r}")
-            if not 0.0 < self._calib_percentile <= 100.0:
-                raise ValueError(
-                    f"int8_calib percentile out of range: {int8_calib!r}")
+        self._calib_percentile = parse_int8_calib(int8_calib)
         self.int8_calib = int8_calib
         #: optional arbitration hook for calibration determinism: called
         #: with this engine's freshly computed activation maxima, returns
@@ -261,10 +275,27 @@ class UpscaleEngine:
             # twice, while the full-batch whole-frame check keeps the
             # calibrated single-count formula
             per_frame = self._frame_bytes(h, w) + self._epi_bytes(h, w)
-            if self._frame_bytes(h, w) * batch > _HBM_BUDGET_BYTES:
+            # 4K-class frames pay the epilogue-res scratch in the
+            # UNCHUNKED graph too: int8 4K b4 (12.7 GB single-count,
+            # "fits") was measured RESOURCE_EXHAUSTED while 1080p int8
+            # b16 — the identical total bytes — runs, so the overhead is
+            # per-large-frame, not linear in pixels; gate big frames on
+            # the epi-double-counted formula (matches all four measured
+            # boundaries: 1080p b8/b16 unchunked, 4K b2 unchunked, 4K b4
+            # chunked to 2)
+            gate = (per_frame if h * w > _BIG_FRAME_PIXELS
+                    else self._frame_bytes(h, w))
+            if gate * batch > _HBM_BUDGET_BYTES:
                 fits = max(1, _HBM_BUDGET_BYTES // per_frame)
                 return 0, int(min(fits, batch)), 0
         return 0, 0, 0
+
+    @property
+    def _has_pre_shuffle(self) -> bool:
+        """SRVGG ends in a pixel-shuffle the chunked path can split out
+        as its own jit; RRDB's apply upsamples internally (interpolate +
+        conv) and already returns the full-resolution tensor."""
+        return isinstance(self.cfg, srvgg.SRVGGConfig)
 
     @property
     def halo(self) -> int:
@@ -309,10 +340,13 @@ class UpscaleEngine:
             # (4K-class frames): emit the PRE-shuffle u8 tensor and run
             # the depth-to-space as a separate small jit (submit) — the
             # in-graph d2s transpose at this size crashes / degrades the
-            # compiler (PERF.md round-3 "4K story")
+            # compiler (PERF.md round-3 "4K story").  Only SRVGG has a
+            # pixel-shuffle epilogue to split out; RRDB upsamples via
+            # interpolate+conv inside apply and chunks as-is.
             return self._arch_apply(params, x, quantize_u8=True,
                                     qbody=qbody,
-                                    pre_shuffle=bool(wf_chunk))
+                                    pre_shuffle=bool(wf_chunk)
+                                    and self._has_pre_shuffle)
 
         opts = self._compiler_options
         if opts == "auto":
@@ -331,7 +365,7 @@ class UpscaleEngine:
                 opts = compileopts.env_compiler_options()
         jitted = jax.jit(fn, compiler_options=opts or None)
         shuffle = None
-        if wf_chunk:
+        if wf_chunk and self._has_pre_shuffle:
             from reve_tpu.ops.pixel_shuffle import pixel_shuffle_rowphase
 
             # the d2s for the pre-shuffle output, as its own tiny jit
@@ -499,8 +533,8 @@ class UpscaleEngine:
                     piece = np.concatenate(
                         [piece, np.repeat(piece[-1:],
                                           wf_chunk - len(piece), axis=0)])
-                outs.append(shuffle(fn(self.params, self._qbody,
-                                       self._place(piece))))
+                y = fn(self.params, self._qbody, self._place(piece))
+                outs.append(shuffle(y) if shuffle is not None else y)
             out = outs
         else:
             out = fn(self.params, self._qbody, self._place(frames))

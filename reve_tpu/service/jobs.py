@@ -164,10 +164,10 @@ class JobManager:
         model = model or self.cfg.default_upscale_type
         if dtype not in (None, "bfloat16", "float32", "int8"):
             raise ValueError(f"invalid dtype {dtype!r}")
-        if int8_calib is not None and int8_calib != "max" and not (
-                int8_calib.startswith("p")
-                and int8_calib[1:].replace(".", "", 1).isdigit()):
-            raise ValueError(f"invalid int8_calib {int8_calib!r}")
+        if int8_calib is not None:
+            from reve_tpu.pipeline.engine import parse_int8_calib
+
+            parse_int8_calib(int8_calib)  # raises ValueError -> HTTP 400
         output_path = output_path or replace_file_suffix(input_path, scale)
         with self._lock:
             job = Job(

@@ -35,7 +35,7 @@ publicly without an auth proxy.  Hardening on top of that model:
   * state-changing requests (POST/DELETE) with a browser Origin header
     must come from an allowed origin (CSRF);
   * optional bearer token (--token / REVE_TPU_TOKEN) required on every
-    /api request when set;
+    /api and /metrics request when set;
   * optional --browse-root jails /api/browse to a directory subtree.
 """
 
@@ -250,15 +250,20 @@ class Handler(BaseHTTPRequestHandler):
                         "(DNS-rebinding guard; see --allow-host)"}, 403)
             return False
         origin = self.headers.get("Origin")
-        if state_changing and origin and origin != "null":
+        if state_changing and origin:
             from urllib.parse import urlsplit
 
-            o_host = urlsplit(origin).hostname
+            # "null" (sandboxed iframe / data: URI) is just as cross-site
+            # as a foreign origin — refuse it too; browsers never send
+            # Origin: null for the same-origin embedded UI
+            o_host = (None if origin == "null"
+                      else urlsplit(origin).hostname)
             if o_host is None or o_host not in self.allowed_hosts:
                 self._json({"error": f"refused: cross-site Origin "
                             f"{origin!r}"}, 403)
                 return False
-        if self.token and self.path.startswith("/api"):
+        if self.token and (self.path.startswith("/api")
+                           or self.path.split("?", 1)[0] == "/metrics"):
             from urllib.parse import parse_qs, urlsplit as _us
 
             auth = self.headers.get("Authorization") or ""
@@ -538,8 +543,9 @@ def main():
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8321)
     ap.add_argument("--token", default=os.environ.get("REVE_TPU_TOKEN"),
-                    help="require this bearer token on every /api request "
-                         "(default: $REVE_TPU_TOKEN if set)")
+                    help="require this bearer token on every /api and "
+                         "/metrics request (default: $REVE_TPU_TOKEN if "
+                         "set)")
     ap.add_argument("--browse-root", default=None, metavar="DIR",
                     help="jail /api/browse to this directory subtree")
     ap.add_argument("--allow-host", action="append", default=[],

@@ -50,6 +50,28 @@ def test_chunked_execution_exact(monkeypatch):
     np.testing.assert_array_equal(e2.upscale_frames(frames), ref)
 
 
+def test_rrdb_chunked_execution_exact(monkeypatch):
+    """RRDB has no pixel-shuffle epilogue to split out (apply upsamples
+    internally) — the chunked whole-frame path must run it as-is, not
+    feed its (B,H*s,W*s,3) output through pixel_shuffle_rowphase
+    (regression: round-3 review found that crashed every RRDB upscale
+    whose batch exceeded the HBM budget)."""
+    from reve_tpu.pipeline import engine as engine_mod
+
+    frames = np.random.RandomState(5).randint(0, 256, (3, 24, 32, 3),
+                                              np.uint8)
+    kw = dict(model="realesrgan-x4plus-anime", scale=4, batch_size=3,
+              compute_dtype="float32", tile=-1)
+    ref = UpscaleEngine(**kw).upscale_frames(frames)
+
+    e = UpscaleEngine(**{**kw, "tile": 0})
+    per = e._frame_bytes(24, 32) + e._epi_bytes(24, 32)
+    monkeypatch.setattr(engine_mod, "_HBM_BUDGET_BYTES", per)
+    tile, wf_chunk, _ = e._plan_execution(24, 32)
+    assert tile == 0 and wf_chunk == 1
+    np.testing.assert_array_equal(e.upscale_frames(frames), ref)
+
+
 def test_auto_execution_plan():
     """Measurement-derived plan (PERF.md round-3 "4K story"): whole-frame
     whenever a single frame fits, lax.map-chunking the batch when the
@@ -62,6 +84,14 @@ def test_auto_execution_plan():
     tile, wf_chunk, _ = b8._plan_execution(2160, 3840)
     assert tile == 0 and 1 <= wf_chunk < 8
     assert b8._plan_execution(1080, 1920) == (0, 0, 0)  # the bench config
+    # int8 4K x4 b4: the single-count formula says 12.7 GB "fits", but it
+    # was measured RESOURCE_EXHAUSTED — the big-frame epi-double-counted
+    # gate must chunk it to 2 (the measured boundary), while 1080p int8
+    # b16 (identical total bytes, measured fitting) stays unchunked
+    i4 = _engine(tile=0, batch_size=4, scale=4, compute_dtype="int8")
+    assert i4._plan_execution(2160, 3840) == (0, 2, 0)
+    i16 = _engine(tile=0, batch_size=16, compute_dtype="int8")
+    assert i16._plan_execution(1080, 1920) == (0, 0, 0)
     # 8K: a single bf16 frame blows the budget -> tiled, chunked windows
     tile, _, tile_chunk = b8._plan_execution(4320, 7680)
     assert tile > 0 and tile_chunk >= 1

@@ -196,6 +196,42 @@ def test_cli_int8_gate_refuses_and_reports(tmp_path, monkeypatch, capsys):
     assert os.path.exists(out)
 
 
+def test_cli_int8_gate_fails_closed(tmp_path, monkeypatch, capsys):
+    """If certification itself errors while --int8-gate is set, the run
+    must refuse (exit 3), not silently proceed past the user's explicit
+    quality threshold; without a gate, the error downgrades to a skip."""
+    import fractions
+
+    from reve_tpu import cli
+    from reve_tpu.io import writer
+    from reve_tpu.pipeline import engine as engine_mod
+
+    monkeypatch.chdir(tmp_path)
+    inp = str(tmp_path / "in.y4m")
+    rs = np.random.RandomState(0)
+    with writer.Y4MWriter(inp, 32, 24, fractions.Fraction(24)) as wr:
+        for i in range(6):
+            wr.write((rs.rand(24, 32, 3) * 255).astype(np.uint8))
+    out = str(tmp_path / "o.y4m")
+
+    def boom(self, frames):
+        raise RuntimeError("synthetic certifier failure")
+
+    monkeypatch.setattr(engine_mod.UpscaleEngine, "certify_int8", boom)
+    rc = cli.run(["-i", inp, "-s", "2", out, "--yes", "--io-backend", "y4m",
+                  "--dtype", "int8", "--batch", "3", "--int8-gate", "50"])
+    err = capsys.readouterr().err
+    assert rc == 3 and "refusing" in err and "certification failed" in err
+    assert not os.path.exists(out)
+
+    # no gate -> certification failure is reported but non-fatal
+    rc = cli.run(["-i", inp, "-s", "2", out, "--yes", "--io-backend", "y4m",
+                  "--dtype", "int8", "--batch", "3"])
+    err = capsys.readouterr().err
+    assert rc == 0 and "certification skipped" in err
+    assert os.path.exists(out)
+
+
 # -- calibration determinism across resume / shard workers ------------------
 
 

@@ -544,6 +544,12 @@ def test_job_int8_calib_plumbing(tmp_path):
         assert seen == [("realesr-animevideov3", 2, "int8", "p99.9")]
         with pytest.raises(ValueError, match="int8_calib"):
             manager.submit(inp, scale=2, dtype="int8", int8_calib="q9")
+        # range-checked at submit too, not just syntax (p101/p0 would
+        # otherwise only explode later in the worker thread)
+        for bad_calib in ("p101", "p0", "p-3"):
+            with pytest.raises(ValueError, match="int8_calib"):
+                manager.submit(inp, scale=2, dtype="int8",
+                               int8_calib=bad_calib)
     finally:
         manager.shutdown()
 
@@ -602,6 +608,13 @@ def test_cross_site_origin_refused_on_state_change(server):
     code, _ = _req(server + "/api/jobs",
                    headers={"Origin": "http://evil.example"})
     assert code == 200
+    # "Origin: null" (sandboxed iframe / data: URI attacker page) is
+    # cross-site too — must not slip past the check
+    code, body = _req(server + "/api/suffix", method="POST",
+                      data=b'{"path": "/x/v.mp4"}',
+                      headers={"Origin": "null",
+                               "Content-Type": "application/json"})
+    assert code == 403 and "Origin" in body["error"]
 
 
 @pytest.fixture
@@ -633,6 +646,14 @@ def test_bearer_token_required(tokened_server):
     assert _req(tokened_server + "/api/jobs?token=sekrit")[0] == 200
     # the landing page itself needs no token (static html, no data)
     req = urllib.request.Request(tokened_server + "/")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        assert r.status == 200
+    # the /metrics alias serves the same data as /api/metrics — the token
+    # covers it too
+    assert _req(tokened_server + "/metrics")[0] == 401
+    req = urllib.request.Request(  # Prometheus text, not JSON
+        tokened_server + "/metrics",
+        headers={"Authorization": "Bearer sekrit"})
     with urllib.request.urlopen(req, timeout=10) as r:
         assert r.status == 200
 
