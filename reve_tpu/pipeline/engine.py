@@ -234,9 +234,21 @@ class UpscaleEngine:
         return h * w * feat * per_elem
 
     def _epi_bytes(self, h: int, w: int) -> int:
-        # f32 epilogue at input res x out_ch*scale^2 channels
-        out_ch = getattr(self.cfg, "num_out_ch", 3)
-        return h * w * out_ch * self.scale ** 2 * 4
+        if self._has_pre_shuffle:
+            # SRVGG: f32 epilogue at input res x out_ch*scale^2 channels
+            out_ch = getattr(self.cfg, "num_out_ch", 3)
+            return h * w * out_ch * self.scale ** 2 * 4
+        # RRDB upsamples INSIDE apply (interpolate -> conv at 2x then s):
+        # its peak holds ~3.5 output-resolution num_feat-channel buffers
+        # (compute dtype).  Calibrated on the measured x4 bf16 whole-frame
+        # boundary (scripts/perf_rrdb_fit.py, 16 GB v5e): total input
+        # pixels <= 1.84 MP compile+run (720p b2, 480x640 b4), >= 2.07 MP
+        # fail (1080p b1/b2, 720p b4, 480x640 b8); 3.5 puts every plan —
+        # whole-frame gates, chunk sizes, tiled window batches — at or
+        # under the measured-fit 1.84 MP.
+        feat = getattr(self.cfg, "num_feat", 64)
+        bpe = 2 if self.compute_dtype == jnp.bfloat16 else 4
+        return h * w * self.scale ** 2 * feat * bpe * 7 // 2
 
     def _per_device_batch(self) -> int:
         if self.mesh is not None:
@@ -269,22 +281,28 @@ class UpscaleEngine:
         # whole-frame; mesh batches are already per-device small and the
         # chunked reshape would fight the dp sharding — no chunking there
         if self.mesh is None:
-            # the chunked (pre_shuffle) path carries an extra epilogue-res
-            # f32 temp (measured: 4K int8 chunk 4 OOMs while the formula
-            # said it fits; chunk 2 runs) — size chunks with epi counted
-            # twice, while the full-batch whole-frame check keeps the
-            # calibrated single-count formula
-            per_frame = self._frame_bytes(h, w) + self._epi_bytes(h, w)
-            # 4K-class frames pay the epilogue-res scratch in the
-            # UNCHUNKED graph too: int8 4K b4 (12.7 GB single-count,
-            # "fits") was measured RESOURCE_EXHAUSTED while 1080p int8
-            # b16 — the identical total bytes — runs, so the overhead is
-            # per-large-frame, not linear in pixels; gate big frames on
-            # the epi-double-counted formula (matches all four measured
-            # boundaries: 1080p b8/b16 unchunked, 4K b2 unchunked, 4K b4
-            # chunked to 2)
-            gate = (per_frame if h * w > _BIG_FRAME_PIXELS
-                    else self._frame_bytes(h, w))
+            if self._has_pre_shuffle:
+                # the chunked (pre_shuffle) path carries an extra
+                # epilogue-res f32 temp (measured: 4K int8 chunk 4 OOMs
+                # while the formula said it fits; chunk 2 runs) — size
+                # chunks with epi counted twice, while the full-batch
+                # whole-frame check keeps the calibrated single-count
+                # formula.
+                per_frame = self._frame_bytes(h, w) + self._epi_bytes(h, w)
+                # 4K-class frames pay the epilogue-res scratch in the
+                # UNCHUNKED graph too: int8 4K b4 (12.7 GB single-count,
+                # "fits") was measured RESOURCE_EXHAUSTED while 1080p int8
+                # b16 — the identical total bytes — runs, so the overhead
+                # is per-large-frame, not linear in pixels; gate big
+                # frames on the epi-double-counted formula (matches all
+                # four measured boundaries: 1080p b8/b16 unchunked, 4K b2
+                # unchunked, 4K b4 chunked to 2)
+                gate = (per_frame if h * w > _BIG_FRAME_PIXELS
+                        else self._frame_bytes(h, w))
+            else:
+                # RRDB chunks as-is (no pre-shuffle scratch): peak is
+                # chunk x the calibrated per-frame bytes, single-counted
+                per_frame = gate = self._frame_bytes(h, w)
             if gate * batch > _HBM_BUDGET_BYTES:
                 fits = max(1, _HBM_BUDGET_BYTES // per_frame)
                 return 0, int(min(fits, batch)), 0

@@ -72,6 +72,34 @@ def test_rrdb_chunked_execution_exact(monkeypatch):
     np.testing.assert_array_equal(e.upscale_frames(frames), ref)
 
 
+def test_rrdb_execution_plan():
+    """RRDB's byte model is calibrated on the measured x4 bf16 whole-frame
+    boundary (scripts/perf_rrdb_fit.py: <=1.84 MP total input pixels
+    compile+run, >=2.07 MP fail on a 16 GB v5e — the upsample stages hold
+    output-resolution feature maps the SRVGG formula misses by ~20x).
+    Every plan must stay inside the measured-fit region."""
+    def rrdb_engine(b):
+        return UpscaleEngine(model="realesrgan-x4plus-anime", scale=4,
+                             batch_size=b, compute_dtype="bfloat16",
+                             tile=0)
+
+    e = rrdb_engine(1)
+    # 1080p+ : a single frame exceeds the budget -> tiled, window batches
+    # bounded so tile_chunk * window_px <= 1.84 MP (measured fit)
+    for h, w in ((1080, 1920), (2160, 3840)):
+        tile, wf_chunk, tile_chunk = e._plan_execution(h, w)
+        assert tile > 0 and wf_chunk == 0
+        win = (tile + 2 * e.halo) ** 2
+        assert tile_chunk * win <= 1_850_000
+    # 720p: b2 whole-frame unchunked (measured fit), b4 chunks to 2
+    assert rrdb_engine(2)._plan_execution(720, 1280) == (0, 0, 0)
+    assert rrdb_engine(4)._plan_execution(720, 1280) == (0, 2, 0)
+    # 480x640: b4 unchunked (measured fit), b8 chunks within the boundary
+    assert rrdb_engine(4)._plan_execution(480, 640) == (0, 0, 0)
+    tile, wf_chunk, _ = rrdb_engine(8)._plan_execution(480, 640)
+    assert tile == 0 and 1 <= wf_chunk and wf_chunk * 480 * 640 <= 1_850_000
+
+
 def test_auto_execution_plan():
     """Measurement-derived plan (PERF.md round-3 "4K story"): whole-frame
     whenever a single frame fits, lax.map-chunking the batch when the
