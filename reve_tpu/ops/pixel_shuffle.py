@@ -34,7 +34,7 @@ def pixel_shuffle_rowphase(x: jnp.ndarray, r: int) -> jnp.ndarray:
     ((B, H, W, r*C) -> (B, H, W*r, C)), and a stack over the r row
     phases — every intermediate keeps (W*r, C)-contiguous minor dims
     that merge into full lanes.  Bit-identical to pixel_shuffle (pure
-    permutation; asserted in tests/test_ops.py)."""
+    permutation; asserted in tests/test_srvgg_model.py)."""
     b, h, w, crr = x.shape
     c = crr // (r * r)
     if c * r * r != crr:

@@ -95,6 +95,25 @@ def test_pixel_shuffle_matches_torch():
     np.testing.assert_allclose(got, want, atol=0, rtol=0)
 
 
+def test_pixel_shuffle_rowphase_bit_identical():
+    """The row-phase reformulation (used on the chunked 4K whole-frame
+    path, where the classic transpose crashes this stack's compiler) is a
+    pure permutation — bit-identical to pixel_shuffle for every (r, c),
+    including uint8 (the dtype the engine feeds it)."""
+    from reve_tpu.ops.pixel_shuffle import pixel_shuffle_rowphase
+
+    rs = np.random.RandomState(7)
+    for r, c in ((2, 3), (3, 3), (4, 3), (2, 1), (4, 5)):
+        x = rs.rand(2, 5, 7, c * r * r).astype(np.float32)
+        np.testing.assert_array_equal(
+            np.asarray(pixel_shuffle_rowphase(jnp.asarray(x), r)),
+            np.asarray(pixel_shuffle(jnp.asarray(x), r)))
+    u8 = rs.randint(0, 256, (1, 4, 6, 3 * 16), np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(pixel_shuffle_rowphase(jnp.asarray(u8), 4)),
+        np.asarray(pixel_shuffle(jnp.asarray(u8), 4)))
+
+
 def test_quantize_u8_epilogue_exact():
     """quantize-before-shuffle is a pure permutation-commute: the u8 output
     must be bit-identical to quantizing the f32 output."""
