@@ -265,7 +265,18 @@ def run(argv: Optional[List[str]] = None) -> int:
     if os.path.exists(args.outputpath):
         print("output path already exists", file=sys.stderr)
         return 2
+    if args.dtype != "int8" and (args.int8_gate is not None
+                                 or args.int8_calib != "max"):
+        # a silently ignored quality gate is worse than no gate: the
+        # operator would believe certification ran when nothing did
+        print("--int8-gate/--int8-calib require --dtype int8 (they "
+              "configure the int8 turbo path only)", file=sys.stderr)
+        return 2
     if args.inputpath.lower().endswith(IMAGE_EXTS):
+        if args.int8_gate is not None:
+            print("--int8-gate applies to video jobs (image mode does "
+                  "not run certification)", file=sys.stderr)
+            return 2
         return _run_image(args)
     if not args.outputpath.lower().endswith(VIDEO_EXTS + (".y4m",)):
         print("valid output formats: mp4/mkv", file=sys.stderr)
@@ -340,7 +351,7 @@ def run(argv: Optional[List[str]] = None) -> int:
         preloaded=preloaded,
     )
     if args.dtype == "int8":
-        err = _certify_int8(args, state, engine)
+        err = _certify_int8(args, state, engine, ws)
         if err is not None:
             return err
     from reve_tpu.pipeline.progress import JsonlRenderer, TeeRenderer
@@ -417,18 +428,18 @@ def run(argv: Optional[List[str]] = None) -> int:
     return 0
 
 
-def _certify_int8(args, state, engine) -> Optional[int]:
+def _certify_int8(args, state, engine, ws: Workspace) -> Optional[int]:
     """Report (and optionally gate) the int8 turbo quantization cost on
     THIS video before committing to a long job: int8-vs-f32 PSNR on the
     first frames, using the exact scales the job will run with (persisted
-    via the workspace, so resume re-certifies identically).  Returns an
-    exit code to abort with, or None to proceed."""
+    via `ws` — the SAME workspace the job runs in, so resume re-certifies
+    identically).  Returns an exit code to abort with, or None to
+    proceed."""
     import numpy as np
 
     from reve_tpu.io import reader as reader_mod
     from reve_tpu.pipeline import scheduler
 
-    ws = Workspace(args.workspace or args.outputpath + ".revework")
     scheduler.wire_int8_calibration(engine, ws)
     try:
         with reader_mod.open_reader(

@@ -278,34 +278,40 @@ class UpscaleEngine:
             tile_chunk = max(1, min(_TILE_CHUNK,
                                     _HBM_BUDGET_BYTES // per_win))
             return tile, 0, tile_chunk
-        # whole-frame; mesh batches are already per-device small and the
-        # chunked reshape would fight the dp sharding — no chunking there
-        if self.mesh is None:
-            if self._has_pre_shuffle:
-                # the chunked (pre_shuffle) path carries an extra
-                # epilogue-res f32 temp (measured: 4K int8 chunk 4 OOMs
-                # while the formula said it fits; chunk 2 runs) — size
-                # chunks with epi counted twice, while the full-batch
-                # whole-frame check keeps the calibrated single-count
-                # formula.
-                per_frame = self._frame_bytes(h, w) + self._epi_bytes(h, w)
-                # 4K-class frames pay the epilogue-res scratch in the
-                # UNCHUNKED graph too: int8 4K b4 (12.7 GB single-count,
-                # "fits") was measured RESOURCE_EXHAUSTED while 1080p int8
-                # b16 — the identical total bytes — runs, so the overhead
-                # is per-large-frame, not linear in pixels; gate big
-                # frames on the epi-double-counted formula (matches all
-                # four measured boundaries: 1080p b8/b16 unchunked, 4K b2
-                # unchunked, 4K b4 chunked to 2)
-                gate = (per_frame if h * w > _BIG_FRAME_PIXELS
-                        else self._frame_bytes(h, w))
-            else:
-                # RRDB chunks as-is (no pre-shuffle scratch): peak is
-                # chunk x the calibrated per-frame bytes, single-counted
-                per_frame = gate = self._frame_bytes(h, w)
-            if gate * batch > _HBM_BUDGET_BYTES:
-                fits = max(1, _HBM_BUDGET_BYTES // per_frame)
-                return 0, int(min(fits, batch)), 0
+        # whole-frame; HBM accounting is PER DEVICE (`batch` above is the
+        # per-device share on a dp mesh)
+        if self._has_pre_shuffle:
+            # the chunked (pre_shuffle) path carries an extra
+            # epilogue-res f32 temp (measured: 4K int8 chunk 4 OOMs
+            # while the formula said it fits; chunk 2 runs) — size
+            # chunks with epi counted twice, while the full-batch
+            # whole-frame check keeps the calibrated single-count
+            # formula.
+            per_frame = self._frame_bytes(h, w) + self._epi_bytes(h, w)
+            # 4K-class frames pay the epilogue-res scratch in the
+            # UNCHUNKED graph too: int8 4K b4 (12.7 GB single-count,
+            # "fits") was measured RESOURCE_EXHAUSTED while 1080p int8
+            # b16 — the identical total bytes — runs, so the overhead
+            # is per-large-frame, not linear in pixels; gate big
+            # frames on the epi-double-counted formula (matches all
+            # four measured boundaries: 1080p b8/b16 unchunked, 4K b2
+            # unchunked, 4K b4 chunked to 2)
+            gate = (per_frame if h * w > _BIG_FRAME_PIXELS
+                    else self._frame_bytes(h, w))
+        else:
+            # RRDB chunks as-is (no pre-shuffle scratch): peak is
+            # chunk x the calibrated per-frame bytes, single-counted
+            per_frame = gate = self._frame_bytes(h, w)
+        if gate * batch > _HBM_BUDGET_BYTES:
+            fits = max(1, _HBM_BUDGET_BYTES // per_frame)
+            fits = int(min(fits, batch))
+            if self.mesh is None:
+                return 0, fits, 0
+            # dp mesh: submit() slices the GLOBAL batch into wf_chunk
+            # pieces; each piece keeps the P('dp') sharding iff its
+            # length is a dp multiple, so the chunk is the per-device
+            # fit x dp (every device runs `fits` frames per call)
+            return 0, fits * self.mesh.shape["dp"], 0
         return 0, 0, 0
 
     @property

@@ -20,6 +20,7 @@ Completion is defined by the part file existing (the same source of truth
 from __future__ import annotations
 
 import errno
+import logging
 import os
 import threading
 import time
@@ -27,6 +28,8 @@ from typing import List, Optional
 
 from reve_tpu.pipeline.planner import Segment
 from reve_tpu.pipeline.state import Workspace
+
+log = logging.getLogger(__name__)
 
 LEASES_DIR = "leases"
 
@@ -246,12 +249,18 @@ def run_sharded(state, workspace: Workspace, engine, worker_id: str,
                 with hb:
                     job.run()
                 completed += 1
-            except Exception:
+            except Exception as e:
                 if not hb.lost:
                     raise
                 # lease stolen mid-segment (we stalled past stale_after):
                 # the takeover worker owns this segment now — abandon it
                 # and move on; release() below is owner-checked so it
-                # cannot touch the new owner's lease
+                # cannot touch the new owner's lease.  The exception is
+                # USUALLY the cancellation we triggered, but a genuine
+                # failure can race the loss — log it rather than judge
+                log.warning(
+                    "segment %d abandoned after lease loss (takeover by "
+                    "another worker); the aborting error was: %s",
+                    seg.index, e)
         finally:
             queue.release(seg)

@@ -131,27 +131,38 @@ class JobManager:
         if engine is None:
             import inspect
 
+            factory = self.engine_factory
             try:
-                nparams = len(inspect.signature(
-                    self.engine_factory).parameters)
-            except (TypeError, ValueError):  # builtins/partials: assume new
-                nparams = 4
-            if nparams >= 4:
-                engine = self.engine_factory(model, scale, dtype,
-                                             int8_calib)
-            elif int8_calib != "max":
-                raise ValueError(
-                    f"engine_factory {self.engine_factory!r} does not "
-                    f"accept an int8_calib argument; cannot run an "
-                    f"int8_calib={int8_calib!r} job")
-            elif nparams >= 3:
-                engine = self.engine_factory(model, scale, dtype)
-            elif dtype == "bfloat16":
-                engine = self.engine_factory(model, scale)
+                sig = inspect.signature(factory)
+            except (TypeError, ValueError):  # builtins: assume full arity
+                sig = None
+            # call with the longest positional prefix the factory can BIND
+            # (robust to *args/**kwargs and defaults, unlike a raw
+            # parameter count); refusing to silently drop a non-default
+            # setting stays an explicit error
+            for call in ((model, scale, dtype, int8_calib),
+                         (model, scale, dtype),
+                         (model, scale)):
+                if sig is not None:
+                    try:
+                        sig.bind(*call)
+                    except TypeError:
+                        continue
+                if len(call) < 4 and int8_calib != "max":
+                    raise ValueError(
+                        f"engine_factory {factory!r} does not accept an "
+                        f"int8_calib argument; cannot run an "
+                        f"int8_calib={int8_calib!r} job")
+                if len(call) < 3 and dtype != "bfloat16":
+                    raise ValueError(
+                        f"engine_factory {factory!r} does not accept a "
+                        f"dtype argument; cannot run a {dtype} job")
+                engine = factory(*call)
+                break
             else:
-                raise ValueError(
-                    f"engine_factory {self.engine_factory!r} does not "
-                    f"accept a dtype argument; cannot run a {dtype} job")
+                raise TypeError(
+                    f"engine_factory {factory!r} must accept "
+                    f"(model, scale[, dtype[, int8_calib]])")
             self._engines[key] = engine
         return engine
 
@@ -265,6 +276,12 @@ class JobManager:
                     f"{st.model!r} x{st.scale}; resubmit with the same "
                     f"settings to resume, or remove the workspace/choose "
                     f"another output to start fresh")
+            # restore the engine settings the job was STARTED with (the
+            # CLI resume contract, cli.run): resumed segments must be
+            # computed like the committed ones — never mix bf16- and
+            # int8-upscaled segments in one output
+            job.dtype = st.opts.get("dtype", job.dtype)
+            job.int8_calib = st.opts.get("int8_calib", job.int8_calib)
             ws.create(keep_parts=True)
             st = repair_pending(st, ws, ext=part_ext)
         else:
@@ -282,6 +299,8 @@ class JobManager:
                                       self.cfg.segment_size),
                 encode={"crf": self.cfg.crf, "preset": self.cfg.preset},
                 model=job.model,
+                opts={"dtype": job.dtype, "int8_calib": job.int8_calib,
+                      "io_backend": self.io_backend},
             )
             ws.create()
         ws.save(st)

@@ -353,15 +353,22 @@ class Handler(BaseHTTPRequestHandler):
             from urllib.parse import parse_qs, urlparse
 
             q = parse_qs(urlparse(self.path).query)
-            d = os.path.abspath(q.get("dir", ["."])[0] or ".")
+            raw = q.get("dir", ["."])[0] or "."
             if self.browse_root is not None:
                 root = os.path.realpath(self.browse_root)
-                if not d or not os.path.isdir(d):
+                # "." is the UI's entry-point request, not an explicit
+                # path — inside a jail it means the jail root (the
+                # server's cwd is usually OUTSIDE the root, and a 403 on
+                # the first request would make the browser unusable)
+                d = root if raw == "." else os.path.abspath(raw)
+                if not os.path.isdir(d):
                     d = root
                 real = os.path.realpath(d)
                 if os.path.commonpath([root, real]) != root:
                     return self._json(
                         {"error": f"outside --browse-root: {d}"}, 403)
+            else:
+                d = os.path.abspath(raw)
             if not os.path.isdir(d):
                 return self._json({"error": f"not a directory: {d}"}, 400)
             video_exts = (".mp4", ".mkv", ".avi", ".y4m", ".webm", ".mov")
@@ -528,8 +535,26 @@ def make_server(host="127.0.0.1", port=8321, cfg=None, manager=None,
     handler.cfg = cfg
     handler.manager = manager or JobManager(cfg, io_backend=io_backend)
     handler.logger = ServiceLogger(cfg)
-    handler.allowed_hosts = frozenset(
-        {"localhost", "127.0.0.1", "::1", host} | set(allow_hosts))
+    allowed = {"localhost", "127.0.0.1", "::1", host} | set(allow_hosts)
+    if host in ("", "0.0.0.0", "::"):
+        # wildcard bind: clients never send the wildcard as Host — they
+        # use the machine's hostname or one of its addresses.  Accept
+        # those (the DNS-rebinding guard still holds: an attacker's
+        # domain resolves here but the browser sends Host: evil.com,
+        # which is not in the set); anything else (reverse-proxy names,
+        # extra interfaces) is --allow-host territory.
+        import socket
+
+        for name in {socket.gethostname(), socket.getfqdn()}:
+            if not name:
+                continue
+            allowed.add(name.lower())
+            try:
+                for info in socket.getaddrinfo(name, None):
+                    allowed.add(info[4][0])
+            except OSError:
+                pass
+    handler.allowed_hosts = frozenset(a.lower() for a in allowed if a)
     handler.token = token
     handler.browse_root = browse_root
     return ThreadingHTTPServer((host, port), handler)

@@ -93,30 +93,16 @@ def adapt_weights(cfg, frames, steps, seed=0):
 
 def act_stats(params, cfg, x, percentile=None):
     """Per-layer |activation| max (or percentile) at each hidden conv
-    input + the head conv input (classic domain, like
-    quantize.collect_act_maxima but with a percentile option)."""
+    input + the head conv input — THE production calibration math
+    (quantize.collect_act_maxima), so the frontier numbers predict
+    exactly what `--int8-calib` does in the engine."""
     import jax.numpy as jnp
 
-    from reve_tpu.models import srvgg
+    from reve_tpu.weights import quantize
 
-    convs, prelus = params["convs"], params["prelus"]
-
-    def stat(h):
-        a = jnp.abs(h.astype(jnp.float32))
-        if percentile is None:
-            return float(jnp.max(a))
-        return float(jnp.percentile(a, percentile))
-
-    h = srvgg._prelu(
-        srvgg._conv3x3(x.astype(jnp.float32), convs[0]["w"].astype(
-            jnp.float32), convs[0]["b"]), prelus[0]["alpha"])
-    out = [stat(h)]
-    for i in range(cfg.num_conv):
-        h = srvgg._prelu(
-            srvgg._conv3x3(h, convs[i + 1]["w"].astype(jnp.float32),
-                           convs[i + 1]["b"]), prelus[i + 1]["alpha"])
-        out.append(stat(h))
-    return np.asarray(out, np.float32)
+    return np.asarray(quantize.collect_act_maxima(
+        params, x, cfg=cfg, compute_dtype=jnp.float32,
+        percentile=percentile), np.float32)
 
 
 def bias_correct(params, cfg, qb, x):

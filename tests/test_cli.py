@@ -656,3 +656,32 @@ def test_api_upscale_image(tmp_path):
     w, h = reve_tpu.upscale_image(inp, out, scale=3, dtype="float32")
     assert (w, h) == (48, 36)
     assert cv2.imread(out).shape == (36, 48, 3)
+
+
+def test_int8_flags_require_int8_dtype(tmp_path, capsys):
+    """--int8-gate/--int8-calib silently doing nothing would let an
+    operator believe certification ran on a bf16 job (round-3 review):
+    both are refused up front unless --dtype int8 is selected."""
+    inp = str(tmp_path / "in.y4m")
+    with writer.Y4MWriter(inp, 16, 16, fractions.Fraction(24)) as wr:
+        for _ in range(3):
+            wr.write(np.zeros((16, 16, 3), np.uint8))
+    out = str(tmp_path / "out.y4m")
+    rc = cli.run(["-i", inp, "-s", "2", out, "--yes", "--io-backend",
+                  "y4m", "--int8-gate", "50"])
+    assert rc == 2
+    assert "--dtype int8" in capsys.readouterr().err
+    rc = cli.run(["-i", inp, "-s", "2", out, "--yes", "--io-backend",
+                  "y4m", "--int8-calib", "p99.9"])
+    assert rc == 2
+    assert not os.path.exists(out)
+
+    # image mode never certifies: a gate there is an error, not a no-op
+    import cv2
+
+    img = str(tmp_path / "in.png")
+    cv2.imwrite(img, np.zeros((8, 8, 3), np.uint8))
+    rc = cli.run(["-i", img, "-s", "2", str(tmp_path / "o.png"), "--yes",
+                  "--dtype", "int8", "--int8-gate", "50"])
+    assert rc == 2
+    assert "image" in capsys.readouterr().err

@@ -487,3 +487,31 @@ def test_finalize_refuses_missing_parts(tmp_path):
     ws.commit_part(0, ".y4m")
     with _pytest.raises(PipelineError, match="missing"):
         finalize(st, ws, io_backend="y4m", part_ext=".y4m")
+
+
+def test_sharded_engine_hbm_chunking_matches_single_device(monkeypatch):
+    """A dp mesh must not bypass the HBM execution planner (round-3
+    review: the whole-frame chunker early-returned on mesh engines, so a
+    sharded 4K batch would compile the full batch and OOM where the
+    single-device path chunks).  The chunk must stay a dp multiple so the
+    P('dp') sharding survives the split, and outputs stay byte-identical
+    to the unchunked single-device engine."""
+    from reve_tpu.pipeline import engine as engine_mod
+    from reve_tpu.pipeline.engine import UpscaleEngine
+
+    mesh = mesh_lib.make_mesh(jax.devices(), max_sp=1)  # dp=8
+    frames = np.random.RandomState(7).randint(
+        0, 256, (16, 16, 20, 3), np.uint8)
+    kw = dict(model="realesr-animevideov3", scale=2, batch_size=16,
+              compute_dtype="float32", tile=0)
+    ref = UpscaleEngine(**kw).submit(frames).result()
+
+    sharded = UpscaleEngine(mesh=mesh, **kw)
+    # budget of one frame: per-device share is 2 frames -> must chunk
+    per = sharded._frame_bytes(16, 20) + sharded._epi_bytes(16, 20)
+    monkeypatch.setattr(engine_mod, "_HBM_BUDGET_BYTES", per)
+    tile, wf_chunk, _ = sharded._plan_execution(16, 20)
+    assert tile == 0
+    assert wf_chunk == 8  # 1 frame/device x dp=8; two dispatches of 8
+    out = sharded.submit(frames).result()
+    np.testing.assert_array_equal(out, ref)

@@ -704,3 +704,148 @@ def test_job_int8_psnr_reported(tmp_path):
         assert job.to_json()["int8_psnr"] == job.int8_psnr
     finally:
         manager.shutdown()
+
+
+def test_resubmit_restores_engine_opts(tmp_path):
+    """A resumed service job must run with the dtype/int8_calib the job
+    was STARTED with, not the resubmission's settings — one output video
+    must never mix bf16- and int8-upscaled segments (the CLI resume
+    contract, cli.run; round-3 review found the service side missing)."""
+    from reve_tpu.pipeline import state as state_mod
+    from reve_tpu.pipeline.planner import plan_segments as plan
+
+    inp = str(tmp_path / "in.y4m")
+    with writer.Y4MWriter(inp, 32, 24, fractions.Fraction(24)) as wr:
+        for i in range(12):
+            wr.write(np.full((24, 32, 3), 30 + i * 10, np.uint8))
+    out = str(tmp_path / "out.y4m")
+
+    # plant an interrupted int8/p99.9 workspace with segment 0 committed
+    ws = state_mod.Workspace(out + ".revework")
+    ws.create()
+    st = state_mod.JobState(
+        input_path=inp, output_path=out, scale=2, segment_size=5,
+        frame_count=12, fps_num=24, fps_den=1, width=32, height=24,
+        pending=plan(12, 5), model="realesr-animevideov3",
+        opts={"dtype": "int8", "int8_calib": "p99.9"},
+    )
+    with writer.Y4MWriter(ws.part_tmp_path(0, ".y4m"), 64, 48,
+                          fractions.Fraction(24)) as wr:
+        for i in range(5):
+            up = np.full((24, 32, 3), 30 + i * 10, np.uint8)
+            wr.write(np.repeat(np.repeat(up, 2, axis=0), 2, axis=1))
+    ws.commit_part(0, ".y4m")
+    ws.save(st)
+
+    seen = []
+
+    def factory(m, s, dtype, calib):
+        seen.append((dtype, calib))
+        return FakeEngine()
+
+    cfg = config_mod.ServiceConfig(segment_size=5)
+    manager = JobManager(cfg, engine_factory=factory, io_backend="y4m")
+    try:
+        # resubmitted with DEFAULTS — the saved opts must win
+        job = manager.submit(inp, 2, output_path=out)
+        deadline = time.time() + 60
+        while time.time() < deadline and job.status not in ("done", "error"):
+            time.sleep(0.1)
+        assert job.status == "done", job.error
+        assert seen == [("int8", "p99.9")]
+        assert job.dtype == "int8" and job.int8_calib == "p99.9"
+    finally:
+        manager.shutdown()
+
+
+def test_engine_factory_varargs_and_partial(tmp_path):
+    """Factory arity dispatch binds the longest CALLABLE prefix (round-3
+    review: raw parameter counting broke on *args factories and
+    functools.partial).  A *args factory receives the full
+    (model, scale, dtype, int8_calib); a partial over a 4-arg function
+    still binds."""
+    import functools
+
+    inp = str(tmp_path / "in.y4m")
+    with writer.Y4MWriter(inp, 32, 24, fractions.Fraction(24)) as wr:
+        for i in range(6):
+            wr.write(np.full((24, 32, 3), 30 + i * 10, np.uint8))
+
+    def _wait(job):
+        deadline = time.time() + 60
+        while time.time() < deadline and job.status not in ("done", "error"):
+            time.sleep(0.1)
+        return job
+
+    seen = []
+
+    def varargs_factory(*a):
+        seen.append(a)
+        return FakeEngine()
+
+    cfg = config_mod.ServiceConfig(segment_size=5)
+    manager = JobManager(cfg, engine_factory=varargs_factory,
+                         io_backend="y4m")
+    try:
+        job = _wait(manager.submit(inp, scale=2, dtype="int8",
+                                   int8_calib="p99.9",
+                                   output_path=str(tmp_path / "a.y4m")))
+        assert job.status == "done", job.error
+        assert seen == [("realesr-animevideov3", 2, "int8", "p99.9")]
+    finally:
+        manager.shutdown()
+
+    def full(extra, m, s, dtype, calib):
+        seen.append((extra, dtype, calib))
+        return FakeEngine()
+
+    manager = JobManager(cfg,
+                         engine_factory=functools.partial(full, "x"),
+                         io_backend="y4m")
+    try:
+        job = _wait(manager.submit(inp, scale=2, dtype="int8",
+                                   output_path=str(tmp_path / "b.y4m")))
+        assert job.status == "done", job.error
+        assert seen[-1] == ("x", "int8", "max")
+    finally:
+        manager.shutdown()
+
+
+def test_browse_default_dir_is_jail_root(tokened_server, tmp_path):
+    """The UI's entry-point request (no dir param / dir=.) must land at
+    the jail root, not 403 on the daemon's cwd being outside the jail
+    (round-3 review: the file browser was unusable under --browse-root)."""
+    import os
+
+    jail = tmp_path / "jail"
+    (jail / "clip.mp4").parent.mkdir(parents=True, exist_ok=True)
+    (jail / "clip.mp4").write_bytes(b"x")
+    auth = {"Authorization": "Bearer sekrit"}
+    for q in ("", "?dir=.", "?dir="):
+        code, body = _req(tokened_server + "/api/browse" + q, headers=auth)
+        assert code == 200, body
+        assert body["dir"] == os.path.realpath(str(jail))
+        assert {e["name"] for e in body["entries"]} == {"clip.mp4"}
+
+
+def test_wildcard_bind_accepts_machine_hostname():
+    """Binding 0.0.0.0 means clients address the machine by name/IP —
+    the Host allowlist must include the machine's own names (round-3
+    review: every request to a wildcard-bound server was refused as
+    DNS rebinding), while foreign names stay refused."""
+    import socket
+
+    from reve_tpu.service import server as server_mod
+
+    cfg = config_mod.ServiceConfig(segment_size=5)
+    manager = JobManager(cfg, engine_factory=lambda m, s: FakeEngine(),
+                         io_backend="y4m")
+    srv = server_mod.make_server("0.0.0.0", 0, cfg=cfg, manager=manager)
+    try:
+        allowed = srv.RequestHandlerClass.allowed_hosts
+        assert socket.gethostname().lower() in allowed
+        assert "localhost" in allowed
+        assert "evil.example" not in allowed
+    finally:
+        srv.server_close()
+        manager.shutdown()
