@@ -150,14 +150,20 @@ def main():
     # best, with per-path numbers alongside.  Off-TPU smoke mode measures
     # one path only (the contract is the JSON line, not the number).
     paths = None
+    budget = 480.0
     for i, a in enumerate(argv):
         if a == "--paths":
             paths = argv[i + 1].split(",")
-        if a == "--budget":
+        elif a == "--budget":
             budget = float(argv[i + 1])
-            break
-    else:
-        budget = 480.0
+    if paths is not None:
+        unknown = [p for p in paths if p not in ("xla", "int8")]
+        if unknown:
+            # fail loud: measuring the default path under a wrong label
+            # (e.g. the deleted "fused" path) corrupts round comparisons
+            print(f"unknown --paths value(s) {unknown}; valid: xla,int8",
+                  file=sys.stderr)
+            return 2
     deadline = time.time() + budget
 
     backend = jax.default_backend()
@@ -228,4 +234,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -80,6 +80,15 @@ def upscale_video(
         # CLI's resume contract, cli.run): resumed segments must go
         # through the same weights/dtype/container as committed ones —
         # a changed io_backend would even flip part_ext and discard them
+        if state.opts.get("denoise") is not None:
+            # CLI --denoise jobs run dni-INTERPOLATED weights; this API
+            # has no denoise kwarg, so a resumed engine would silently
+            # upscale the remaining segments with the plain weights —
+            # exactly the mixed-model output the restore contract forbids
+            raise ValueError(
+                f"workspace {ws.root!r} was started with --denoise "
+                f"(interpolated weights); resume it via the CLI with the "
+                f"original flags, or remove the workspace to start fresh")
         weights = state.opts.get("weights", weights)
         dtype = state.opts.get("dtype", dtype)
         int8_calib = state.opts.get("int8_calib", int8_calib)

@@ -312,6 +312,14 @@ def run(argv: Optional[List[str]] = None) -> int:
                           f"={state.opts[key]!r} (command line said "
                           f"{getattr(args, key)!r})", file=sys.stderr)
                     setattr(args, key, state.opts[key])
+            if args.int8_gate is not None and args.dtype != "int8":
+                # the saved job is not int8, so certification will never
+                # run — refusing beats silently dropping an explicit gate
+                print("--int8-gate was requested but this workspace's "
+                      f"saved job runs --dtype {args.dtype}; resume "
+                      "without the gate, or start fresh to run int8",
+                      file=sys.stderr)
+                return 2
             ws.create(keep_parts=True)
             state = repair_pending(state, ws, ext=_part_ext(args))
             print(
@@ -435,21 +443,13 @@ def _certify_int8(args, state, engine, ws: Workspace) -> Optional[int]:
     via `ws` — the SAME workspace the job runs in, so resume re-certifies
     identically).  Returns an exit code to abort with, or None to
     proceed."""
-    import numpy as np
-
-    from reve_tpu.io import reader as reader_mod
     from reve_tpu.pipeline import scheduler
 
-    scheduler.wire_int8_calibration(engine, ws)
     try:
-        with reader_mod.open_reader(
-                state.input_path, backend=args.io_backend,
-                width=state.width, height=state.height) as rd:
-            frames = list(rd.read_range(0, min(engine.batch_size,
-                                               state.frame_count)))
-        if not frames:
+        db = scheduler.certify_int8_on_input(engine, ws, state,
+                                             io_backend=args.io_backend)
+        if db is None:
             return None
-        db = engine.certify_int8(np.stack(frames))
     except Exception as e:
         if args.int8_gate is not None:
             # an explicit gate must fail CLOSED: if we cannot measure the
@@ -458,19 +458,25 @@ def _certify_int8(args, state, engine, ws: Workspace) -> Optional[int]:
                   f"--int8-gate {args.int8_gate:g} demands a measured "
                   f"PSNR — run without --dtype int8 or without the gate",
                   file=sys.stderr)
-            if not ws.completed_parts(_part_ext(args)):
+            if not args.shard_worker and \
+                    not ws.completed_parts(_part_ext(args)):
                 ws.destroy()
             return 3
         print(f"int8 certification skipped: {e}", file=sys.stderr)
         return None
+    n = min(engine.batch_size, state.frame_count)
     print(f"int8 turbo: {db:.1f} dB vs f32 on the first "
-          f"{len(frames)} frame(s) (quality gate reference: 50 dB)",
+          f"{n} frame(s) (quality gate reference: 50 dB)",
           file=sys.stderr)
     if args.int8_gate is not None and db < args.int8_gate:
         print(f"refusing: int8 PSNR {db:.1f} dB is below --int8-gate "
               f"{args.int8_gate:g} — run without --dtype int8 (or lower "
               f"the gate)", file=sys.stderr)
-        if not ws.completed_parts(_part_ext(args)):
+        # single-owner workspaces only: a shard worker's workspace is
+        # SHARED (leases, calibration, sibling parts) — never delete it
+        # out from under live workers
+        if not args.shard_worker and \
+                not ws.completed_parts(_part_ext(args)):
             ws.destroy()  # nothing committed: don't leave a resume prompt
         return 3
     return None

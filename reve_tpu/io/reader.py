@@ -172,7 +172,8 @@ class Y4MReader(FrameReader):
     def __init__(self, path: str):
         self.path = path
         with open(path, "rb") as f:
-            header = f.readline().decode()
+            # bounded like the marker reads: don't hunt gigabytes for \n
+            header = f.readline(self._MARKER_CAP).decode(errors="replace")
             self._data_start = f.tell()
         if not header.startswith("YUV4MPEG2"):
             raise ValueError(f"not a y4m file: {path!r}")
@@ -201,20 +202,36 @@ class Y4MReader(FrameReader):
         # frame parameters get an exact marker walk instead.  The stride
         # assumption is RE-VERIFIED at every seek/count (a spec-valid file
         # may switch to parameterized markers mid-stream) and demoted to
-        # the exact walk on first mismatch.  Marker lines are read
-        # unbounded (readline(), not readline(N)): a cap would silently
-        # truncate a long parameter line and desync the walk.
+        # the exact walk on first mismatch.  Marker lines are read to the
+        # newline (a short cap would silently truncate a long parameter
+        # line and desync the walk) but bounded at _MARKER_CAP: a read
+        # landing inside frame payload must not allocate the rest of the
+        # file hunting for a newline — past the cap the "line" is treated
+        # as not-a-marker.
         with open(path, "rb") as f:
             f.seek(self._data_start)
-            first = f.readline()
+            first = self._read_marker(f)
         self._plain_markers = first in (b"", b"FRAME\n")
+
+    #: longest marker line honored; real FRAME parameter lines are tens of
+    #: bytes, payload bytes masquerading as a "line" can be gigabytes
+    _MARKER_CAP = 4096
+
+    def _read_marker(self, f):
+        """One bounded marker-line read.  Returns the line (newline
+        included; b"" at EOF), or None when no newline appears within
+        _MARKER_CAP bytes — which no valid marker does."""
+        line = f.readline(self._MARKER_CAP)
+        if len(line) == self._MARKER_CAP and not line.endswith(b"\n"):
+            return None
+        return line
 
     def _stride_ok(self, f, index: int) -> bool:
         """Verify frame `index` starts with a bare marker at the fixed
         stride offset; on mismatch demote this reader to marker-walking."""
         per = self._frame_size + len(b"FRAME\n")
         f.seek(self._data_start + index * per)
-        if f.readline() in (b"", b"FRAME\n"):
+        if self._read_marker(f) in (b"", b"FRAME\n"):
             return True
         self._plain_markers = False
         return False
@@ -223,7 +240,8 @@ class Y4MReader(FrameReader):
         """Position f at frame `start`'s marker by walking markers."""
         f.seek(self._data_start)
         for _ in range(start):
-            if not f.readline().startswith(b"FRAME"):
+            line = self._read_marker(f)
+            if line is None or not line.startswith(b"FRAME"):
                 return False
             f.seek(self._frame_size, 1)
         return True
@@ -241,8 +259,8 @@ class Y4MReader(FrameReader):
             n = 0
             f.seek(self._data_start)
             while True:
-                line = f.readline()
-                if not line.startswith(b"FRAME"):
+                line = self._read_marker(f)
+                if line is None or not line.startswith(b"FRAME"):
                     return n
                 end = f.seek(self._frame_size, 1)
                 if end > os.path.getsize(self.path):
@@ -260,8 +278,8 @@ class Y4MReader(FrameReader):
             elif not self._walk_to(f, start):
                 return
             for _ in range(stop - start):
-                marker = f.readline()
-                if not marker.startswith(b"FRAME"):
+                marker = self._read_marker(f)
+                if marker is None or not marker.startswith(b"FRAME"):
                     return
                 raw = f.read(self._frame_size)
                 if len(raw) < self._frame_size:

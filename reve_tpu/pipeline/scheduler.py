@@ -90,6 +90,29 @@ def wire_int8_calibration(engine, workspace: Workspace) -> None:
         engine.calibration_hook = workspace.claim_calibration
 
 
+def certify_int8_on_input(engine, workspace: Workspace, state: JobState,
+                          io_backend=None):
+    """int8-vs-f32 PSNR (dB) on the job's OWN first frames, measured with
+    the exact workspace-persisted scales the job will run with — shared by
+    the CLI's --int8-gate/report and the service's per-job `int8_psnr`
+    field so the two certification contracts can never drift.  Returns
+    None when the input yields no frames; raises on read/measure errors
+    (each caller decides whether that fails open or closed)."""
+    import numpy as np
+
+    from reve_tpu.io import reader as reader_mod
+
+    wire_int8_calibration(engine, workspace)
+    with reader_mod.open_reader(state.input_path, backend=io_backend,
+                                width=state.width,
+                                height=state.height) as rd:
+        frames = list(rd.read_range(
+            0, min(engine.batch_size, state.frame_count)))
+    if not frames:
+        return None
+    return engine.certify_int8(np.stack(frames))
+
+
 class PipelineJob:
     """Runs one upscale job (possibly resumed) to completion."""
 

@@ -261,8 +261,7 @@ class JobManager:
         from reve_tpu.io import probe
         from reve_tpu.pipeline import scheduler
 
-        part_ext = ".y4m" if self.io_backend == "y4m" else ".mp4"
-        job.part_ext = part_ext
+        io_backend = self.io_backend
         ws = Workspace(
             os.path.abspath(job.output_path) + ".revework"
         )
@@ -276,16 +275,23 @@ class JobManager:
                     f"{st.model!r} x{st.scale}; resubmit with the same "
                     f"settings to resume, or remove the workspace/choose "
                     f"another output to start fresh")
-            # restore the engine settings the job was STARTED with (the
+            # restore the engine/io settings the job was STARTED with (the
             # CLI resume contract, cli.run): resumed segments must be
             # computed like the committed ones — never mix bf16- and
-            # int8-upscaled segments in one output
+            # int8-upscaled segments in one output, and a changed
+            # io_backend would flip part_ext and silently discard every
+            # committed part (a CLI y4m job resumed through the service)
             job.dtype = st.opts.get("dtype", job.dtype)
             job.int8_calib = st.opts.get("int8_calib", job.int8_calib)
+            io_backend = st.opts.get("io_backend", io_backend)
+            part_ext = ".y4m" if io_backend == "y4m" else ".mp4"
+            job.part_ext = part_ext
             ws.create(keep_parts=True)
             st = repair_pending(st, ws, ext=part_ext)
         else:
-            info = probe.probe(job.input_path, backend=self.io_backend)
+            part_ext = ".y4m" if io_backend == "y4m" else ".mp4"
+            job.part_ext = part_ext
+            info = probe.probe(job.input_path, backend=io_backend)
             fps = info.fps or Fraction(30, 1)
             st = JobState(
                 input_path=os.path.abspath(job.input_path),
@@ -300,7 +306,7 @@ class JobManager:
                 encode={"crf": self.cfg.crf, "preset": self.cfg.preset},
                 model=job.model,
                 opts={"dtype": job.dtype, "int8_calib": job.int8_calib,
-                      "io_backend": self.io_backend},
+                      "io_backend": io_backend},
             )
             ws.create()
         ws.save(st)
@@ -311,26 +317,19 @@ class JobManager:
             total_segments=len(st.pending),
         )
         pipeline = scheduler.PipelineJob(
-            st, ws, engine, io_backend=self.io_backend,
+            st, ws, engine, io_backend=io_backend,
             part_ext=part_ext, progress=job.progress,
         )
         if job.dtype == "int8":
-            # report the quantization cost on THIS video (same contract as
-            # the CLI's --dtype int8 report; uses the job's persisted
-            # scales, so a resumed job re-certifies identically)
+            # report the quantization cost on THIS video (the same helper
+            # the CLI's --dtype int8 report/gate uses; measures with the
+            # job's persisted scales, so a resumed job re-certifies
+            # identically)
             try:
-                from reve_tpu.io import reader as reader_mod
-
-                with reader_mod.open_reader(
-                        st.input_path, backend=self.io_backend,
-                        width=st.width, height=st.height) as rd:
-                    frames = list(rd.read_range(
-                        0, min(engine.batch_size, st.frame_count)))
-                if frames:
-                    import numpy as np
-
-                    job.int8_psnr = round(
-                        engine.certify_int8(np.stack(frames)), 2)
+                db = scheduler.certify_int8_on_input(
+                    engine, ws, st, io_backend=io_backend)
+                if db is not None:
+                    job.int8_psnr = round(db, 2)
             except Exception:
                 pass  # certification must never fail the job
         job.pipeline = pipeline
@@ -338,7 +337,7 @@ class JobManager:
             pipeline.cancel()
         final = pipeline.run()
         report = scheduler.finalize(
-            final, ws, io_backend=self.io_backend, part_ext=part_ext
+            final, ws, io_backend=io_backend, part_ext=part_ext
         )
         if pipeline.encoder_desc:
             report["encoder"] = pipeline.encoder_desc

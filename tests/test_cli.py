@@ -685,3 +685,30 @@ def test_int8_flags_require_int8_dtype(tmp_path, capsys):
                   "--dtype", "int8", "--int8-gate", "50"])
     assert rc == 2
     assert "image" in capsys.readouterr().err
+
+
+def test_api_resume_refuses_denoise_opts(tmp_path, monkeypatch):
+    """upscale_video() has no denoise kwarg: resuming a CLI --denoise
+    workspace must refuse (the committed segments were upscaled with
+    dni-interpolated weights the API cannot reconstruct), not silently
+    finish the video with plain weights."""
+    import reve_tpu
+    from reve_tpu.pipeline import state as state_mod
+    from reve_tpu.pipeline.planner import plan_segments as plan
+
+    monkeypatch.chdir(tmp_path)
+    inp = _small_y4m(tmp_path)
+    out = str(tmp_path / "dni_out.y4m")
+    ws = state_mod.Workspace(out + ".revework")
+    ws.create()
+    ws.save(state_mod.JobState(
+        input_path=inp, output_path=out, scale=2, segment_size=4,
+        frame_count=10, fps_num=24, fps_den=1, width=24, height=16,
+        pending=plan(10, 4),
+        opts={"denoise": 0.5, "weights_wdn": "wdn.pth",
+              "io_backend": "y4m"},
+    ))
+    with pytest.raises(ValueError, match="denoise"):
+        reve_tpu.upscale_video(inp, out, scale=2, io_backend="y4m",
+                               segment_size=4, batch=3, dtype="float32")
+    assert ws.has_state()  # untouched: the CLI can still resume it

@@ -403,3 +403,65 @@ def test_engine_int8_sharded_matches_single_device():
     es = UpscaleEngine(scale=2, batch_size=8, compute_dtype="int8")
     np.testing.assert_array_equal(em.upscale_frames(frames),
                                   es.upscale_frames(frames))
+
+
+def test_cli_resume_refuses_dropped_int8_gate(tmp_path, monkeypatch,
+                                              capsys):
+    """Resume restores the SAVED dtype; if that drops int8 while the
+    command line carries --int8-gate, the gate would silently never run —
+    the CLI must refuse instead (exit 2)."""
+    import fractions
+
+    from reve_tpu import cli
+    from reve_tpu.io import writer
+    from reve_tpu.pipeline import state as state_mod
+    from reve_tpu.pipeline.planner import plan_segments as plan
+
+    monkeypatch.chdir(tmp_path)
+    inp = str(tmp_path / "in.y4m")
+    rs = np.random.RandomState(0)
+    with writer.Y4MWriter(inp, 32, 24, fractions.Fraction(24)) as wr:
+        for i in range(6):
+            wr.write((rs.rand(24, 32, 3) * 255).astype(np.uint8))
+    out = str(tmp_path / "o.y4m")
+    ws = state_mod.Workspace(out + ".revework")
+    ws.create()
+    ws.save(state_mod.JobState(
+        input_path=inp, output_path=out, scale=2, segment_size=5,
+        frame_count=6, fps_num=24, fps_den=1, width=32, height=24,
+        pending=plan(6, 5),
+        opts={"dtype": "bfloat16", "io_backend": "y4m"},
+    ))
+    rc = cli.run(["-i", inp, "-s", "2", out, "--yes", "--io-backend",
+                  "y4m", "--dtype", "int8", "--int8-gate", "50"])
+    err = capsys.readouterr().err
+    assert rc == 2
+    assert "--int8-gate" in err and "saved job" in err
+    # the workspace is untouched: the operator can still resume properly
+    assert ws.has_state()
+
+
+def test_cli_int8_gate_shard_worker_keeps_workspace(tmp_path, monkeypatch,
+                                                    capsys):
+    """A shard worker's workspace is SHARED with sibling workers: a gate
+    refusal must exit 3 but never destroy the workspace out from under
+    them (the single-owner cleanup only applies without --shard-worker)."""
+    import fractions
+    import os
+
+    from reve_tpu import cli
+    from reve_tpu.io import writer
+
+    monkeypatch.chdir(tmp_path)
+    inp = str(tmp_path / "in.y4m")
+    rs = np.random.RandomState(0)
+    with writer.Y4MWriter(inp, 32, 24, fractions.Fraction(24)) as wr:
+        for i in range(6):
+            wr.write((rs.rand(24, 32, 3) * 255).astype(np.uint8))
+    out = str(tmp_path / "o.y4m")
+    rc = cli.run(["-i", inp, "-s", "2", out, "--yes", "--io-backend", "y4m",
+                  "--dtype", "int8", "--batch", "3", "--int8-gate", "200",
+                  "--shard-worker", "w1"])
+    err = capsys.readouterr().err
+    assert rc == 3 and "refusing" in err
+    assert os.path.exists(out + ".revework/state.json")

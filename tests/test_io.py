@@ -292,3 +292,40 @@ def test_concat_native_case_insensitive_mp4_report(tmp_path):
     parts = []
     assert native_concat(parts or ["x.y4m"], "ORIG.MP4",
                          str(tmp_path / "out.mp4")) is False  # no mp4 parts
+
+
+def test_y4m_long_parameter_marker_lines(tmp_path):
+    """Spec-valid FRAME lines may carry long parameter strings: anything
+    under the marker cap must parse exactly (the old 256-byte readline
+    cap silently truncated and desynced the walk)."""
+    h, w = 24, 32
+    fsz = w * h * 3 // 2
+    params = b" X" + b"p" * 600  # > the old 256-byte cap
+    payload = bytes([128]) * fsz
+    path = str(tmp_path / "long_marker.y4m")
+    with open(path, "wb") as f:
+        f.write(b"YUV4MPEG2 W32 H24 F24:1 C420\n")
+        for _ in range(3):
+            f.write(b"FRAME" + params + b"\n")
+            f.write(payload)
+    rd = reader.Y4MReader(path)
+    assert rd.frame_count() == 3
+    assert len(list(rd.read_range(0, 3))) == 3
+
+
+def test_y4m_corrupt_tail_bounded_marker_read(tmp_path):
+    """A newline-free byte run where a marker should be (corrupt file, or
+    payload bytes after a truncation) must be treated as not-a-marker
+    within the bounded cap — never an unbounded readline() that hunts the
+    rest of a multi-GB file for a newline."""
+    h, w = 24, 32
+    fsz = w * h * 3 // 2
+    path = str(tmp_path / "corrupt_tail.y4m")
+    with open(path, "wb") as f:
+        f.write(b"YUV4MPEG2 W32 H24 F24:1 C420\n")
+        f.write(b"FRAME\n" + bytes([128]) * fsz)
+        f.write(b"A" * 16384)  # garbage: no newline anywhere
+    rd = reader.Y4MReader(path)
+    assert rd.frame_count() == 1
+    frames = list(rd.read_range(0, 5))
+    assert len(frames) == 1 and frames[0].shape == (h, w, 3)

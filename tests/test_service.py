@@ -849,3 +849,60 @@ def test_wildcard_bind_accepts_machine_hostname():
     finally:
         srv.server_close()
         manager.shutdown()
+
+
+def test_resume_restores_io_backend(tmp_path):
+    """A workspace started with io_backend=y4m (e.g. by the CLI) and
+    resubmitted through a JobManager configured differently must restore
+    the SAVED io_backend: part_ext is derived from it, so trusting the
+    manager's setting would make repair_pending see zero committed .mp4
+    parts and silently redo (and orphan) every finished segment."""
+    from reve_tpu.pipeline import state as state_mod
+    from reve_tpu.pipeline.planner import plan_segments as plan
+
+    inp = str(tmp_path / "in.y4m")
+    with writer.Y4MWriter(inp, 32, 24, fractions.Fraction(24)) as wr:
+        for i in range(12):
+            wr.write(np.full((24, 32, 3), 30 + i * 10, np.uint8))
+    out = str(tmp_path / "out.y4m")
+
+    ws = state_mod.Workspace(out + ".revework")
+    ws.create()
+    st = state_mod.JobState(
+        input_path=inp, output_path=out, scale=2, segment_size=5,
+        frame_count=12, fps_num=24, fps_den=1, width=32, height=24,
+        pending=plan(12, 5),
+        opts={"dtype": "bfloat16", "io_backend": "y4m"},
+    )
+    with writer.Y4MWriter(ws.part_tmp_path(0, ".y4m"), 64, 48,
+                          fractions.Fraction(24)) as wr:
+        for i in range(5):
+            up = np.full((24, 32, 3), 30 + i * 10, np.uint8)
+            wr.write(np.repeat(np.repeat(up, 2, axis=0), 2, axis=1))
+    ws.commit_part(0, ".y4m")
+    ws.save(st)
+
+    class CountingEngine(FakeEngine):
+        frames_seen = 0
+
+        def submit(self, frames):
+            CountingEngine.frames_seen += len(frames)
+            return super().submit(frames)
+
+    cfg = config_mod.ServiceConfig(segment_size=5)
+    # manager deliberately NOT configured for y4m: the saved opts must win
+    manager = JobManager(cfg, engine_factory=lambda m, s: CountingEngine(),
+                         io_backend=None)
+    try:
+        job = manager.submit(inp, 2, output_path=out)
+        deadline = time.time() + 60
+        while time.time() < deadline and job.status not in ("done", "error"):
+            time.sleep(0.1)
+        assert job.status == "done", job.error
+        assert job.part_ext == ".y4m"
+        rd = reader.Y4MReader(out)
+        assert rd.frame_count() == 12
+        # segment 0's committed part was honored, not redone
+        assert CountingEngine.frames_seen < 12
+    finally:
+        manager.shutdown()
