@@ -81,6 +81,12 @@ static Header parse_header(std::FILE* f, const std::string& path) {
   }
   if (h.width <= 0 || h.height <= 0)
     throw std::runtime_error(path + ": y4m header missing W/H");
+  // sanity bounds: keep frame_bytes and the fps cross-products far from
+  // long overflow on hostile headers (atol silently saturates/overflows)
+  if (h.width > (1L << 20) || h.height > (1L << 20) ||
+      h.fps_num < 0 || h.fps_den < 0 ||
+      h.fps_num > 1000000000L || h.fps_den > 1000000000L)
+    throw std::runtime_error(path + ": implausible y4m header values");
   return h;
 }
 
@@ -192,9 +198,15 @@ int rc_probe_y4m(const char* path, long* width, long* height, long* fps_num,
     for (;;) {
       line.clear();
       int c;
-      while ((c = std::fgetc(in.f)) != EOF && c != '\n')
+      while ((c = std::fgetc(in.f)) != EOF && c != '\n') {
         line.push_back(static_cast<char>(c));
-      if (line.empty() && c == EOF) break;
+        if (line.size() > 4096)  // bounded read: a corrupt file without
+          // newlines must not force a near-file-size allocation
+          throw std::runtime_error(std::string(path) +
+                                   ": FRAME marker line too long");
+      }
+      if (c == EOF) break;  // torn tail: a marker cut mid-line cannot be
+                            // followed by a complete frame — stop counting
       if (line.rfind("FRAME", 0) != 0)
         throw std::runtime_error(std::string(path) + ": bad FRAME marker");
       if (std::ftell(in.f) + frame_bytes > file_size)

@@ -404,6 +404,38 @@ def test_probe_y4m_torn_tail_frame(tmp_path):
     assert native.probe_y4m(part)["frames"] == 2
 
 
+def test_probe_y4m_torn_marker_line(tmp_path):
+    """EOF in the middle of a FRAME marker line = torn tail (count the
+    complete frames), not an error — byte-level truncation can land
+    anywhere, including inside the marker."""
+    (part,) = _write_y4m_parts(tmp_path, [2])
+    with open(part, "ab") as f:
+        f.write(b"FRA")  # marker cut mid-line at EOF
+    assert native.probe_y4m(part)["frames"] == 2
+
+
+def test_probe_y4m_marker_line_bounded(tmp_path):
+    """A corrupt file whose 'marker' never hits a newline must error out
+    at a bounded length, not allocate toward the file size (the native
+    twin of the Python reader's 4 KB marker cap)."""
+    bad = str(tmp_path / "long.y4m")
+    with open(bad, "wb") as f:
+        f.write(b"YUV4MPEG2 W8 H4 F24:1\n" + b"FRAME" + b"X" * 100_000)
+    with pytest.raises(native.NativeError, match="too long"):
+        native.probe_y4m(bad)
+
+
+def test_probe_y4m_implausible_header_rejected(tmp_path):
+    """Hostile W/H/F header values are rejected before any frame-size
+    arithmetic (atol on huge literals would otherwise feed overflowing
+    products into frame_bytes / the fps cross-check)."""
+    bad = str(tmp_path / "big.y4m")
+    with open(bad, "wb") as f:
+        f.write(b"YUV4MPEG2 W99999999999 H4 F24:1\nFRAME\n")
+    with pytest.raises(native.NativeError, match="implausible"):
+        native.probe_y4m(bad)
+
+
 def test_io_concat_routes_y4m_to_native(tmp_path):
     from fractions import Fraction
 
