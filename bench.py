@@ -140,10 +140,58 @@ def _measure_path(path, cfg, params, h, w, batch, iters, warmup,
     return best, attempts
 
 
+def _watchdog_budget(argv) -> float:
+    """Watchdog deadline: the measurement budget plus a generous margin for
+    backend init + up to a dozen fresh compiles (normal total is minutes)."""
+    budget = 480.0
+    for i, a in enumerate(argv):
+        if a == "--budget":
+            try:
+                budget = float(argv[i + 1])
+            except (IndexError, ValueError):
+                pass  # main() re-parses and errors loudly
+    return budget + 900.0
+
+
+def _arm_watchdog(timeout_s: float, payload: dict):
+    """Guarantee the ONE-JSON-line contract even if the TPU stack wedges.
+
+    Backend init and jit compiles block inside C++ (no Python deadline can
+    interrupt them), and a dead axon relay makes them block FOREVER — seen
+    live in round 3: jax.devices() hung indefinitely during a relay outage.
+    A daemon thread prints an honest zero-value line and hard-exits if the
+    real measurement hasn't completed in time; call .set() on the returned
+    event once the real result is out."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def fire():
+        if not done.wait(timeout_s):
+            print(json.dumps(payload), flush=True)
+            sys.stdout.flush()
+            os._exit(3)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done
+
+
 def main():
+    argv = sys.argv[1:]
+    watchdog_done = _arm_watchdog(
+        _watchdog_budget(argv),
+        {
+            "metric": "fps_4k_to_8k_x4" if "--4k" in argv
+            else "fps_1080p_to_4k_x4",
+            "value": 0.0, "unit": "fps/chip", "vs_baseline": 0.0,
+            "error": "bench watchdog: TPU backend init or compile hung "
+                     "past the deadline (relay outage?)",
+        },
+    )
+
     import jax
 
-    argv = sys.argv[1:]
     report = "--report" in argv
     # headline measures both the exact bf16 path and the int8 turbo mode
     # (quantized hidden stack, --dtype int8); the reported value is the
@@ -213,6 +261,7 @@ def main():
 
     fps = max(results.values())
     workload = "fps_4k_to_8k_x4" if fourk else "fps_1080p_to_4k_x4"
+    watchdog_done.set()
     if report:
         for path, v in results.items():
             print(json.dumps({

@@ -34,6 +34,34 @@ def test_bench_smoke_offtpu():
     assert data["paths"].get("xla", 0) > 0, data
 
 
+def test_bench_watchdog_fires_json_line():
+    """If the TPU stack wedges (backend init / compile blocking in C++ —
+    seen live during a relay outage), bench must STILL print one valid
+    JSON line and exit, because the driver records stdout as BENCH_r{N}:
+    a silent hang loses the round's benchmark entirely."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, "-c",
+         "import sys, time; sys.path.insert(0, %r); import bench; "
+         "bench._arm_watchdog(1.0, {'metric': 'm', 'value': 0.0, "
+         "'unit': 'fps/chip', 'vs_baseline': 0.0, 'error': 'wedged'}); "
+         "time.sleep(30)" % repo],
+        capture_output=True, text=True, timeout=25,
+    )
+    assert res.returncode == 3, (res.returncode, res.stderr[-300:])
+    data = json.loads(res.stdout.strip().splitlines()[-1])
+    assert data["error"] == "wedged" and data["value"] == 0.0
+
+
+def test_bench_watchdog_budget_parse():
+    import bench
+
+    assert bench._watchdog_budget(["--budget", "60"]) == 960.0
+    assert bench._watchdog_budget([]) == 1380.0
+    # malformed --budget must not crash the watchdog (main errors later)
+    assert bench._watchdog_budget(["--budget"]) == 1380.0
+
+
 def test_graft_entry_jits():
     import __graft_entry__ as g
 
