@@ -18,6 +18,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    # honor an explicit CPU request via jax.config: on this image a
+    # sitecustomize-registered accelerator plugin overrides the env var,
+    # and a wedged TPU relay then blocks jax.devices() forever (the
+    # hermetic test suite runs this script with JAX_PLATFORMS=cpu)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def synthetic_batches(batch, patch, scale, seed=0):
     rs = np.random.RandomState(seed)
