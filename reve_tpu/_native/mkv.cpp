@@ -181,6 +181,8 @@ enum : uint32_t {
   ID_TrackType = 0x83,
   ID_CodecID = 0x86,
   ID_CodecPrivate = 0x63A2,
+  ID_CodecDelay = 0x56AA,
+  ID_SeekPreRoll = 0x56BB,
   ID_DefaultDuration = 0x23E383,
   ID_Video = 0xE0,
   ID_PixelWidth = 0xB0,
@@ -595,6 +597,8 @@ struct AudioCodec {
   std::vector<uint8_t> codec_private;
   double sample_rate = 0;
   uint32_t channels = 0;
+  uint64_t codec_delay_ns = 0;   // Opus: PreSkip in ns (48 kHz samples)
+  uint64_t seek_preroll_ns = 0;  // Opus: 80 ms per RFC 7845 §4.2
 };
 
 static bool map_audio_codec(const Track& t, AudioCodec* ac) {
@@ -633,7 +637,44 @@ static bool map_audio_codec(const Track& t, AudioCodec* ac) {
   }
   if (fmt == "ac-3") { ac->codec_id = "A_AC3"; return true; }
   if (fmt == "ec-3") { ac->codec_id = "A_EAC3"; return true; }
-  if (fmt == "Opus") { return false; }  // dOps->OpusHead repack not done
+  if (fmt == "Opus") {
+    // dOps (Opus-in-ISOBMFF, NOT a FullBox): Version(1)=0,
+    // OutputChannelCount(1), PreSkip(be16), InputSampleRate(be32),
+    // OutputGain(be16), ChannelMappingFamily(1)
+    // [+ StreamCount(1), CoupledCount(1), ChannelMapping(chans) if
+    //  family != 0 — identical order to OpusHead's table].
+    // Matroska CodecPrivate is the Ogg OpusHead (RFC 7845 §5.1): same
+    // fields with the multi-byte ones little-endian, behind the magic.
+    const BoxRef* dops = find(ext, "dOps");
+    if (!dops || dops->payload_len < 11) return false;
+    const uint8_t* o = p + dops->payload_off;
+    if (o[0] != 0) return false;  // unknown dOps version
+    uint8_t chans = o[1];
+    uint16_t preskip = uint16_t((uint16_t(o[2]) << 8) | o[3]);
+    uint32_t in_rate = rd32(o + 4);
+    uint16_t gain = uint16_t((uint16_t(o[8]) << 8) | o[9]);
+    uint8_t family = o[10];
+    std::vector<uint8_t> head = {'O', 'p', 'u', 's', 'H', 'e', 'a', 'd', 1,
+                                 chans,
+                                 uint8_t(preskip), uint8_t(preskip >> 8),
+                                 uint8_t(in_rate), uint8_t(in_rate >> 8),
+                                 uint8_t(in_rate >> 16), uint8_t(in_rate >> 24),
+                                 uint8_t(gain), uint8_t(gain >> 8), family};
+    if (family != 0) {
+      uint64_t tbl = 2 + uint64_t(chans);
+      if (dops->payload_len < 11 + tbl) return false;
+      head.insert(head.end(), o + 11, o + 11 + tbl);
+    }
+    ac->codec_id = "A_OPUS";
+    ac->codec_private = std::move(head);
+    ac->channels = chans;
+    // dOps InputSampleRate is the original rate (0 = unspecified); Opus
+    // itself always decodes at 48 kHz, which is also PreSkip's timebase
+    if (in_rate) ac->sample_rate = double(in_rate);
+    ac->codec_delay_ns = uint64_t(preskip) * 1000000000ull / 48000;
+    ac->seek_preroll_ns = 80000000;  // 80 ms, RFC 7845 §4.2
+    return true;
+  }
   return false;
 }
 
@@ -720,6 +761,9 @@ static void write_mkv(const std::string& out_path, VideoStream& vs,
       te.uint_elem(ID_TrackUID, num);
       te.uint_elem(ID_TrackType, 2);
       te.str_elem(ID_CodecID, ac.codec_id);
+      if (ac.codec_delay_ns) te.uint_elem(ID_CodecDelay, ac.codec_delay_ns);
+      if (ac.seek_preroll_ns)
+        te.uint_elem(ID_SeekPreRoll, ac.seek_preroll_ns);
       if (!ac.codec_private.empty())
         te.elem(ID_CodecPrivate, ac.codec_private);
       EbmlBuf au;

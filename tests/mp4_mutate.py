@@ -162,3 +162,52 @@ def insert_ctts(src, dst, offset_ticks, sample_count):
     with open(dst, "wb") as f:
         f.write(bytes(data))
     return True
+
+
+def mp4a_to_opus(src, dst, preskip=312, rate=48000, channels=2):
+    """Copy src->dst rewriting its (first) AAC audio sample entry into an
+    Opus one IN PLACE: fourcc mp4a->Opus, the esds box overwritten with a
+    dOps box (+ free padding to preserve every offset/size).  Produces a
+    structurally valid Opus-in-mp4 track over the original AAC packet data
+    — good enough for mux/codec-mapping tests (no decoder runs here)."""
+    data = bytearray(open(src, "rb").read())
+    # find the audio trak: the one whose mdia/hdlr handler_type is 'soun'
+    moov_off, moov_size = _find_box(data, 0, len(data), b"moov")
+    if moov_off is None:
+        return False
+    for t_off, t_size, t_typ in _walk_boxes(data, moov_off + 8,
+                                            moov_off + moov_size):
+        if t_typ != b"trak":
+            continue
+        m_off, m_size = _find_box(data, t_off + 8, t_off + t_size, b"mdia")
+        if m_off is None:
+            continue
+        h_off, h_size = _find_box(data, m_off + 8, m_off + m_size, b"hdlr")
+        if h_off is None or bytes(data[h_off + 16:h_off + 20]) != b"soun":
+            continue
+        start, end = m_off + 8, m_off + m_size
+        for typ in (b"minf", b"stbl", b"stsd"):
+            off, size = _find_box(data, start, end, typ)
+            if off is None:
+                return False
+            start, end = off + 8, off + size
+        entry = start + 8  # skip stsd verflags(4) + entry count(4)
+        if bytes(data[entry + 4:entry + 8]) != b"mp4a":
+            return False
+        data[entry + 4:entry + 8] = b"Opus"
+        # AudioSampleEntry samplerate (16.16) at +32 from entry start
+        struct.pack_into(">I", data, entry + 32, rate << 16)
+        struct.pack_into(">H", data, entry + 24, channels)
+        e_off, e_size = _find_box(data, entry + 36, end, b"esds")
+        if e_off is None or e_size < 27:  # dOps(19) + free hdr(8)
+            return False
+        dops = struct.pack(">I4sBBHIHB", 19, b"dOps", 0, channels,
+                           preskip, rate, 0, 0)
+        free = struct.pack(">I4s", e_size - 19, b"free")
+        data[e_off:e_off + 19] = dops
+        data[e_off + 19:e_off + 27] = free
+        # free payload keeps whatever bytes were there — valid padding
+        with open(dst, "wb") as f:
+            f.write(data)
+        return True
+    return False

@@ -341,6 +341,42 @@ def test_concat_mkv_corrupt_part_rejected(tmp_path):
         native.concat_mkv(parts, bad, str(tmp_path / "o2.mkv"))
 
 
+def test_concat_mkv_mp4_opus_original(tmp_path):
+    """Opus-in-mp4 originals remux natively: the dOps box is repacked into
+    an Ogg OpusHead CodecPrivate (RFC 7845 §5.1 — same fields, multi-byte
+    ones flipped to little-endian behind the magic) with A_OPUS,
+    CodecDelay=PreSkip (48 kHz timebase) and the 80 ms SeekPreRoll.  The
+    reference's `-c copy` concat carries Opus audio untouched
+    (reve-shared/src/lib.rs:181-204); dropping it silently was the one
+    audio-codec gap left in the native muxer."""
+    import os
+    import struct
+
+    import mp4_mutate
+
+    if not os.path.exists(TEST_MP4):
+        pytest.skip("reference asset missing")
+    opus_orig = str(tmp_path / "opus.mp4")
+    assert mp4_mutate.mp4a_to_opus(TEST_MP4, opus_orig)
+    parts = _write_parts(tmp_path, [3, 2])
+    out = str(tmp_path / "o.mkv")
+    native.concat_mkv(parts, opus_orig, out)
+    info = native.probe_mkv(out)
+    assert info["has_audio"] is True and info["n_tracks"] == 2
+    blob = open(out, "rb").read()
+    assert b"A_OPUS" in blob
+    i = blob.index(b"OpusHead")
+    head = blob[i:i + 19]
+    assert head[8] == 1 and head[9] == 2            # version, channels
+    assert struct.unpack("<H", head[10:12])[0] == 312     # PreSkip
+    assert struct.unpack("<I", head[12:16])[0] == 48000   # InputSampleRate
+    assert head[18] == 0                                  # mapping family
+    # CodecDelay (0x56AA) = 312/48000 s = 6_500_000 ns, minimal-length uint
+    assert b"\x56\xaa\x83" + (6_500_000).to_bytes(3, "big") in blob
+    # SeekPreRoll (0x56BB) = 80 ms
+    assert b"\x56\xbb\x84" + (80_000_000).to_bytes(4, "big") in blob
+
+
 # ---------------------------------------------------------------- y4m concat
 
 
