@@ -195,6 +195,7 @@ enum : uint32_t {
   ID_SimpleBlock = 0xA3,
   ID_BlockGroup = 0xA0,
   ID_Block = 0xA1,
+  ID_BlockDuration = 0x9B,
   ID_Chapters = 0x1043A770,
   ID_Tags = 0x1254C367,
   ID_Attachments = 0x1941A469,
@@ -599,6 +600,7 @@ struct AudioCodec {
   uint32_t channels = 0;
   uint64_t codec_delay_ns = 0;   // Opus: PreSkip in ns (48 kHz samples)
   uint64_t seek_preroll_ns = 0;  // Opus: 80 ms per RFC 7845 §4.2
+  uint8_t track_type = 2;        // 2 audio, 17 subtitle (S_TEXT/UTF8)
 };
 
 static bool map_audio_codec(const Track& t, AudioCodec* ac) {
@@ -692,6 +694,9 @@ struct OutBlock {
   File* file = nullptr;
   uint64_t file_off = 0;
   uint32_t size = 0;
+  // duration > 0 wraps the fresh block in a BlockGroup with BlockDuration
+  // (subtitle blocks: Matroska derives display time from it)
+  uint64_t duration = 0;
 };
 
 static void write_mkv(const std::string& out_path, VideoStream& vs,
@@ -759,17 +764,19 @@ static void write_mkv(const std::string& out_path, VideoStream& vs,
       EbmlBuf te;
       te.uint_elem(ID_TrackNumber, num);
       te.uint_elem(ID_TrackUID, num);
-      te.uint_elem(ID_TrackType, 2);
+      te.uint_elem(ID_TrackType, ac.track_type);
       te.str_elem(ID_CodecID, ac.codec_id);
       if (ac.codec_delay_ns) te.uint_elem(ID_CodecDelay, ac.codec_delay_ns);
       if (ac.seek_preroll_ns)
         te.uint_elem(ID_SeekPreRoll, ac.seek_preroll_ns);
       if (!ac.codec_private.empty())
         te.elem(ID_CodecPrivate, ac.codec_private);
-      EbmlBuf au;
-      au.float_elem(ID_SamplingFrequency, ac.sample_rate);
-      au.uint_elem(ID_Channels, ac.channels ? ac.channels : 2);
-      te.elem(ID_Audio, au);
+      if (ac.track_type == 2) {
+        EbmlBuf au;
+        au.float_elem(ID_SamplingFrequency, ac.sample_rate);
+        au.uint_elem(ID_Channels, ac.channels ? ac.channels : 2);
+        te.elem(ID_Audio, au);
+      }
       tracks.elem(ID_TrackEntry, te);
     }
     EbmlBuf e;
@@ -813,9 +820,18 @@ static void write_mkv(const std::string& out_path, VideoStream& vs,
         payload.vint(b.track);  // track number as vint
         payload.d.push_back(uint8_t(uint16_t(rel) >> 8));
         payload.d.push_back(uint8_t(uint16_t(rel)));
-        payload.d.push_back(b.key ? 0x80 : 0x00);  // flags (no lacing)
+        payload.d.push_back(b.duration ? 0x00
+                                       : (b.key ? 0x80 : 0x00));  // flags
         payload.raw(framebuf);
-        cl.elem(ID_SimpleBlock, payload);
+        if (b.duration) {
+          // BlockGroup{Block, BlockDuration}: subtitle display time
+          EbmlBuf grp;
+          grp.elem(ID_Block, payload);
+          grp.uint_elem(ID_BlockDuration, b.duration);
+          cl.elem(ID_BlockGroup, grp);
+        } else {
+          cl.elem(ID_SimpleBlock, payload);
+        }
         if (b.track == video_track_num && b.key && !cue_added) {
           cues.push_back({b.ts, cluster_off});
           cue_added = true;
@@ -925,9 +941,28 @@ void concat_mkv(const std::vector<std::string>& parts,
     orig_mp4 = parse_movie(*orig_mp4_file);
     uint64_t next_num = 2;
     for (auto& t : orig_mp4.tracks) {
-      if (t.handler != "soun" || !t.timescale) continue;
+      if (!t.timescale) continue;
+      bool is_audio = t.handler == "soun";
+      // 3GPP timed text ('text'/'sbtl' handler, tx3g sample entries):
+      // remuxed as Matroska S_TEXT/UTF8 — each tx3g sample is a u16 BE
+      // text length + UTF-8 bytes (+ style boxes we drop); display time
+      // comes from BlockDuration (the stts delta).  The reference's
+      // `-map 1:s?` concat carries subtitle streams the same way
+      // (reve-shared/src/lib.rs:181-204).
+      bool is_text = t.handler == "text" || t.handler == "sbtl";
       AudioCodec ac;
-      if (!map_audio_codec(t, &ac)) continue;
+      if (is_audio) {
+        if (!map_audio_codec(t, &ac)) continue;
+      } else if (is_text) {
+        if (t.stsd.size() < 16 + 8) continue;
+        std::string fmt(reinterpret_cast<const char*>(
+                            t.stsd.data() + 16 + 4), 4);
+        if (fmt != "tx3g") continue;
+        ac.codec_id = "S_TEXT/UTF8";
+        ac.track_type = 17;
+      } else {
+        continue;
+      }
       uint64_t num = next_num++;
       mp4_audio.emplace_back(num, ac);
       uint32_t n = t.sample_count();
@@ -956,6 +991,24 @@ void concat_mkv(const std::vector<std::string>& parts,
           ob.file = orig_mp4_file.get();
           ob.file_off = offs[s];
           ob.size = t.sample_size(s);
+          if (is_text) {
+            // strip the tx3g u16 length prefix; empty text = a gap
+            // (no subtitle displayed) -> no block at all
+            uint8_t lenb[2] = {0, 0};
+            if (ob.size < 2) { dts += e.delta; s++; continue; }
+            orig_mp4_file->read_at(ob.file_off, lenb, 2);
+            uint32_t text_len = (uint32_t(lenb[0]) << 8) | lenb[1];
+            if (!text_len || text_len > ob.size - 2) {
+              dts += e.delta;
+              s++;
+              continue;
+            }
+            ob.file_off += 2;
+            ob.size = text_len;
+            ob.duration = uint64_t(
+                double(e.delta) * 1e9 /
+                (double(t.timescale) * double(ts_scale)));
+          }
           blocks.push_back(std::move(ob));
           dts += e.delta;
           s++;

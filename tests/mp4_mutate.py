@@ -211,3 +211,62 @@ def mp4a_to_opus(src, dst, preskip=312, rate=48000, channels=2):
             f.write(data)
         return True
     return False
+
+
+def add_tx3g_track(src, dst, cues, timescale=1000, track_id=9):
+    """Copy src->dst appending a 3GPP timed-text (tx3g) subtitle track:
+    a new trak in moov (handler 'text', one chunk of u16-length-prefixed
+    samples) + a new mdat at EOF holding the cue bytes.  `cues` is a list
+    of (text_or_empty, duration_ticks); empty text = a display gap.
+    Requires moov to be the LAST top-level box (cv2's layout) so growing
+    it shifts nothing."""
+    data = bytearray(open(src, "rb").read())
+    moov_off, moov_size = _find_box(data, 0, len(data), b"moov")
+    if moov_off is None or moov_off + moov_size != len(data):
+        return False
+
+    samples = []
+    for text, _dur in cues:
+        raw = text.encode() if text else b""
+        samples.append(struct.pack(">H", len(raw)) + raw)
+    payload = b"".join(samples)
+
+    def box(typ, body):
+        return struct.pack(">I4s", 8 + len(body), typ) + body
+
+    def full(typ, body, verflags=0):
+        return box(typ, struct.pack(">I", verflags) + body)
+
+    total_dur = sum(d for _, d in cues)
+    tkhd = full(b"tkhd", struct.pack(">IIII", 0, 0, track_id, 0)
+                + struct.pack(">I", total_dur) + b"\0" * 52
+                + struct.pack(">II", 0, 0), verflags=7)
+    mdhd = full(b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale,
+                                     total_dur, 0x55C4, 0))
+    hdlr = full(b"hdlr", struct.pack(">I4s", 0, b"text") + b"\0" * 12
+                + b"tx3g\0")
+    # tx3g sample entry: 8 reserved/dataref + 30 bytes of default style
+    tx3g_entry = struct.pack(">I4s", 8 + 8 + 30, b"tx3g") \
+        + b"\0" * 6 + struct.pack(">H", 1) + b"\0" * 30
+    stsd = full(b"stsd", struct.pack(">I", 1) + tx3g_entry)
+    stts = full(b"stts", struct.pack(">I", len(cues)) + b"".join(
+        struct.pack(">II", 1, d) for _, d in cues))
+    stsc = full(b"stsc", struct.pack(">IIII", 1, 1, len(samples), 1))
+    stsz = full(b"stsz", struct.pack(">II", 0, len(samples)) + b"".join(
+        struct.pack(">I", len(s)) for s in samples))
+    # chunk offset: after the grown moov, into the appended mdat's payload
+    trak_sizes_guess = 0
+    for _ in range(2):  # stco size depends on the final offset: iterate
+        stco = full(b"stco", struct.pack(">II", 1,
+                                         len(data) + trak_sizes_guess + 8))
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        trak = box(b"trak", tkhd + mdia)
+        trak_sizes_guess = len(trak)
+    struct.pack_into(">I", data, moov_off, moov_size + len(trak))
+    data += trak
+    data += box(b"mdat", payload)
+    with open(dst, "wb") as f:
+        f.write(data)
+    return True

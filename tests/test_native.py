@@ -377,6 +377,43 @@ def test_concat_mkv_mp4_opus_original(tmp_path):
     assert b"\x56\xbb\x84" + (80_000_000).to_bytes(4, "big") in blob
 
 
+def test_concat_mkv_mp4_tx3g_subtitles(tmp_path):
+    """3GPP timed-text (tx3g) subtitle tracks in an mp4 original remux
+    into mkv as S_TEXT/UTF8: the u16 length prefix is stripped, display
+    time rides BlockDuration (BlockGroup), and empty-text gap samples
+    produce no block.  The reference's `-map 1:s?` concat carries
+    subtitle streams (reve-shared/src/lib.rs:181-204); dropping them on
+    the mp4->mkv path was the last subtitle gap in the native muxer."""
+    import os
+
+    import mp4_mutate
+
+    base = _write_parts(tmp_path, [12])[0]
+    subbed = str(tmp_path / "subbed.mp4")
+    assert mp4_mutate.add_tx3g_track(
+        base, subbed, [("Hello world", 1000), ("", 500), ("Second cue", 750)])
+    parts_dir = tmp_path / "parts"
+    parts_dir.mkdir()
+    parts = _write_parts(parts_dir, [3, 2])
+    out = str(tmp_path / "o.mkv")
+    native.concat_mkv(parts, subbed, out)
+    info = native.probe_mkv(out)
+    assert info["n_tracks"] == 2 and info["has_audio"] is False
+    blob = open(out, "rb").read()
+    assert b"S_TEXT/UTF8" in blob
+    assert blob.count(b"Hello world") == 1      # payload, length stripped
+    assert blob.count(b"Second cue") == 1
+    assert b"\x9b\x82\x03\xe8" in blob          # BlockDuration 1000 ms
+    assert b"\x9b\x82\x02\xee" in blob          # BlockDuration 750 ms
+    # the empty gap cue produced no block: exactly two BlockGroups
+    assert blob.count(b"\x9b\x82") == 2
+    # mp4 -> mp4 concat copies the tx3g track verbatim (regression guard)
+    out2 = str(tmp_path / "o.mp4")
+    native.concat_mp4(parts, subbed, out2)
+    blob2 = open(out2, "rb").read()
+    assert b"tx3g" in blob2 and b"Hello world" in blob2
+
+
 # ---------------------------------------------------------------- y4m concat
 
 
