@@ -639,6 +639,19 @@ static bool map_audio_codec(const Track& t, AudioCodec* ac) {
   }
   if (fmt == "ac-3") { ac->codec_id = "A_AC3"; return true; }
   if (fmt == "ec-3") { ac->codec_id = "A_EAC3"; return true; }
+  if (fmt == "fLaC") {
+    // dfLa (FLAC-in-ISOBMFF): FullBox verflags(4), then the METADATA_BLOCKs
+    // starting with STREAMINFO.  Matroska A_FLAC CodecPrivate is the native
+    // FLAC stream header: "fLaC" magic + those same blocks, verbatim.
+    const BoxRef* dfla = find(ext, "dfLa");
+    if (!dfla || dfla->payload_len < 4 + 38) return false;  // STREAMINFO=38
+    ac->codec_id = "A_FLAC";
+    ac->codec_private = {'f', 'L', 'a', 'C'};
+    ac->codec_private.insert(ac->codec_private.end(),
+                             p + dfla->payload_off + 4,
+                             p + dfla->payload_off + dfla->payload_len);
+    return true;
+  }
   if (fmt == "Opus") {
     // dOps (Opus-in-ISOBMFF, NOT a FullBox): Version(1)=0,
     // OutputChannelCount(1), PreSkip(be16), InputSampleRate(be32),

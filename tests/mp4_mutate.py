@@ -164,12 +164,10 @@ def insert_ctts(src, dst, offset_ticks, sample_count):
     return True
 
 
-def mp4a_to_opus(src, dst, preskip=312, rate=48000, channels=2):
-    """Copy src->dst rewriting its (first) AAC audio sample entry into an
-    Opus one IN PLACE: fourcc mp4a->Opus, the esds box overwritten with a
-    dOps box (+ free padding to preserve every offset/size).  Produces a
-    structurally valid Opus-in-mp4 track over the original AAC packet data
-    — good enough for mux/codec-mapping tests (no decoder runs here)."""
+def _swap_mp4a_entry(src, dst, fourcc, new_box, rate, channels):
+    """Shared rewrite: find the audio trak's mp4a sample entry, swap its
+    fourcc and overwrite the esds box with `new_box` (+ free padding so
+    every offset/size in the file is preserved)."""
     data = bytearray(open(src, "rb").read())
     # find the audio trak: the one whose mdia/hdlr handler_type is 'soun'
     moov_off, moov_size = _find_box(data, 0, len(data), b"moov")
@@ -191,26 +189,90 @@ def mp4a_to_opus(src, dst, preskip=312, rate=48000, channels=2):
             if off is None:
                 return False
             start, end = off + 8, off + size
+        chain = [(moov_off, moov_size), (t_off, t_size), (m_off, m_size)]
         entry = start + 8  # skip stsd verflags(4) + entry count(4)
         if bytes(data[entry + 4:entry + 8]) != b"mp4a":
             return False
-        data[entry + 4:entry + 8] = b"Opus"
+        data[entry + 4:entry + 8] = fourcc
         # AudioSampleEntry samplerate (16.16) at +32 from entry start
         struct.pack_into(">I", data, entry + 32, rate << 16)
         struct.pack_into(">H", data, entry + 24, channels)
         e_off, e_size = _find_box(data, entry + 36, end, b"esds")
-        if e_off is None or e_size < 27:  # dOps(19) + free hdr(8)
+        n = len(new_box)
+        if e_off is None:
             return False
-        dops = struct.pack(">I4sBBHIHB", 19, b"dOps", 0, channels,
-                           preskip, rate, 0, 0)
-        free = struct.pack(">I4s", e_size - 19, b"free")
-        data[e_off:e_off + 19] = dops
-        data[e_off + 19:e_off + 27] = free
-        # free payload keeps whatever bytes were there — valid padding
+        if e_size >= n + 8:
+            # fits: overwrite + free padding, zero offsets move
+            data[e_off:e_off + n] = new_box
+            data[e_off + n:e_off + n + 8] = struct.pack(
+                ">I4s", e_size - n, b"free")
+        else:
+            # new box larger than esds: splice it in and grow every
+            # ancestor box size.  mdat must not move (absolute chunk
+            # offsets), so the growth is absorbed either by file end
+            # (moov-last layout) or by shrinking a top-level free box
+            # between moov and mdat (faststart layout).
+            delta = n - e_size
+            free_off = None
+            if moov_off + moov_size != len(data):
+                for o, s, t in _walk_boxes(data, moov_off + moov_size,
+                                           len(data)):
+                    if t == b"mdat":
+                        break
+                    if t == b"free" and s >= delta + 8:
+                        free_off = o
+                        free_size = s
+                        break
+                if free_off is None:
+                    return False
+            # re-locate the minf/stbl/stsd chain for size patching
+            s2, e2 = m_off + 8, m_off + m_size
+            for typ in (b"minf", b"stbl", b"stsd"):
+                off, size = _find_box(data, s2, e2, typ)
+                chain.append((off, size))
+                s2, e2 = off + 8, off + size
+            chain.append((entry, struct.unpack_from(">I", data, entry)[0]))
+            for off, size in chain:
+                struct.pack_into(">I", data, off, size + delta)
+            data[e_off:e_off + e_size] = new_box
+            if free_off is not None:
+                # everything between moov and the free box shifted +delta;
+                # delete delta bytes from the free payload so mdat stays put
+                free_off += delta
+                struct.pack_into(">I", data, free_off, free_size - delta)
+                del data[free_off + 8:free_off + 8 + delta]
         with open(dst, "wb") as f:
             f.write(data)
         return True
     return False
+
+
+def mp4a_to_opus(src, dst, preskip=312, rate=48000, channels=2):
+    """Copy src->dst rewriting its (first) AAC audio sample entry into an
+    Opus one IN PLACE: fourcc mp4a->Opus, the esds box overwritten with a
+    dOps box (+ free padding to preserve every offset/size).  Produces a
+    structurally valid Opus-in-mp4 track over the original AAC packet data
+    — good enough for mux/codec-mapping tests (no decoder runs here)."""
+    dops = struct.pack(">I4sBBHIHB", 19, b"dOps", 0, channels,
+                       preskip, rate, 0, 0)
+    return _swap_mp4a_entry(src, dst, b"Opus", dops, rate, channels)
+
+
+def mp4a_to_flac(src, dst, rate=48000, channels=2):
+    """Copy src->dst rewriting the AAC audio entry into FLAC-in-mp4:
+    fourcc mp4a->fLaC, esds overwritten with a dfLa box (FullBox verflags
+    + a last-block STREAMINFO METADATA_BLOCK, 34 zero-filled bytes plus
+    plausible rate/channel fields)."""
+    # STREAMINFO: min/max blocksize(2+2) min/max framesize(3+3)
+    # rate(20 bits) channels-1(3) bits-1(5) total(36) md5(16) = 34 bytes
+    streaminfo = bytearray(34)
+    struct.pack_into(">HH", streaminfo, 0, 4096, 4096)
+    packed = (rate << 12) | ((channels - 1) << 9) | ((16 - 1) << 4)
+    struct.pack_into(">I", streaminfo, 10, packed << 4)
+    block = struct.pack(">B", 0x80) + len(streaminfo).to_bytes(3, "big") \
+        + bytes(streaminfo)
+    dfla = struct.pack(">I4sI", 8 + 4 + len(block), b"dfLa", 0) + block
+    return _swap_mp4a_entry(src, dst, b"fLaC", dfla, rate, channels)
 
 
 def add_tx3g_track(src, dst, cues, timescale=1000, track_id=9):

@@ -377,6 +377,31 @@ def test_concat_mkv_mp4_opus_original(tmp_path):
     assert b"\x56\xbb\x84" + (80_000_000).to_bytes(4, "big") in blob
 
 
+def test_concat_mkv_mp4_flac_original(tmp_path):
+    """FLAC-in-mp4 originals remux natively: A_FLAC CodecPrivate is the
+    native stream header — 'fLaC' magic + the dfLa box's METADATA_BLOCKs
+    verbatim (STREAMINFO first)."""
+    import os
+
+    import mp4_mutate
+
+    if not os.path.exists(TEST_MP4):
+        pytest.skip("reference asset missing")
+    flac_orig = str(tmp_path / "flac.mp4")
+    assert mp4_mutate.mp4a_to_flac(TEST_MP4, flac_orig)
+    parts = _write_parts(tmp_path, [3, 2])
+    out = str(tmp_path / "o.mkv")
+    native.concat_mkv(parts, flac_orig, out)
+    info = native.probe_mkv(out)
+    assert info["has_audio"] is True and info["n_tracks"] == 2
+    blob = open(out, "rb").read()
+    assert b"A_FLAC" in blob
+    i = blob.index(b"fLaC")
+    # magic, then the last-block STREAMINFO header (0x80, len 34)
+    assert blob[i + 4] == 0x80
+    assert blob[i + 5:i + 8] == (34).to_bytes(3, "big")
+
+
 def test_concat_mkv_mp4_tx3g_subtitles(tmp_path):
     """3GPP timed-text (tx3g) subtitle tracks in an mp4 original remux
     into mkv as S_TEXT/UTF8: the u16 length prefix is stripped, display
