@@ -197,6 +197,14 @@ enum : uint32_t {
   ID_Block = 0xA1,
   ID_BlockDuration = 0x9B,
   ID_Chapters = 0x1043A770,
+  ID_EditionEntry = 0x45B9,
+  ID_EditionFlagDefault = 0x45DB,
+  ID_ChapterAtom = 0xB6,
+  ID_ChapterUID = 0x73C4,
+  ID_ChapterTimeStart = 0x91,
+  ID_ChapterDisplay = 0x80,
+  ID_ChapString = 0x85,
+  ID_ChapLanguage = 0x437C,
   ID_Tags = 0x1254C367,
   ID_Attachments = 0x1941A469,
   ID_Cues = 0x1C53BB6B,
@@ -952,9 +960,73 @@ void concat_mkv(const std::vector<std::string>& parts,
     // mp4 original: remux audio tracks sample-by-sample
     orig_mp4_file.reset(new File(original, "rb"));
     orig_mp4 = parse_movie(*orig_mp4_file);
+    // QuickTime chapter convention: any track listed in another track's
+    // tref/chap is chapter METADATA, not a stream — convert it to a
+    // Matroska Chapters element (the reference's -map_chapters 1)
+    std::vector<uint32_t> chapter_track_ids;
+    for (auto& t : orig_mp4.tracks)
+      for (uint32_t id : t.chap_refs) chapter_track_ids.push_back(id);
     uint64_t next_num = 2;
     for (auto& t : orig_mp4.tracks) {
       if (!t.timescale) continue;
+      bool is_chapter = false;
+      for (uint32_t id : chapter_track_ids)
+        is_chapter |= (t.track_id != 0 && id == t.track_id);
+      if (is_chapter) {
+        EbmlBuf atoms;
+        uint32_t n = t.sample_count();
+        std::vector<uint64_t> offs(n);
+        uint32_t s = 0;
+        for (uint32_t c = 0; c < t.chunk_offsets.size() && s < n; c++) {
+          uint64_t o = t.chunk_offsets[c];
+          uint32_t spc = t.samples_in_chunk(c);
+          for (uint32_t k = 0; k < spc && s < n; k++) {
+            offs[s] = o;
+            o += t.sample_size(s);
+            s++;
+          }
+        }
+        uint64_t dts = 0;
+        s = 0;
+        uint64_t uid = 1;
+        for (auto& e : t.stts) {
+          for (uint32_t k = 0; k < e.count && s < n; k++) {
+            uint32_t sz = t.sample_size(s);
+            std::string title;
+            if (sz >= 2) {
+              std::vector<uint8_t> buf(sz);
+              orig_mp4_file->read_at(offs[s], buf.data(), sz);
+              uint32_t tl = (uint32_t(buf[0]) << 8) | buf[1];
+              if (tl && tl <= sz - 2)
+                title.assign(reinterpret_cast<char*>(buf.data() + 2), tl);
+            }
+            EbmlBuf atom;
+            atom.uint_elem(ID_ChapterUID, uid++);
+            atom.uint_elem(ID_ChapterTimeStart,
+                           uint64_t(double(dts) * 1e9 / t.timescale));
+            if (!title.empty()) {
+              EbmlBuf disp;
+              disp.str_elem(ID_ChapString, title);
+              disp.str_elem(ID_ChapLanguage, "und");
+              atom.elem(ID_ChapterDisplay, disp);
+            }
+            atoms.elem(ID_ChapterAtom, atom);
+            dts += e.delta;
+            s++;
+          }
+        }
+        if (atoms.d.size()) {
+          EbmlBuf ed;
+          ed.uint_elem(ID_EditionFlagDefault, 1);
+          ed.raw(atoms.d);
+          EbmlBuf ch;
+          ch.elem(ID_EditionEntry, ed);
+          EbmlBuf e;
+          e.elem(ID_Chapters, ch);
+          extra.push_back(std::move(e.d));
+        }
+        continue;
+      }
       bool is_audio = t.handler == "soun";
       // 3GPP timed text ('text'/'sbtl' handler, tx3g sample entries):
       // remuxed as Matroska S_TEXT/UTF8 — each tx3g sample is a u16 BE

@@ -145,6 +145,16 @@ static Track parse_trak(const uint8_t* data, const BoxRef& trak) {
       t.height16 = rd32(data + tkhd->payload_off + tkhd->payload_len - 4);
     }
   }
+  if (auto* tref = find(cs, "tref")) {
+    // tref children are reference-type boxes whose payload is a list of
+    // u32 track ids; 'chap' marks QuickTime chapter tracks
+    for (auto& r : children(data, tref->payload_off,
+                            tref->payload_off + tref->payload_len)) {
+      if (r.type != "chap") continue;
+      for (uint64_t o = 0; o + 4 <= r.payload_len; o += 4)
+        t.chap_refs.push_back(rd32(data + r.payload_off + o));
+    }
+  }
   if (auto* mdia = find(cs, "mdia")) {
     auto ms = children(data, mdia->payload_off,
                        mdia->payload_off + mdia->payload_len);

@@ -106,6 +106,10 @@ struct Track {
   uint32_t fixed_sample_size = 0;   // stsz sample_size field
   std::vector<uint32_t> sample_sizes;  // empty if fixed_sample_size
   std::vector<uint64_t> chunk_offsets;
+  // tref/chap references: track ids this track marks as CHAPTER tracks
+  // (QuickTime chapter convention — a text track listed here is chapter
+  // metadata, not a subtitle stream)
+  std::vector<uint32_t> chap_refs;
   // raw trak box bytes (for verbatim copy of non-video tracks)
   std::vector<uint8_t> trak_raw;
   // offset of stco/co64 payload within trak_raw (for patching)

@@ -275,17 +275,32 @@ def mp4a_to_flac(src, dst, rate=48000, channels=2):
     return _swap_mp4a_entry(src, dst, b"fLaC", dfla, rate, channels)
 
 
-def add_tx3g_track(src, dst, cues, timescale=1000, track_id=9):
+def add_tx3g_track(src, dst, cues, timescale=1000, track_id=9,
+                   as_chapters=False):
     """Copy src->dst appending a 3GPP timed-text (tx3g) subtitle track:
     a new trak in moov (handler 'text', one chunk of u16-length-prefixed
     samples) + a new mdat at EOF holding the cue bytes.  `cues` is a list
     of (text_or_empty, duration_ticks); empty text = a display gap.
+    `as_chapters`: also insert a tref/chap box into the FIRST (video)
+    trak referencing the new track — the QuickTime chapter convention
+    (the track is then chapter metadata, not a subtitle stream).
     Requires moov to be the LAST top-level box (cv2's layout) so growing
     it shifts nothing."""
     data = bytearray(open(src, "rb").read())
     moov_off, moov_size = _find_box(data, 0, len(data), b"moov")
     if moov_off is None or moov_off + moov_size != len(data):
         return False
+    if as_chapters:
+        # tref{chap{track_id}} appended inside the first trak
+        v_off, v_size = _find_box(data, moov_off + 8, moov_off + moov_size,
+                                  b"trak")
+        if v_off is None:
+            return False
+        tref = struct.pack(">I4sI4sI", 20, b"tref", 12, b"chap", track_id)
+        struct.pack_into(">I", data, v_off, v_size + len(tref))
+        struct.pack_into(">I", data, moov_off, moov_size + len(tref))
+        data[v_off + v_size:v_off + v_size] = tref
+        moov_size += len(tref)
 
     samples = []
     for text, _dur in cues:

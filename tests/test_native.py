@@ -377,6 +377,39 @@ def test_concat_mkv_mp4_opus_original(tmp_path):
     assert b"\x56\xbb\x84" + (80_000_000).to_bytes(4, "big") in blob
 
 
+def test_concat_mkv_mp4_chapter_track(tmp_path):
+    """A QuickTime chapter text track (tref/chap-referenced) in an mp4
+    original converts to a Matroska Chapters element — ChapterAtoms with
+    ChapterTimeStart (ns) and the title as ChapterDisplay — and is NOT
+    remuxed as a subtitle stream (ffmpeg's handling of -map_chapters 1,
+    reve-shared/src/lib.rs:196)."""
+    import mp4_mutate
+
+    base = _write_parts(tmp_path, [12])[0]
+    chaptered = str(tmp_path / "chap.mp4")
+    assert mp4_mutate.add_tx3g_track(
+        base, chaptered,
+        [("Intro", 1000), ("Action", 2000), ("Credits", 500)],
+        as_chapters=True)
+    parts_dir = tmp_path / "parts"
+    parts_dir.mkdir()
+    parts = _write_parts(parts_dir, [3, 2])
+    out = str(tmp_path / "o.mkv")
+    native.concat_mkv(parts, chaptered, out)
+    info = native.probe_mkv(out)
+    assert info["n_tracks"] == 1          # chapter track is not a stream
+    blob = open(out, "rb").read()
+    assert b"\x10\x43\xa7\x70" in blob    # Chapters element
+    for title in (b"Intro", b"Action", b"Credits"):
+        assert title in blob
+    assert b"S_TEXT" not in blob
+    # ChapterTimeStart of 'Action': 1000 ticks @ timescale 1000 = 1e9 ns,
+    # minimal-length EBML uint (4 bytes) behind id 0x91
+    assert b"\x91\x84" + (10 ** 9).to_bytes(4, "big") in blob
+    # 'Credits' starts at 3e9 ns
+    assert b"\x91\x84" + (3 * 10 ** 9).to_bytes(4, "big") in blob
+
+
 def test_concat_mkv_mp4_flac_original(tmp_path):
     """FLAC-in-mp4 originals remux natively: A_FLAC CodecPrivate is the
     native stream header — 'fLaC' magic + the dfLa box's METADATA_BLOCKs
