@@ -297,6 +297,12 @@ def run(argv: Optional[List[str]] = None) -> int:
                       f" resume with the same --model or start fresh",
                       file=sys.stderr)
                 return 2
+            if state.scale != args.scale:
+                # the reference resumes with its SAVED args wholesale
+                # (main.rs:92-101); we match that but say so — a silent
+                # -s override would surprise anyone who changed it
+                print(f"resume: using saved -s {state.scale} (command "
+                      f"line said {args.scale})", file=sys.stderr)
             # restore the engine/io settings the job was STARTED with
             # (mirrors the reference's args.temp, main.rs:92-101): resumed
             # segments must go through the same model/weights/container as

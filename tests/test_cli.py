@@ -623,12 +623,14 @@ def test_cli_resume_restores_saved_opts(tmp_path, monkeypatch, capsys):
     assert st.opts["dtype"] == "float32"
 
     monkeypatch.setattr(sched_mod.PipelineJob, "run", real_run)
-    # resume WITHOUT --io-backend/--dtype: saved opts win
-    rc = cli.run(["-i", inp, "-s", "2", out, "--yes", "-S", "4",
+    # resume WITHOUT --io-backend/--dtype and with a DIFFERENT -s: saved
+    # opts and saved scale win (reference args.temp semantics), noisily
+    rc = cli.run(["-i", inp, "-s", "3", out, "--yes", "-S", "4",
                   "--batch", "3"])
     assert rc == 0
     err = capsys.readouterr().err
     assert "using saved --io-backend" in err
+    assert "using saved -s 2" in err
     rd = reader.Y4MReader(out)
     assert (rd.width, rd.height, rd.frame_count()) == (48, 32, 10)
 
