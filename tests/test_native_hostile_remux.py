@@ -1,0 +1,123 @@
+"""Hostile/truncated inputs against the round-3 remux additions (Opus,
+FLAC, tx3g subtitles, chapter tracks): the native muxer must fail with a
+clean NativeError or skip the malformed track — never crash, hang, or
+emit a corrupt stream silently.  (Generic ISO-BMFF/EBML corruption is
+covered by tests/test_native_sanitized.py + mp4_mutate's mutation fuzz;
+these target the NEW parsing surface specifically.)"""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+import mp4_mutate
+from reve_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native core unavailable (no g++?)"
+)
+
+
+def _parts(tmp_path, sizes, w=48, h=32):
+    import cv2
+
+    parts = []
+    for i, count in enumerate(sizes):
+        p = str(tmp_path / f"hp{i}.mp4")
+        wr = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 24, (w, h))
+        for _ in range(count):
+            wr.write(np.full((h, w, 3), 90, np.uint8))
+        wr.release()
+        parts.append(p)
+    return parts
+
+
+def test_truncated_chapter_mdat_fails_clean(tmp_path):
+    """Chapter titles are read from the original at mux time; a file
+    truncated inside the chapter mdat must surface a clean error."""
+    base = _parts(tmp_path, [8])[0]
+    chap = str(tmp_path / "chap.mp4")
+    assert mp4_mutate.add_tx3g_track(
+        base, chap, [("One", 1000), ("Two", 1000)], as_chapters=True)
+    size = os.path.getsize(chap)
+    with open(chap, "rb+") as f:
+        f.truncate(size - 4)  # cut inside the appended chapter mdat
+    pd = tmp_path / "p"
+    pd.mkdir()
+    parts = _parts(pd, [2])
+    with pytest.raises(native.NativeError):
+        native.concat_mkv(parts, chap, str(tmp_path / "o.mkv"))
+
+
+def test_opus_truncated_mapping_table_skips_track(tmp_path):
+    """dOps with ChannelMappingFamily != 0 but no mapping table: the codec
+    map must reject the track (skip), not read past the box."""
+    if not os.path.exists("/root/reference/reve-cli/assets/test.mp4"):
+        pytest.skip("reference asset missing")
+    opus = str(tmp_path / "opus.mp4")
+    assert mp4_mutate.mp4a_to_opus(
+        "/root/reference/reve-cli/assets/test.mp4", opus)
+    data = bytearray(open(opus, "rb").read())
+    i = data.index(b"dOps")
+    # dOps payload: ver(1) ch(1) preskip(2) rate(4) gain(2) family(1)
+    data[i + 4 + 10] = 1  # family=1 but the 11-byte box carries no table
+    with open(opus, "wb") as f:
+        f.write(data)
+    parts = _parts(tmp_path, [2])
+    out = str(tmp_path / "o.mkv")
+    native.concat_mkv(parts, opus, out)  # must not crash
+    info = native.probe_mkv(out)
+    assert info["has_audio"] is False and info["n_tracks"] == 1
+
+
+def test_tx3g_sample_length_lies_beyond_sample(tmp_path):
+    """A tx3g sample whose u16 text length exceeds the sample size is
+    skipped (no block), and the mux still completes."""
+    base = _parts(tmp_path, [8])[0]
+    sub = str(tmp_path / "sub.mp4")
+    assert mp4_mutate.add_tx3g_track(base, sub, [("Okay", 1000),
+                                                 ("Liar", 1000)])
+    data = bytearray(open(sub, "rb").read())
+    i = data.index(b"\x00\x04Liar")
+    struct.pack_into(">H", data, i, 60000)  # length >> sample size
+    with open(sub, "wb") as f:
+        f.write(data)
+    pd = tmp_path / "p"
+    pd.mkdir()
+    parts = _parts(pd, [2])
+    out = str(tmp_path / "o.mkv")
+    native.concat_mkv(parts, sub, out)
+    blob = open(out, "rb").read()
+    assert b"Okay" in blob
+    assert b"Liar" not in blob  # lying sample dropped, not mis-read
+
+
+def test_tref_chap_truncated_payload_ignored(tmp_path):
+    """A tref/chap box whose payload is not a multiple of 4 parses the
+    whole u32s it has and ignores the tail."""
+    base = _parts(tmp_path, [8])[0]
+    chap = str(tmp_path / "chap.mp4")
+    assert mp4_mutate.add_tx3g_track(
+        base, chap, [("One", 1000)], as_chapters=True)
+    data = bytearray(open(chap, "rb").read())
+    i = data.index(b"chap")  # inside the inserted tref
+    # shrink the chap box 12 -> 11: payload 3 bytes (no whole id)
+    struct.pack_into(">I", data, i - 4, 11)
+    tref_size = struct.unpack_from(">I", data, i - 12)[0]
+    struct.pack_into(">I", data, i - 12, tref_size)  # tref keeps its size;
+    # the extra byte after chap now reads as garbage box -> parser must
+    # survive (children() of tref may error internally; codepath guards)
+    with open(chap, "wb") as f:
+        f.write(data)
+    pd = tmp_path / "p2"
+    pd.mkdir()
+    parts = _parts(pd, [2])
+    out = str(tmp_path / "o.mkv")
+    try:
+        native.concat_mkv(parts, chap, out)
+    except native.NativeError:
+        return  # clean refusal is acceptable for a corrupt tref
+    # if it succeeded, the chapter track must have degraded gracefully:
+    # either converted (chapters) or remuxed/skipped — but never crashed
+    assert os.path.exists(out)
