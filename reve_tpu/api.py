@@ -31,6 +31,7 @@ def upscale_video(
     tile: int = 0,
     dtype: str = "bfloat16",
     int8_calib: str = "max",
+    tta: bool = False,
     io_backend: Optional[str] = None,
     crf: int = 15,
     preset: str = "slow",
@@ -92,6 +93,7 @@ def upscale_video(
         weights = state.opts.get("weights", weights)
         dtype = state.opts.get("dtype", dtype)
         int8_calib = state.opts.get("int8_calib", int8_calib)
+        tta = state.opts.get("tta", False)
         io_backend = state.opts.get("io_backend", io_backend)
         part_ext = ".y4m" if io_backend == "y4m" else ".mp4"
         ws.create(keep_parts=True)
@@ -130,13 +132,15 @@ def upscale_video(
                     "x265_params": x265_params},
             model=model,
             opts={"weights": weights, "dtype": dtype,
-                  "int8_calib": int8_calib, "io_backend": io_backend},
+                  "int8_calib": int8_calib, "tta": tta,
+                  "io_backend": io_backend},
         )
     ws.save(state)
 
     engine = UpscaleEngine(model=state.model, scale=state.scale,
                            weights=weights, batch_size=batch, tile=tile,
-                           compute_dtype=dtype, int8_calib=int8_calib)
+                           compute_dtype=dtype, int8_calib=int8_calib,
+                           tta=tta)
     progress = None
     if on_progress is not None:
         from reve_tpu.pipeline.progress import ProgressTracker
@@ -167,20 +171,32 @@ def upscale_image(
     weights: Optional[str] = None,
     tile: int = 0,
     dtype: str = "bfloat16",
+    tta: bool = False,
 ) -> tuple:
-    """Upscale one image file; returns the output (width, height)."""
+    """Upscale one image file; returns the output (width, height).
+
+    Grayscale, BGRA (alpha upscaled through the model) and 16-bit inputs
+    keep their layout/bit depth (io/image.py — the replaced ncnn engine's
+    still-image channel semantics); alpha requires a png/webp output.
+    """
     import cv2
     import numpy as np
 
+    from reve_tpu.io import image as image_mod
     from reve_tpu.pipeline.engine import UpscaleEngine
 
-    bgr = cv2.imread(input_path, cv2.IMREAD_COLOR)
-    if bgr is None:
+    img = cv2.imread(input_path, cv2.IMREAD_UNCHANGED)
+    if img is None:
         raise ValueError(f"cannot decode image {input_path!r}")
+    if image_mod.classify(img) == "bgra" and \
+            not image_mod.alpha_ok(output_path):
+        raise ValueError("input has an alpha channel; output must be "
+                         "png/webp to keep it")
     engine = UpscaleEngine(model=model, scale=scale, weights=weights,
-                           batch_size=1, tile=tile, compute_dtype=dtype)
-    rgb = np.ascontiguousarray(bgr[:, :, ::-1])
-    out = engine.upscale_frames(rgb[None])[0]
-    if not cv2.imwrite(output_path, np.ascontiguousarray(out[:, :, ::-1])):
+                           batch_size=1, tile=tile, compute_dtype=dtype,
+                           tta=tta)
+    out, was_16bit = image_mod.upscale_image_array(engine, img)
+    out = image_mod.to_output_depth(out, was_16bit)
+    if not cv2.imwrite(output_path, np.ascontiguousarray(out)):
         raise IOError(f"cannot write image {output_path!r}")
     return out.shape[1], out.shape[0]

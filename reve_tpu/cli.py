@@ -152,6 +152,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "activation scales. max = true maxima (default); "
                         "p99.9 clips the outlier tail (+7 dB on the "
                         "trained-weights proxy, PERF.md int8 frontier)")
+    p.add_argument("--tta", action="store_true",
+                   help="8-transform dihedral self-ensemble (the replaced "
+                        "ncnn engine's -x switch): ~8x the compute for a "
+                        "small quality gain")
     p.add_argument("--int8-gate", type=float, default=None, metavar="DB",
                    help="with --dtype int8: refuse to run if the measured "
                         "int8-vs-f32 PSNR on this video's first frames is "
@@ -245,6 +249,7 @@ def _fresh_state(args) -> JobState:
             "denoise": args.denoise,
             "dtype": args.dtype,
             "int8_calib": args.int8_calib,
+            "tta": args.tta,
             "io_backend": args.io_backend,
         },
     )
@@ -310,8 +315,10 @@ def run(argv: Optional[List[str]] = None) -> int:
             # ("fused" may appear in pre-round-3 state files; the Pallas
             # fused kernel was deleted after three rounds of losing to
             # XLA - PERF.md round 3)
+            # jobs started before the --tta flag existed ran without it
+            state.opts.setdefault("tta", False)
             for key in ("weights", "weights_wdn", "denoise", "dtype",
-                        "int8_calib", "io_backend"):
+                        "int8_calib", "tta", "io_backend"):
                 if key in state.opts and \
                         getattr(args, key) != state.opts[key]:
                     print(f"resume: using saved --{key.replace('_', '-')}"
@@ -362,6 +369,7 @@ def run(argv: Optional[List[str]] = None) -> int:
         tile=args.tile,
         compute_dtype=args.dtype,
         int8_calib=args.int8_calib,
+        tta=args.tta,
         preloaded=preloaded,
     )
     if args.dtype == "int8":
@@ -505,17 +513,29 @@ def _load_preloaded(args):
 def _run_image(args) -> int:
     """Single-image upscale: the replaced engine's own surface
     (realesrgan-ncnn-vulkan `-i in.jpg -o out.png`; the reference GUI's
-    original image flow, reve-gui Index.vue `upscale_single_image`)."""
+    original image flow, reve-gui Index.vue `upscale_single_image`).
+    Grayscale/alpha/16-bit layouts route through io/image.py."""
     import cv2
     import numpy as np
+
+    from reve_tpu.io import image as image_mod
 
     if not args.outputpath.lower().endswith(IMAGE_EXTS):
         print("image input requires an image output "
               "(png/jpg/webp/bmp)", file=sys.stderr)
         return 2
-    bgr = cv2.imread(args.inputpath, cv2.IMREAD_COLOR)
-    if bgr is None:
+    img = cv2.imread(args.inputpath, cv2.IMREAD_UNCHANGED)
+    if img is None:
         print(f"cannot decode image {args.inputpath!r}", file=sys.stderr)
+        return 2
+    try:
+        mode = image_mod.classify(img)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    if mode == "bgra" and not image_mod.alpha_ok(args.outputpath):
+        print("input has an alpha channel; output must be png/webp "
+              "to keep it", file=sys.stderr)
         return 2
     preloaded, err = _load_preloaded(args)
     if err is not None:
@@ -526,12 +546,12 @@ def _run_image(args) -> int:
     engine = UpscaleEngine(
         model=args.model, scale=args.scale, weights=args.weights,
         batch_size=1, tile=args.tile, compute_dtype=args.dtype,
-        int8_calib=args.int8_calib,
+        int8_calib=args.int8_calib, tta=args.tta,
         preloaded=preloaded,
     )
-    rgb = bgr[:, :, ::-1]
-    out = engine.upscale_frames(np.ascontiguousarray(rgb[None]))[0]
-    if not cv2.imwrite(args.outputpath, np.ascontiguousarray(out[:, :, ::-1])):
+    out, was_16bit = image_mod.upscale_image_array(engine, img)
+    out = image_mod.to_output_depth(out, was_16bit)
+    if not cv2.imwrite(args.outputpath, np.ascontiguousarray(out)):
         print(f"cannot write image {args.outputpath!r}", file=sys.stderr)
         return 2
     h, w = out.shape[:2]

@@ -115,6 +115,70 @@ class PendingBatch:
             [np.asarray(o) for o in self._outs], axis=0)[: self._valid]
 
 
+#: the 8 dihedral transforms of the TTA self-ensemble, as (rot90
+#: quarter-turns, horizontal flip) pairs applied to the (N, H, W, C)
+#: spatial axes
+_TTA_SPECS = tuple((k, f) for k in range(4) for f in (False, True))
+
+
+def _tta_fwd(frames: np.ndarray, k: int, flip: bool) -> np.ndarray:
+    t = np.rot90(frames, k, axes=(1, 2))
+    if flip:
+        t = t[:, :, ::-1]
+    return np.ascontiguousarray(t)
+
+
+def _tta_inv(out: np.ndarray, k: int, flip: bool) -> np.ndarray:
+    if flip:
+        out = out[:, :, ::-1]
+    return np.rot90(out, -k, axes=(1, 2))
+
+
+class TTAPendingBatch:
+    """Self-ensemble (TTA) batch: the surface of the replaced engine's
+    `-x` switch (realesrgan-ncnn-vulkan runs the model on all 8 dihedral
+    transforms of the input and averages; the reference never passes the
+    flag, so this is engine-surface parity like single-image mode).
+
+    The model runs once per dihedral transform (4 rotations x optional
+    horizontal flip); outputs are inverse-transformed and averaged in
+    float32, then rounded half-to-even.  Because the dihedral group is
+    closed under composition, the ensemble is EXACTLY equivariant: for any
+    dihedral T, tta(T(x)) == T(tta(x)) bit-for-bit (the same 8 u8 arrays
+    are averaged either way) — tested in tests/test_tta.py.
+
+    Dispatch is pipelined one transform ahead: the first transform is
+    enqueued at submit time, each later one as the previous is fetched, so
+    device compute overlaps the host-side inverse/accumulate.  `result()`
+    is one-shot.  Non-square frames compile a second (W, H) shape for the
+    odd quarter-turns; `warmup` pre-compiles both when TTA is on.
+    """
+
+    def __init__(self, engine: "UpscaleEngine", frames: np.ndarray,
+                 valid: int):
+        self._engine = engine
+        self._frames = frames
+        self._valid = valid
+        self._next = 1
+        self._inflight = engine._dispatch(
+            _tta_fwd(frames, *_TTA_SPECS[0]), len(frames))
+
+    def result(self) -> np.ndarray:
+        """Block until done; returns (valid, H*s, W*s, 3) uint8."""
+        acc = None
+        for k, flip in _TTA_SPECS:
+            cur = self._inflight.result()
+            if self._next < len(_TTA_SPECS):
+                self._inflight = self._engine._dispatch(
+                    _tta_fwd(self._frames, *_TTA_SPECS[self._next]),
+                    len(self._frames))
+                self._next += 1
+            y = _tta_inv(cur, k, flip).astype(np.float32)
+            acc = y if acc is None else acc + y
+        out = np.rint(acc / len(_TTA_SPECS)).astype(np.uint8)
+        return out[: self._valid]
+
+
 class UpscaleEngine:
     """Batched, tiled, jit-compiled video upscaler."""
 
@@ -127,6 +191,7 @@ class UpscaleEngine:
         tile: int = 0,            # 0 = auto, -1 = never tile
         compute_dtype: str = "bfloat16",
         int8_calib: str = "max",
+        tta: bool = False,
         device: Optional[jax.Device] = None,
         mesh=None,
         preloaded=None,
@@ -168,6 +233,10 @@ class UpscaleEngine:
         #: injected scales (set_calibration) are used verbatim either way.
         self._calib_percentile = parse_int8_calib(int8_calib)
         self.int8_calib = int8_calib
+        #: 8-transform dihedral self-ensemble (the replaced engine's `-x`
+        #: TTA switch): ~8x the compute for a small quality gain; see
+        #: TTAPendingBatch
+        self.tta = bool(tta)
         #: optional arbitration hook for calibration determinism: called
         #: with this engine's freshly computed activation maxima, returns
         #: the AUTHORITATIVE maxima to use (e.g. Workspace.claim_calibration
@@ -520,16 +589,22 @@ class UpscaleEngine:
         return float(10.0 * np.log10(255.0 ** 2 / mse))
 
     def warmup(self, h: int, w: int) -> None:
-        """Pre-compile for a resolution (first XLA compile is ~20-40 s)."""
-        fn, wf_chunk, shuffle = self._get_compiled(h, w)
-        call_batch = wf_chunk or self.batch_size
-        dummy = np.zeros((self.batch_size, h, w, 3), np.uint8)
-        self._maybe_calibrate(dummy, provisional=True)
-        out = fn(self.params, self._qbody,
-                 self._place(jnp.asarray(dummy[:call_batch])))
-        if shuffle is not None:
-            out = shuffle(out)
-        out.block_until_ready()
+        """Pre-compile for a resolution (first XLA compile is ~20-40 s).
+        With TTA on, non-square frames also pre-compile the rotated
+        (w, h) shape the odd quarter-turns dispatch."""
+        shapes = [(h, w)]
+        if self.tta and h != w:
+            shapes.append((w, h))
+        for hh, ww in shapes:
+            fn, wf_chunk, shuffle = self._get_compiled(hh, ww)
+            call_batch = wf_chunk or self.batch_size
+            dummy = np.zeros((self.batch_size, hh, ww, 3), np.uint8)
+            self._maybe_calibrate(dummy, provisional=True)
+            out = fn(self.params, self._qbody,
+                     self._place(jnp.asarray(dummy[:call_batch])))
+            if shuffle is not None:
+                out = shuffle(out)
+            out.block_until_ready()
 
     def submit(self, frames: np.ndarray) -> PendingBatch:
         """Enqueue a batch; returns a handle. frames: (n<=batch, H, W, 3) u8.
@@ -548,6 +623,17 @@ class UpscaleEngine:
         elif n > self.batch_size:
             raise ValueError(f"batch {n} > batch_size {self.batch_size}")
         self._maybe_calibrate(frames, provisional=False)
+        self.stats.frames += n
+        self.stats.batches += 1
+        if self.tta:
+            return TTAPendingBatch(self, frames, n)
+        return self._dispatch(frames, n)
+
+    def _dispatch(self, frames: np.ndarray, valid: int):
+        """Enqueue one already-padded (batch_size, H, W, 3) u8 batch.
+        Calibration and stats are submit's job; TTA dispatches each
+        transformed copy of a batch through here."""
+        h, w = frames.shape[1:3]
         fn, wf_chunk, shuffle = self._get_compiled(h, w)
         if wf_chunk:
             outs = []
@@ -562,9 +648,7 @@ class UpscaleEngine:
             out = outs
         else:
             out = fn(self.params, self._qbody, self._place(frames))
-        self.stats.frames += n
-        self.stats.batches += 1
-        return PendingBatch(out, n)
+        return PendingBatch(out, valid)
 
     def upscale_frames(self, frames: np.ndarray) -> np.ndarray:
         """Synchronous convenience: (N, H, W, 3) u8 -> (N, H*s, W*s, 3) u8."""

@@ -39,6 +39,9 @@ class Job:
     #: int8 only: calibration statistic ("max" or "p<percentile>",
     #: engine.int8_calib; PERF.md int8 frontier)
     int8_calib: str = "max"
+    #: 8-transform dihedral self-ensemble (the replaced ncnn engine's -x
+    #: switch; engine.tta): ~8x compute for a small quality gain
+    tta: bool = False
     status: str = "queued"    # queued | running | done | error | cancelled
     cancel_requested: bool = False
     error: str = ""
@@ -83,6 +86,7 @@ class Job:
             "scale": self.scale,
             "dtype": self.dtype,
             "int8_calib": self.int8_calib,
+            "tta": self.tta,
             "status": self.status,
             "error": self.error,
             "int8_psnr": self.int8_psnr,
@@ -111,14 +115,15 @@ class JobManager:
     @staticmethod
     def _default_engine_factory(model: str, scale: int,
                                 dtype: str = "bfloat16",
-                                int8_calib: str = "max"):
+                                int8_calib: str = "max",
+                                tta: bool = False):
         from reve_tpu.pipeline.engine import UpscaleEngine
 
         return UpscaleEngine(model=model, scale=scale, compute_dtype=dtype,
-                             int8_calib=int8_calib)
+                             int8_calib=int8_calib, tta=tta)
 
     def _get_engine(self, model: str, scale: int, dtype: str = "bfloat16",
-                    int8_calib: str = "max"):
+                    int8_calib: str = "max", tta: bool = False):
         """Engines (and their compiled executables) are reused across jobs
         of the same (model, scale, dtype, calib) — a fresh engine per job
         would pay the multi-second XLA compile for every batch-queue entry.
@@ -126,7 +131,7 @@ class JobManager:
         Custom engine factories with fewer parameters (tests/plugins) keep
         working for the default dtype/calib; a non-default value with such
         a factory is an explicit error rather than a silent fallback."""
-        key = (model, scale, dtype, int8_calib)
+        key = (model, scale, dtype, int8_calib, tta)
         engine = self._engines.get(key)
         if engine is None:
             import inspect
@@ -140,7 +145,8 @@ class JobManager:
             # (robust to *args/**kwargs and defaults, unlike a raw
             # parameter count); refusing to silently drop a non-default
             # setting stays an explicit error
-            for call in ((model, scale, dtype, int8_calib),
+            for call in ((model, scale, dtype, int8_calib, tta),
+                         (model, scale, dtype, int8_calib),
                          (model, scale, dtype),
                          (model, scale)):
                 if sig is not None:
@@ -148,6 +154,10 @@ class JobManager:
                         sig.bind(*call)
                     except TypeError:
                         continue
+                if len(call) < 5 and tta:
+                    raise ValueError(
+                        f"engine_factory {factory!r} does not accept a "
+                        f"tta argument; cannot run a tta job")
                 if len(call) < 4 and int8_calib != "max":
                     raise ValueError(
                         f"engine_factory {factory!r} does not accept an "
@@ -162,7 +172,7 @@ class JobManager:
             else:
                 raise TypeError(
                     f"engine_factory {factory!r} must accept "
-                    f"(model, scale[, dtype[, int8_calib]])")
+                    f"(model, scale[, dtype[, int8_calib[, tta]]])")
             self._engines[key] = engine
         return engine
 
@@ -170,7 +180,8 @@ class JobManager:
                model: Optional[str] = None,
                output_path: Optional[str] = None,
                dtype: Optional[str] = None,
-               int8_calib: Optional[str] = None) -> Job:
+               int8_calib: Optional[str] = None,
+               tta: bool = False) -> Job:
         scale = scale or self.cfg.default_scale
         model = model or self.cfg.default_upscale_type
         if dtype not in (None, "bfloat16", "float32", "int8"):
@@ -179,6 +190,8 @@ class JobManager:
             from reve_tpu.pipeline.engine import parse_int8_calib
 
             parse_int8_calib(int8_calib)  # raises ValueError -> HTTP 400
+        if not isinstance(tta, bool):
+            raise ValueError(f"tta must be a boolean, got {tta!r}")
         output_path = output_path or replace_file_suffix(input_path, scale)
         with self._lock:
             job = Job(
@@ -186,6 +199,7 @@ class JobManager:
                 output_path=output_path, model=model, scale=scale,
                 dtype=dtype or "bfloat16",
                 int8_calib=int8_calib or "max",
+                tta=tta,
             )
             self.jobs[job.id] = job
             self._order.append(job.id)
@@ -283,6 +297,7 @@ class JobManager:
             # committed part (a CLI y4m job resumed through the service)
             job.dtype = st.opts.get("dtype", job.dtype)
             job.int8_calib = st.opts.get("int8_calib", job.int8_calib)
+            job.tta = st.opts.get("tta", False)
             io_backend = st.opts.get("io_backend", io_backend)
             part_ext = ".y4m" if io_backend == "y4m" else ".mp4"
             job.part_ext = part_ext
@@ -306,12 +321,12 @@ class JobManager:
                 encode={"crf": self.cfg.crf, "preset": self.cfg.preset},
                 model=job.model,
                 opts={"dtype": job.dtype, "int8_calib": job.int8_calib,
-                      "io_backend": io_backend},
+                      "tta": job.tta, "io_backend": io_backend},
             )
             ws.create()
         ws.save(st)
         engine = self._get_engine(job.model, job.scale, job.dtype,
-                                  job.int8_calib)
+                                  job.int8_calib, job.tta)
         job.progress = ProgressTracker(
             total_frames=sum(s.size for s in st.pending),
             total_segments=len(st.pending),

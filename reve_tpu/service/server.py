@@ -97,6 +97,7 @@ _PAGE = """<!doctype html>
   <select id=model></select>
   <select id=scale><option>2</option><option>3</option><option>4</option></select>x
   <label><input type=checkbox id=turbo> turbo (int8)</label>
+  <label><input type=checkbox id=tta> TTA (8x slower, best quality)</label>
   <button onclick="go()">Upscale all</button>
  </div>
  <div id=jobs></div>
@@ -164,7 +165,7 @@ async function go(){
  for(const f of batch){
   const r=await fetch('/api/jobs',{method:'POST',headers:{'Content-Type':'application/json'},
    body:JSON.stringify({input:f,scale:+scale.value,model:model.value,
-    dtype:turbo.checked?'int8':undefined})});
+    dtype:turbo.checked?'int8':undefined,tta:tta.checked})});
   if(!r.ok){const e=await r.json();jobs.insertAdjacentHTML('afterbegin',
    `<div class="job err">${f}: ${e.error}</div>`);}
  }
@@ -501,6 +502,7 @@ class Handler(BaseHTTPRequestHandler):
                     output_path=data.get("output"),
                     dtype=data.get("dtype"),
                     int8_calib=data.get("int8_calib"),
+                    tta=data.get("tta", False),
                 )
             except ValueError as e:
                 return self._json({"error": str(e)}, 400)

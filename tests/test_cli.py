@@ -584,7 +584,8 @@ def test_api_resume_restores_saved_opts(tmp_path, monkeypatch):
                                segment_size=4, batch=3, dtype="float32")
     st = Workspace(out + ".revework").load()
     assert st.opts == {"weights": None, "dtype": "float32",
-                       "int8_calib": "max", "io_backend": "y4m"}
+                       "int8_calib": "max", "tta": False,
+                       "io_backend": "y4m"}
 
     monkeypatch.setattr(sched_mod.PipelineJob, "run", real_run)
     with pytest.raises(ValueError, match="holds progress"):
@@ -687,6 +688,42 @@ def test_int8_flags_require_int8_dtype(tmp_path, capsys):
                   "--dtype", "int8", "--int8-gate", "50"])
     assert rc == 2
     assert "image" in capsys.readouterr().err
+
+
+def test_cli_resume_restores_tta(tmp_path, monkeypatch, capsys):
+    """A job started with --tta must finish with --tta on resume even if
+    the resume command line drops the flag (mixing ensembled and
+    single-pass segments in one output would violate the restore
+    contract like a dtype flip)."""
+    from reve_tpu.pipeline import scheduler as sched_mod
+    from reve_tpu.pipeline.state import Workspace
+
+    monkeypatch.chdir(tmp_path)
+    inp = _small_y4m(tmp_path)
+    out = str(tmp_path / "tta_out.y4m")
+
+    real_run = sched_mod.PipelineJob.run
+
+    def crash(self):
+        raise RuntimeError("simulated crash")
+
+    monkeypatch.setattr(sched_mod.PipelineJob, "run", crash)
+    with pytest.raises(RuntimeError):
+        cli.run(["-i", inp, "-s", "2", out, "--yes", "--io-backend", "y4m",
+                 "-S", "4", "--batch", "3", "--dtype", "float32", "--tta"])
+    assert Workspace(out + ".revework").load().opts["tta"] is True
+
+    captured_engines = []
+    monkeypatch.setattr(sched_mod.PipelineJob, "run",
+                        lambda self: (captured_engines.append(self.engine),
+                                      real_run(self))[1])
+    rc = cli.run(["-i", inp, "-s", "2", out, "--yes", "-S", "4",
+                  "--batch", "3"])
+    assert rc == 0
+    assert "using saved --tta=True" in capsys.readouterr().err
+    assert captured_engines[0].tta is True
+    rd = reader.Y4MReader(out)
+    assert (rd.width, rd.height, rd.frame_count()) == (48, 32, 10)
 
 
 def test_api_resume_refuses_denoise_opts(tmp_path, monkeypatch):

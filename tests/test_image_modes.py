@@ -1,0 +1,124 @@
+"""Image channel-layout semantics (io/image.py): grayscale, alpha, 16-bit.
+
+The replaced engine (realesrgan-ncnn-vulkan, reve-shared/src/lib.rs:134-147)
+upscales still images in these layouts; the model is RGB-only, so each is
+routed through the 3-channel engine per the upstream Real-ESRGAN
+conventions (gray replicated/reduced, alpha through the model, 16-bit
+reduced and re-widened)."""
+
+import cv2
+import numpy as np
+import pytest
+
+from reve_tpu import cli
+from reve_tpu.io import image as image_mod
+from reve_tpu.pipeline.engine import UpscaleEngine
+
+
+def _engine():
+    return UpscaleEngine(scale=2, batch_size=1, compute_dtype="float32")
+
+
+def _rs(seed=0):
+    return np.random.RandomState(seed)
+
+
+def test_classify_and_u8():
+    assert image_mod.classify(np.zeros((4, 4), np.uint8)) == "gray"
+    assert image_mod.classify(np.zeros((4, 4, 3), np.uint8)) == "bgr"
+    assert image_mod.classify(np.zeros((4, 4, 4), np.uint8)) == "bgra"
+    with pytest.raises(ValueError, match="unsupported image shape"):
+        image_mod.classify(np.zeros((4, 4, 2), np.uint8))
+    u16 = np.array([[0, 257, 65535]], np.uint16)
+    u8, was16 = image_mod.to_u8(u16)
+    assert was16 and u8.tolist() == [[0, 1, 255]]
+    with pytest.raises(ValueError, match="unsupported image dtype"):
+        image_mod.to_u8(u16.astype(np.float32))
+
+
+def test_gray_roundtrip_matches_replicated_rgb():
+    gray = _rs(1).randint(0, 256, (10, 14), np.uint8)
+    out, was16 = image_mod.upscale_image_array(_engine(), gray)
+    assert not was16 and out.shape == (20, 28) and out.dtype == np.uint8
+    # equals luma of the replicated-channel model output
+    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    want = image_mod._luma(
+        _engine().upscale_frames(rgb[None])[0][:, :, ::-1])
+    np.testing.assert_array_equal(out, want)
+
+
+def test_bgra_color_plane_matches_bgr_path():
+    rs = _rs(2)
+    bgra = rs.randint(0, 256, (8, 12, 4), np.uint8)
+    out, _ = image_mod.upscale_image_array(_engine(), bgra)
+    assert out.shape == (16, 24, 4)
+    color_only, _ = image_mod.upscale_image_array(
+        _engine(), np.ascontiguousarray(bgra[:, :, :3]))
+    np.testing.assert_array_equal(out[:, :, :3], color_only)
+    # alpha plane equals the gray path applied to the alpha channel
+    alpha_as_gray, _ = image_mod.upscale_image_array(
+        _engine(), np.ascontiguousarray(bgra[:, :, 3]))
+    np.testing.assert_array_equal(out[:, :, 3], alpha_as_gray)
+
+
+def test_16bit_widening_exact_at_extremes():
+    out = image_mod.to_output_depth(np.array([0, 255], np.uint8), True)
+    assert out.dtype == np.uint16 and out.tolist() == [0, 65535]
+    same = image_mod.to_output_depth(np.array([7], np.uint8), False)
+    assert same.dtype == np.uint8
+
+
+def test_cli_alpha_png(tmp_path, capsys):
+    inp = str(tmp_path / "in.png")
+    bgra = _rs(3).randint(0, 256, (10, 10, 4), np.uint8)
+    assert cv2.imwrite(inp, bgra)
+    out = str(tmp_path / "out.png")
+    rc = cli.run(["-i", inp, "-s", "2", out, "--dtype", "float32"])
+    assert rc == 0
+    got = cv2.imread(out, cv2.IMREAD_UNCHANGED)
+    assert got.shape == (20, 20, 4)
+    want, _ = image_mod.upscale_image_array(
+        _engine(), cv2.imread(inp, cv2.IMREAD_UNCHANGED))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cli_alpha_requires_alpha_capable_output(tmp_path, capsys):
+    inp = str(tmp_path / "in.png")
+    assert cv2.imwrite(inp, np.zeros((8, 8, 4), np.uint8))
+    rc = cli.run(["-i", inp, "-s", "2", str(tmp_path / "out.jpg")])
+    assert rc == 2
+    assert "alpha" in capsys.readouterr().err
+
+
+def test_cli_gray_png(tmp_path):
+    inp = str(tmp_path / "in.png")
+    gray = _rs(4).randint(0, 256, (9, 11), np.uint8)
+    assert cv2.imwrite(inp, gray)
+    out = str(tmp_path / "out.png")
+    rc = cli.run(["-i", inp, "-s", "2", out, "--dtype", "float32"])
+    assert rc == 0
+    got = cv2.imread(out, cv2.IMREAD_UNCHANGED)
+    assert got.shape == (18, 22) and got.dtype == np.uint8
+
+
+def test_cli_16bit_png(tmp_path, capsys):
+    inp = str(tmp_path / "in.png")
+    img16 = (_rs(5).randint(0, 65536, (8, 10, 3))).astype(np.uint16)
+    assert cv2.imwrite(inp, img16)
+    out = str(tmp_path / "out.png")
+    rc = cli.run(["-i", inp, "-s", "2", out, "--dtype", "float32"])
+    assert rc == 0
+    assert "16-bit" in capsys.readouterr().err
+    got = cv2.imread(out, cv2.IMREAD_UNCHANGED)
+    assert got.dtype == np.uint16 and got.shape == (16, 20, 3)
+    assert (got % 257 == 0).all(), "widening must be exact *257"
+
+
+def test_api_alpha_refuses_jpg(tmp_path):
+    import reve_tpu
+
+    inp = str(tmp_path / "in.png")
+    assert cv2.imwrite(inp, np.zeros((8, 8, 4), np.uint8))
+    with pytest.raises(ValueError, match="alpha"):
+        reve_tpu.upscale_image(inp, str(tmp_path / "o.jpg"), scale=2,
+                               dtype="float32")

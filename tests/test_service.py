@@ -564,6 +564,55 @@ def test_job_int8_calib_plumbing(tmp_path):
         manager.shutdown()
 
 
+def test_job_tta_plumbing(tmp_path):
+    """tta reaches the Job (to_json, persisted opts), the engine cache
+    key, and a 5-arg factory; a shorter factory errors a tta job instead
+    of silently running single-pass; non-bool tta rejected at submit."""
+    cfg = config_mod.ServiceConfig(segment_size=5)
+    seen = []
+
+    def factory5(m, s, dtype, calib, tta):
+        seen.append((m, s, dtype, calib, tta))
+        return FakeEngine()
+
+    inp = str(tmp_path / "in.y4m")
+    with writer.Y4MWriter(inp, 32, 24, fractions.Fraction(24)) as wr:
+        for i in range(6):
+            wr.write(np.full((24, 32, 3), 30 + i * 10, np.uint8))
+
+    def _wait(job):
+        deadline = time.time() + 60
+        while time.time() < deadline and job.status not in ("done", "error"):
+            time.sleep(0.1)
+        return job
+
+    manager = JobManager(cfg, engine_factory=factory5, io_backend="y4m")
+    try:
+        job = _wait(manager.submit(inp, scale=2, tta=True,
+                                   output_path=str(tmp_path / "o.y4m")))
+        assert job.status == "done", job.error
+        assert (job.tta, job.to_json()["tta"]) == (True, True)
+        assert seen == [("realesr-animevideov3", 2, "bfloat16", "max",
+                         True)]
+        with pytest.raises(ValueError, match="tta"):
+            manager.submit(inp, scale=2, tta="yes")
+    finally:
+        manager.shutdown()
+
+    manager = JobManager(cfg, engine_factory=lambda m, s: FakeEngine(),
+                         io_backend="y4m")
+    try:
+        bad = _wait(manager.submit(inp, scale=2, tta=True,
+                                   output_path=str(tmp_path / "b.y4m")))
+        assert bad.status == "error" and "tta" in bad.error
+        # default-tta jobs through the 2-arg factory keep working
+        ok = _wait(manager.submit(inp, scale=2,
+                                  output_path=str(tmp_path / "c.y4m")))
+        assert ok.status == "done", ok.error
+    finally:
+        manager.shutdown()
+
+
 # -- hardening: Host/Origin checks, bearer token, browse jail ---------------
 
 
@@ -762,8 +811,8 @@ def test_engine_factory_varargs_and_partial(tmp_path):
     """Factory arity dispatch binds the longest CALLABLE prefix (round-3
     review: raw parameter counting broke on *args factories and
     functools.partial).  A *args factory receives the full
-    (model, scale, dtype, int8_calib); a partial over a 4-arg function
-    still binds."""
+    (model, scale, dtype, int8_calib, tta); a partial over a 4-arg
+    function still binds."""
     import functools
 
     inp = str(tmp_path / "in.y4m")
@@ -791,7 +840,8 @@ def test_engine_factory_varargs_and_partial(tmp_path):
                                    int8_calib="p99.9",
                                    output_path=str(tmp_path / "a.y4m")))
         assert job.status == "done", job.error
-        assert seen == [("realesr-animevideov3", 2, "int8", "p99.9")]
+        assert seen == [("realesr-animevideov3", 2, "int8", "p99.9",
+                         False)]
     finally:
         manager.shutdown()
 
