@@ -18,9 +18,11 @@ Extensions beyond the reference (new capabilities, defaulted off):
     --yes                      resume non-interactively
     --workspace                override the temp workspace location
     image input/output         `-i in.png -s 4 out.png` upscales a single
-                               image — the replaced engine's own surface
-                               (realesrgan-ncnn-vulkan images; the
-                               reference GUI's original flow)
+                               image; `-i dir/ -s 4 outdir/` a directory
+                               of images — the replaced engine's own
+                               surface (realesrgan-ncnn-vulkan accepts
+                               files or folders; the reference GUI's
+                               original flow)
 
 Resume semantics match the reference (reve-cli/src/main.rs:43-102): if a
 prior interrupted job's state exists, ask to resume; on refusal confirm and
@@ -55,9 +57,15 @@ IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
 def _input_validation(s: str) -> str:
     if not os.path.exists(s):
         raise argparse.ArgumentTypeError("input path not found")
+    if os.path.isdir(s):
+        # directory of images -> batch image mode (the replaced ncnn
+        # engine accepts a folder for -i/-o); content checked in
+        # _run_image_dir so the error can name the directory
+        return s
     if not s.lower().endswith(VIDEO_EXTS + (".y4m",) + IMAGE_EXTS):
         raise argparse.ArgumentTypeError(
-            "valid input formats: mp4/mkv (videos), png/jpg/webp/bmp (images)"
+            "valid input formats: mp4/mkv (videos), png/jpg/webp/bmp "
+            "(images), or a directory of images"
         )
     return s
 
@@ -267,6 +275,15 @@ def run(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(message)s")
 
+    if os.path.isdir(args.inputpath):
+        if args.int8_gate is not None:
+            print("--int8-gate applies to video jobs (image mode does "
+                  "not run certification)", file=sys.stderr)
+            return 2
+        if args.dtype != "int8" and args.int8_calib != "max":
+            print("--int8-calib requires --dtype int8", file=sys.stderr)
+            return 2
+        return _run_image_dir(args)
     if os.path.exists(args.outputpath):
         print("output path already exists", file=sys.stderr)
         return 2
@@ -510,13 +527,50 @@ def _load_preloaded(args):
     return load_dni(args.weights_wdn, args.weights, args.denoise), None
 
 
+def _image_engine(args):
+    """Build the (shared) engine for image mode; returns (engine, err)."""
+    preloaded, err = _load_preloaded(args)
+    if err is not None:
+        return None, err
+
+    from reve_tpu.pipeline.engine import UpscaleEngine
+
+    return UpscaleEngine(
+        model=args.model, scale=args.scale, weights=args.weights,
+        batch_size=1, tile=args.tile, compute_dtype=args.dtype,
+        int8_calib=args.int8_calib, tta=args.tta,
+        preloaded=preloaded,
+    ), None
+
+
+def _upscale_image_file(engine, in_path: str, out_path: str):
+    """Decode -> engine -> encode one image; returns an error string or
+    None.  Alpha-vs-extension must be validated by the caller (the single
+    and dir modes report it differently)."""
+    import cv2
+    import numpy as np
+
+    from reve_tpu.io import image as image_mod
+
+    img = cv2.imread(in_path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        return f"cannot decode image {in_path!r}"
+    try:
+        out, was_16bit = image_mod.upscale_image_array(engine, img)
+    except ValueError as e:
+        return str(e)
+    out = image_mod.to_output_depth(out, was_16bit)
+    if not cv2.imwrite(out_path, np.ascontiguousarray(out)):
+        return f"cannot write image {out_path!r}"
+    return None
+
+
 def _run_image(args) -> int:
     """Single-image upscale: the replaced engine's own surface
     (realesrgan-ncnn-vulkan `-i in.jpg -o out.png`; the reference GUI's
     original image flow, reve-gui Index.vue `upscale_single_image`).
     Grayscale/alpha/16-bit layouts route through io/image.py."""
     import cv2
-    import numpy as np
 
     from reve_tpu.io import image as image_mod
 
@@ -537,26 +591,77 @@ def _run_image(args) -> int:
         print("input has an alpha channel; output must be png/webp "
               "to keep it", file=sys.stderr)
         return 2
-    preloaded, err = _load_preloaded(args)
+    engine, err = _image_engine(args)
     if err is not None:
         return err
-
-    from reve_tpu.pipeline.engine import UpscaleEngine
-
-    engine = UpscaleEngine(
-        model=args.model, scale=args.scale, weights=args.weights,
-        batch_size=1, tile=args.tile, compute_dtype=args.dtype,
-        int8_calib=args.int8_calib, tta=args.tta,
-        preloaded=preloaded,
-    )
-    out, was_16bit = image_mod.upscale_image_array(engine, img)
-    out = image_mod.to_output_depth(out, was_16bit)
-    if not cv2.imwrite(args.outputpath, np.ascontiguousarray(out)):
-        print(f"cannot write image {args.outputpath!r}", file=sys.stderr)
+    msg = _upscale_image_file(engine, args.inputpath, args.outputpath)
+    if msg is not None:
+        print(msg, file=sys.stderr)
         return 2
+    out = cv2.imread(args.outputpath, cv2.IMREAD_UNCHANGED)
     h, w = out.shape[:2]
     print(f"done: {args.outputpath} ({w}x{h})", file=sys.stderr)
     return 0
+
+
+def _run_image_dir(args) -> int:
+    """Directory batch: `-i <dir> -s N <outdir>` upscales every image in
+    <dir> — the replaced ncnn engine accepts folders for -i/-o.  One
+    engine (and its compiled graphs) is shared across files; existing
+    outputs are SKIPPED so an interrupted batch re-run continues where it
+    stopped (the framework's resume idiom; the ncnn binary overwrites).
+    Alpha images whose extension cannot carry alpha are written as .png
+    with a note."""
+    from reve_tpu.io import image as image_mod
+
+    files = sorted(
+        f for f in os.listdir(args.inputpath)
+        if f.lower().endswith(IMAGE_EXTS)
+        and os.path.isfile(os.path.join(args.inputpath, f))
+    )
+    if not files:
+        print(f"no images (png/jpg/webp/bmp) in {args.inputpath!r}",
+              file=sys.stderr)
+        return 2
+    if os.path.isfile(args.outputpath):
+        print("output for a directory input must be a directory",
+              file=sys.stderr)
+        return 2
+    os.makedirs(args.outputpath, exist_ok=True)
+    engine, err = _image_engine(args)
+    if err is not None:
+        return err
+    import cv2
+
+    done = failed = skipped = 0
+    for name in files:
+        in_path = os.path.join(args.inputpath, name)
+        out_path = os.path.join(args.outputpath, name)
+        img = cv2.imread(in_path, cv2.IMREAD_UNCHANGED)
+        if img is not None and img.ndim == 3 and img.shape[2] == 4 \
+                and not image_mod.alpha_ok(out_path):
+            out_path = os.path.splitext(out_path)[0] + ".png"
+            print(f"{name}: alpha channel -> writing "
+                  f"{os.path.basename(out_path)}", file=sys.stderr)
+        if os.path.exists(out_path):
+            skipped += 1
+            continue
+        msg = _upscale_image_file(engine, in_path, out_path)
+        if msg is None:
+            done += 1
+            print(f"[{done + failed}/{len(files)}] {name}",
+                  file=sys.stderr)
+        else:
+            failed += 1
+            print(f"[{done + failed}/{len(files)}] {name}: {msg}",
+                  file=sys.stderr)
+    summary = f"done: {done} upscaled"
+    if skipped:
+        summary += f", {skipped} already present (skipped)"
+    if failed:
+        summary += f", {failed} FAILED"
+    print(summary, file=sys.stderr)
+    return 0 if not failed else 2
 
 
 def _part_ext(args) -> str:

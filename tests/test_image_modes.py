@@ -114,6 +114,74 @@ def test_cli_16bit_png(tmp_path, capsys):
     assert (got % 257 == 0).all(), "widening must be exact *257"
 
 
+def test_cli_image_dir_batch(tmp_path, capsys):
+    """`-i dir/ -s 2 outdir/` — the ncnn binary's folder surface: every
+    image upscaled through ONE shared engine, alpha retargeted to .png
+    when the extension can't carry it, existing outputs skipped on
+    re-run (resume idiom), failures reported per file with exit 2."""
+    ind = tmp_path / "in"
+    ind.mkdir()
+    rs = _rs(6)
+    cv2.imwrite(str(ind / "a.png"), rs.randint(0, 256, (8, 10, 3),
+                                               np.uint8))
+    cv2.imwrite(str(ind / "b.jpg"), rs.randint(0, 256, (6, 6, 3),
+                                               np.uint8))
+    # alpha image with a jpg-style target -> must come out as .png
+    cv2.imwrite(str(ind / "c.bmp"), rs.randint(0, 256, (5, 7, 4),
+                                               np.uint8))
+    (ind / "notes.txt").write_text("not an image")
+    outd = tmp_path / "out"
+    rc = cli.run(["-i", str(ind), "-s", "2", str(outd),
+                  "--dtype", "float32"])
+    err = capsys.readouterr().err
+    assert rc == 0, err
+    assert cv2.imread(str(outd / "a.png")).shape == (16, 20, 3)
+    assert cv2.imread(str(outd / "b.jpg")).shape == (12, 12, 3)
+    got_c = cv2.imread(str(outd / "c.png"), cv2.IMREAD_UNCHANGED)
+    assert got_c.shape == (10, 14, 4) and not (outd / "c.bmp").exists()
+    assert "alpha channel -> writing c.png" in err
+    assert "done: 3 upscaled" in err
+
+    # re-run: everything already present -> all skipped, still rc 0
+    rc = cli.run(["-i", str(ind), "-s", "2", str(outd),
+                  "--dtype", "float32"])
+    assert rc == 0
+    assert "0 upscaled, 3 already present (skipped)" in \
+        capsys.readouterr().err
+
+    # a corrupt image fails that file (exit 2) but the rest still run
+    (ind / "z_bad.png").write_bytes(b"not a png")
+    rc = cli.run(["-i", str(ind), "-s", "2", str(tmp_path / "out2"),
+                  "--dtype", "float32"])
+    err = capsys.readouterr().err
+    assert rc == 2
+    assert "z_bad.png: cannot decode" in err
+    assert "3 upscaled" in err and "1 FAILED" in err
+
+
+def test_cli_image_dir_validation(tmp_path, capsys):
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    rc = cli.run(["-i", str(empty), "-s", "2", str(tmp_path / "o")])
+    assert rc == 2
+    assert "no images" in capsys.readouterr().err
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    cv2.imwrite(str(ind / "a.png"), np.zeros((4, 4, 3), np.uint8))
+    # file output for a dir input is refused
+    f = tmp_path / "afile"
+    f.write_text("")
+    rc = cli.run(["-i", str(ind), "-s", "2", str(f)])
+    assert rc == 2
+    assert "must be a directory" in capsys.readouterr().err
+    # int8-gate never applies to image mode
+    rc = cli.run(["-i", str(ind), "-s", "2", str(tmp_path / "o2"),
+                  "--dtype", "int8", "--int8-gate", "50"])
+    assert rc == 2
+    assert "image mode" in capsys.readouterr().err
+
+
 def test_api_alpha_refuses_jpg(tmp_path):
     import reve_tpu
 
