@@ -180,7 +180,6 @@ def upscale_image(
     still-image channel semantics); alpha requires a png/webp output.
     """
     import cv2
-    import numpy as np
 
     from reve_tpu.io import image as image_mod
     from reve_tpu.pipeline.engine import UpscaleEngine
@@ -195,8 +194,10 @@ def upscale_image(
     engine = UpscaleEngine(model=model, scale=scale, weights=weights,
                            batch_size=1, tile=tile, compute_dtype=dtype,
                            tta=tta)
-    out, was_16bit = image_mod.upscale_image_array(engine, img)
-    out = image_mod.to_output_depth(out, was_16bit)
-    if not cv2.imwrite(output_path, np.ascontiguousarray(out)):
-        raise IOError(f"cannot write image {output_path!r}")
-    return out.shape[1], out.shape[0]
+    err, dims = image_mod.upscale_image_file(engine, input_path,
+                                             output_path, img=img)
+    if err is not None:
+        if err.startswith("cannot write"):
+            raise IOError(err)
+        raise ValueError(err)
+    return dims

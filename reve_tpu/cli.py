@@ -543,28 +543,6 @@ def _image_engine(args):
     ), None
 
 
-def _upscale_image_file(engine, in_path: str, out_path: str):
-    """Decode -> engine -> encode one image; returns an error string or
-    None.  Alpha-vs-extension must be validated by the caller (the single
-    and dir modes report it differently)."""
-    import cv2
-    import numpy as np
-
-    from reve_tpu.io import image as image_mod
-
-    img = cv2.imread(in_path, cv2.IMREAD_UNCHANGED)
-    if img is None:
-        return f"cannot decode image {in_path!r}"
-    try:
-        out, was_16bit = image_mod.upscale_image_array(engine, img)
-    except ValueError as e:
-        return str(e)
-    out = image_mod.to_output_depth(out, was_16bit)
-    if not cv2.imwrite(out_path, np.ascontiguousarray(out)):
-        return f"cannot write image {out_path!r}"
-    return None
-
-
 def _run_image(args) -> int:
     """Single-image upscale: the replaced engine's own surface
     (realesrgan-ncnn-vulkan `-i in.jpg -o out.png`; the reference GUI's
@@ -594,13 +572,13 @@ def _run_image(args) -> int:
     engine, err = _image_engine(args)
     if err is not None:
         return err
-    msg = _upscale_image_file(engine, args.inputpath, args.outputpath)
+    msg, dims = image_mod.upscale_image_file(
+        engine, args.inputpath, args.outputpath, img=img)
     if msg is not None:
         print(msg, file=sys.stderr)
         return 2
-    out = cv2.imread(args.outputpath, cv2.IMREAD_UNCHANGED)
-    h, w = out.shape[:2]
-    print(f"done: {args.outputpath} ({w}x{h})", file=sys.stderr)
+    print(f"done: {args.outputpath} ({dims[0]}x{dims[1]})",
+          file=sys.stderr)
     return 0
 
 
@@ -627,26 +605,43 @@ def _run_image_dir(args) -> int:
         print("output for a directory input must be a directory",
               file=sys.stderr)
         return 2
+    if os.path.realpath(args.outputpath) == \
+            os.path.realpath(args.inputpath):
+        # outputs would collide with the inputs themselves: every target
+        # "already exists" and the whole batch silently skips
+        print("output directory must differ from the input directory",
+              file=sys.stderr)
+        return 2
     os.makedirs(args.outputpath, exist_ok=True)
     engine, err = _image_engine(args)
     if err is not None:
         return err
     import cv2
 
+    in_names = set(files)
+    claimed = set()
     done = failed = skipped = 0
     for name in files:
         in_path = os.path.join(args.inputpath, name)
-        out_path = os.path.join(args.outputpath, name)
+        out_name = name
         img = cv2.imread(in_path, cv2.IMREAD_UNCHANGED)
         if img is not None and img.ndim == 3 and img.shape[2] == 4 \
-                and not image_mod.alpha_ok(out_path):
-            out_path = os.path.splitext(out_path)[0] + ".png"
-            print(f"{name}: alpha channel -> writing "
-                  f"{os.path.basename(out_path)}", file=sys.stderr)
+                and not image_mod.alpha_ok(out_name):
+            retarget = os.path.splitext(name)[0] + ".png"
+            if retarget in in_names or retarget in claimed:
+                # a sibling input already owns that name — keep the
+                # original filename so nothing is shadowed or skipped
+                retarget = name + ".png"
+            out_name = retarget
+            print(f"{name}: alpha channel -> writing {out_name}",
+                  file=sys.stderr)
+        claimed.add(out_name)
+        out_path = os.path.join(args.outputpath, out_name)
         if os.path.exists(out_path):
             skipped += 1
             continue
-        msg = _upscale_image_file(engine, in_path, out_path)
+        msg, _ = image_mod.upscale_image_file(engine, in_path, out_path,
+                                              img=img)
         if msg is None:
             done += 1
             print(f"[{done + failed}/{len(files)}] {name}",

@@ -25,6 +25,7 @@ the engine (and with it --tta, --dtype, tiling) is untouched.
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import Optional, Tuple
 
@@ -32,6 +33,9 @@ import numpy as np
 
 #: output encodings that can carry an alpha plane (cv2.imwrite)
 ALPHA_EXTS = (".png", ".webp")
+#: output encodings that can carry 16-bit samples (cv2.imwrite); writing
+#: a widened u16 array to any other encoder saturate-casts to white
+SIXTEEN_BIT_EXTS = (".png",)
 
 
 def classify(img: np.ndarray) -> str:
@@ -80,7 +84,7 @@ def upscale_image_array(engine, img: np.ndarray,
     img, was_16bit = to_u8(img)
     if was_16bit:
         note("note: 16-bit input reduced to 8-bit for the u8-native "
-             "engine; output is written as 16-bit")
+             "engine")
     mode = classify(img)
     if mode == "gray":
         rgb = np.repeat(img[:, :, None], 3, axis=2)
@@ -105,3 +109,41 @@ def to_output_depth(out: np.ndarray, was_16bit: bool) -> np.ndarray:
 
 def alpha_ok(output_path: str) -> bool:
     return output_path.lower().endswith(ALPHA_EXTS)
+
+
+def upscale_image_file(engine, in_path: str, out_path: str,
+                       img: Optional[np.ndarray] = None, note=None):
+    """Decode -> engine -> encode one image file; the one shared per-file
+    pipeline behind the CLI's single/dir modes and api.upscale_image.
+
+    Returns (error_message_or_None, (width, height)_or_None).  Pass a
+    pre-decoded `img` (cv2.IMREAD_UNCHANGED) to skip the decode.  16-bit
+    inputs are re-widened only for extensions that can carry 16 bits
+    (SIXTEEN_BIT_EXTS) — any other encoder would saturate the u16 values
+    to white; those outputs stay 8-bit with a note.  Alpha-vs-extension
+    must be validated by the caller (the modes report it differently).
+    """
+    import cv2
+
+    if note is None:
+        note = lambda msg: print(msg, file=sys.stderr)  # noqa: E731
+    if img is None:
+        img = cv2.imread(in_path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        return f"cannot decode image {in_path!r}", None
+    try:
+        out, was_16bit = upscale_image_array(engine, img, note=note)
+    except ValueError as e:
+        return str(e), None
+    if was_16bit:
+        if out_path.lower().endswith(SIXTEEN_BIT_EXTS):
+            out = to_output_depth(out, True)
+            note("note: output written as 16-bit")
+        else:
+            ext = os.path.splitext(out_path)[1]
+            note(f"note: {ext} cannot carry 16-bit samples; output "
+                 f"written as 8-bit (use .png to keep 16-bit)")
+    if not cv2.imwrite(out_path, np.ascontiguousarray(out)):
+        return f"cannot write image {out_path!r}", None
+    h, w = out.shape[:2]
+    return None, (w, h)

@@ -20,6 +20,7 @@ Design (TPU-first):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -134,6 +135,29 @@ def _tta_inv(out: np.ndarray, k: int, flip: bool) -> np.ndarray:
     return np.rot90(out, -k, axes=(1, 2))
 
 
+@functools.partial(jax.jit, static_argnames=("k", "flip"))
+def _tta_acc_device(acc, y, k: int, flip: bool):
+    """Inverse-transform one model output on DEVICE and add it to the
+    running uint16 sum (8 u8 terms max 2040 — exact in u16 and half the
+    HBM of an f32 accumulator).  Keeping the inverse + accumulate on
+    device means TTA transfers ONE averaged output to the host instead of
+    8 full-size intermediates — on this stack's ~20 MB/s host link that
+    is the difference between ~8x and ~60x the single-pass wall time."""
+    y = y.astype(jnp.uint16)
+    if flip:
+        y = y[:, :, ::-1]
+    y = jnp.rot90(y, -k, axes=(1, 2))
+    return y if acc is None else acc + y
+
+
+@jax.jit
+def _tta_mean_device(acc):
+    """u16 sum of the 8 terms -> rounded u8 mean (round-half-up; the
+    division by 8 is exact integer arithmetic, so the ensemble stays
+    exactly dihedral-equivariant)."""
+    return ((acc + 4) >> 3).astype(jnp.uint8)
+
+
 class TTAPendingBatch:
     """Self-ensemble (TTA) batch: the surface of the replaced engine's
     `-x` switch (realesrgan-ncnn-vulkan runs the model on all 8 dihedral
@@ -141,17 +165,20 @@ class TTAPendingBatch:
     flag, so this is engine-surface parity like single-image mode).
 
     The model runs once per dihedral transform (4 rotations x optional
-    horizontal flip); outputs are inverse-transformed and averaged in
-    float32, then rounded half-to-even.  Because the dihedral group is
-    closed under composition, the ensemble is EXACTLY equivariant: for any
-    dihedral T, tta(T(x)) == T(tta(x)) bit-for-bit (the same 8 u8 arrays
-    are averaged either way) — tested in tests/test_tta.py.
+    horizontal flip); outputs are inverse-transformed and summed on
+    device in uint16 (exact), and the rounded mean is the single tensor
+    copied to the host.  Because the dihedral group is closed under
+    composition, the ensemble is EXACTLY equivariant: for any dihedral T,
+    tta(T(x)) == T(tta(x)) bit-for-bit (the same 8 u8 arrays are summed
+    either way) — tested in tests/test_tta.py.
 
     Dispatch is pipelined one transform ahead: the first transform is
-    enqueued at submit time, each later one as the previous is fetched, so
-    device compute overlaps the host-side inverse/accumulate.  `result()`
-    is one-shot.  Non-square frames compile a second (W, H) shape for the
-    odd quarter-turns; `warmup` pre-compiles both when TTA is on.
+    enqueued at submit time; `result()` enqueues each next transform
+    before synchronizing on the previous accumulate (bounding device
+    memory to ~2 transforms' outputs while keeping the device busy).
+    `result()` is one-shot and enforces it.  Non-square frames compile a
+    second (W, H) shape for the odd quarter-turns; `warmup` pre-compiles
+    both when TTA is on.
     """
 
     def __init__(self, engine: "UpscaleEngine", frames: np.ndarray,
@@ -160,22 +187,46 @@ class TTAPendingBatch:
         self._frames = frames
         self._valid = valid
         self._next = 1
-        self._inflight = engine._dispatch(
-            _tta_fwd(frames, *_TTA_SPECS[0]), len(frames))
+        #: list of per-piece device outputs (pieces = HBM-plan sub-batch
+        #: chunks; spatial transforms never cross the batch axis, so
+        #: accumulation is piece-wise)
+        self._inflight = engine._enqueue(
+            _tta_fwd(frames, *_TTA_SPECS[0]))
+        self._consumed = False
 
     def result(self) -> np.ndarray:
         """Block until done; returns (valid, H*s, W*s, 3) uint8."""
+        if self._consumed:
+            raise RuntimeError("TTAPendingBatch.result() is one-shot")
+        self._consumed = True
         acc = None
         for k, flip in _TTA_SPECS:
-            cur = self._inflight.result()
+            cur = self._inflight
             if self._next < len(_TTA_SPECS):
-                self._inflight = self._engine._dispatch(
-                    _tta_fwd(self._frames, *_TTA_SPECS[self._next]),
-                    len(self._frames))
+                self._inflight = self._engine._enqueue(
+                    _tta_fwd(self._frames, *_TTA_SPECS[self._next]))
                 self._next += 1
-            y = _tta_inv(cur, k, flip).astype(np.float32)
-            acc = y if acc is None else acc + y
-        out = np.rint(acc / len(_TTA_SPECS)).astype(np.uint8)
+            if acc is None:
+                acc = [_tta_acc_device(None, p, k, flip) for p in cur]
+            else:
+                acc = [_tta_acc_device(a, p, k, flip)
+                       for a, p in zip(acc, cur)]
+            # bound in-flight device memory to ~2 transforms' outputs:
+            # the NEXT upscale is already enqueued (keeps the device
+            # busy); waiting here lets the runtime release this
+            # transform's output buffers before enqueueing another
+            for a in acc:
+                a.block_until_ready()
+        self._inflight = None
+        self._frames = None
+        final = [_tta_mean_device(a) for a in acc]
+        for f in final:
+            try:
+                f.copy_to_host_async()
+            except AttributeError:
+                pass
+        out = np.concatenate([np.asarray(f) for f in final], axis=0) \
+            if len(final) > 1 else np.asarray(final[0])
         return out[: self._valid]
 
 
@@ -629,10 +680,15 @@ class UpscaleEngine:
             return TTAPendingBatch(self, frames, n)
         return self._dispatch(frames, n)
 
-    def _dispatch(self, frames: np.ndarray, valid: int):
-        """Enqueue one already-padded (batch_size, H, W, 3) u8 batch.
-        Calibration and stats are submit's job; TTA dispatches each
-        transformed copy of a batch through here."""
+    def _dispatch(self, frames: np.ndarray, valid: int) -> PendingBatch:
+        """Enqueue one already-padded (batch_size, H, W, 3) u8 batch and
+        start its D2H copies.  Calibration and stats are submit's job."""
+        return PendingBatch(self._enqueue(frames), valid)
+
+    def _enqueue(self, frames: np.ndarray) -> list:
+        """Async-dispatch one already-padded batch; returns the raw
+        per-piece device outputs WITHOUT starting host copies (TTA
+        accumulates them on device and never moves intermediates)."""
         h, w = frames.shape[1:3]
         fn, wf_chunk, shuffle = self._get_compiled(h, w)
         if wf_chunk:
@@ -645,10 +701,8 @@ class UpscaleEngine:
                                           wf_chunk - len(piece), axis=0)])
                 y = fn(self.params, self._qbody, self._place(piece))
                 outs.append(shuffle(y) if shuffle is not None else y)
-            out = outs
-        else:
-            out = fn(self.params, self._qbody, self._place(frames))
-        return PendingBatch(out, valid)
+            return outs
+        return [fn(self.params, self._qbody, self._place(frames))]
 
     def upscale_frames(self, frames: np.ndarray) -> np.ndarray:
         """Synchronous convenience: (N, H, W, 3) u8 -> (N, H*s, W*s, 3) u8."""

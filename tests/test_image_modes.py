@@ -182,6 +182,58 @@ def test_cli_image_dir_validation(tmp_path, capsys):
     assert "image mode" in capsys.readouterr().err
 
 
+def test_cli_16bit_to_jpg_stays_8bit(tmp_path, capsys):
+    """A 16-bit input written to an extension that can't carry 16 bits
+    must NOT be widened (cv2's CV_8U fallback saturate-casts u16*257 to
+    near-white); it stays 8-bit with a note."""
+    inp = str(tmp_path / "in.png")
+    img16 = (_rs(7).randint(0, 65536, (8, 10, 3))).astype(np.uint16)
+    assert cv2.imwrite(inp, img16)
+    out = str(tmp_path / "out.jpg")
+    rc = cli.run(["-i", inp, "-s", "2", out, "--dtype", "float32"])
+    err = capsys.readouterr().err
+    assert rc == 0
+    assert "cannot carry 16-bit" in err
+    got = cv2.imread(out, cv2.IMREAD_UNCHANGED)
+    assert got.dtype == np.uint8 and got.shape == (16, 20, 3)
+    # not blown out: the mean must track the (8-bit-reduced) input mean,
+    # nowhere near the 255 saturation the u16 widening used to cause
+    assert abs(float(got.mean()) - float(img16.mean()) / 257.0) < 30
+
+
+def test_cli_image_dir_alpha_retarget_collision(tmp_path, capsys):
+    """An alpha c.bmp retargeting to c.png must not shadow a sibling
+    INPUT named c.png (which the skip-exists check would then silently
+    never upscale) — the retarget falls back to c.bmp.png."""
+    ind = tmp_path / "in"
+    ind.mkdir()
+    rs = _rs(8)
+    cv2.imwrite(str(ind / "c.bmp"), rs.randint(0, 256, (5, 7, 4),
+                                               np.uint8))
+    cv2.imwrite(str(ind / "c.png"), rs.randint(0, 256, (6, 8, 3),
+                                               np.uint8))
+    outd = tmp_path / "out"
+    rc = cli.run(["-i", str(ind), "-s", "2", str(outd),
+                  "--dtype", "float32"])
+    err = capsys.readouterr().err
+    assert rc == 0, err
+    assert "done: 2 upscaled" in err
+    assert "alpha channel -> writing c.bmp.png" in err
+    assert cv2.imread(str(outd / "c.bmp.png"),
+                      cv2.IMREAD_UNCHANGED).shape == (10, 14, 4)
+    assert cv2.imread(str(outd / "c.png"),
+                      cv2.IMREAD_UNCHANGED).shape == (12, 16, 3)
+
+
+def test_cli_image_dir_refuses_output_into_input_dir(tmp_path, capsys):
+    ind = tmp_path / "in"
+    ind.mkdir()
+    cv2.imwrite(str(ind / "a.png"), np.zeros((4, 4, 3), np.uint8))
+    rc = cli.run(["-i", str(ind), "-s", "2", str(ind)])
+    assert rc == 2
+    assert "must differ" in capsys.readouterr().err
+
+
 def test_api_alpha_refuses_jpg(tmp_path):
     import reve_tpu
 

@@ -30,12 +30,14 @@ def _engine(**kw):
 
 
 def _manual_tta(engine, frames):
+    """Independent host-side oracle of the ensemble spec: exact u16 sum
+    of the 8 inverse-transformed outputs, round-half-up integer mean."""
     acc = None
     for k, flip in _TTA_SPECS:
         y = engine.upscale_frames(_tta_fwd(frames, k, flip))
-        y = _tta_inv(y, k, flip).astype(np.float32)
+        y = _tta_inv(y, k, flip).astype(np.uint16)
         acc = y if acc is None else acc + y
-    return np.rint(acc / len(_TTA_SPECS)).astype(np.uint8)
+    return ((acc + 4) // 8).astype(np.uint8)
 
 
 def test_tta_specs_are_the_dihedral_group():
@@ -75,6 +77,17 @@ def test_tta_dihedral_equivariance_exact():
         np.testing.assert_array_equal(
             transformed, _tta_fwd(base, k, flip),
             err_msg=f"equivariance broken for rot{k * 90}, flip={flip}")
+
+
+def test_tta_result_is_one_shot():
+    """A second result() would re-consume device state with mismatched
+    inverse transforms — it must raise, not return corrupt pixels."""
+    frames = np.random.RandomState(7).randint(0, 256, (2, 8, 8, 3),
+                                              np.uint8)
+    pending = _engine(tta=True).submit(frames)
+    pending.result()
+    with pytest.raises(RuntimeError, match="one-shot"):
+        pending.result()
 
 
 def test_tta_short_batch_padding_and_stats():
