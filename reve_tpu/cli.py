@@ -169,6 +169,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "int8-vs-f32 PSNR on this video's first frames is "
                         "below DB (the turbo PSNR is always reported; "
                         "BASELINE's quality gate is 50)")
+    p.add_argument("--device", type=int, default=None, metavar="N",
+                   help="pin this process to accelerator N of "
+                        "jax.devices() (the replaced ncnn engine's -g "
+                        "gpu-id; e.g. one --shard-worker per chip on a "
+                        "multi-chip host)")
     p.add_argument("--io-backend", choices=("ffmpeg", "cv2", "y4m"),
                    default=None)
     p.add_argument("--workspace", default=None,
@@ -378,6 +383,9 @@ def run(argv: Optional[List[str]] = None) -> int:
         print(f"--denoise weights are x{preloaded[0].upscale} but -s "
               f"{state.scale} was requested", file=sys.stderr)
         return 2
+    device, err = _resolve_device(args)
+    if err is not None:
+        return err
     engine = UpscaleEngine(
         model=state.model,
         scale=state.scale,
@@ -387,6 +395,7 @@ def run(argv: Optional[List[str]] = None) -> int:
         compute_dtype=args.dtype,
         int8_calib=args.int8_calib,
         tta=args.tta,
+        device=device,
         preloaded=preloaded,
     )
     if args.dtype == "int8":
@@ -527,9 +536,27 @@ def _load_preloaded(args):
     return load_dni(args.weights_wdn, args.weights, args.denoise), None
 
 
+def _resolve_device(args):
+    """--device N -> jax.devices()[N] (the ncnn engine's -g gpu-id
+    analog); returns (device_or_None, error_exit_code_or_None)."""
+    if args.device is None:
+        return None, None
+    import jax
+
+    devs = jax.devices()
+    if not 0 <= args.device < len(devs):
+        print(f"--device {args.device} out of range: this host has "
+              f"{len(devs)} device(s)", file=sys.stderr)
+        return None, 2
+    return devs[args.device], None
+
+
 def _image_engine(args):
     """Build the (shared) engine for image mode; returns (engine, err)."""
     preloaded, err = _load_preloaded(args)
+    if err is not None:
+        return None, err
+    device, err = _resolve_device(args)
     if err is not None:
         return None, err
 
@@ -539,6 +566,7 @@ def _image_engine(args):
         model=args.model, scale=args.scale, weights=args.weights,
         batch_size=1, tile=args.tile, compute_dtype=args.dtype,
         int8_calib=args.int8_calib, tta=args.tta,
+        device=device,
         preloaded=preloaded,
     ), None
 

@@ -726,6 +726,34 @@ def test_cli_resume_restores_tta(tmp_path, monkeypatch, capsys):
     assert (rd.width, rd.height, rd.frame_count()) == (48, 32, 10)
 
 
+def test_cli_device_pinning(tmp_path, monkeypatch, capsys):
+    """--device N pins the engine to jax.devices()[N] (the ncnn engine's
+    -g gpu-id: one --shard-worker per chip on a multi-chip host); out of
+    range is a clean exit-2 error naming the device count."""
+    import jax
+
+    from reve_tpu.pipeline import scheduler as sched_mod
+
+    monkeypatch.chdir(tmp_path)
+    inp = _small_y4m(tmp_path)
+    out = str(tmp_path / "dev_out.y4m")
+
+    captured = []
+    real_run = sched_mod.PipelineJob.run
+    monkeypatch.setattr(sched_mod.PipelineJob, "run",
+                        lambda self: (captured.append(self.engine),
+                                      real_run(self))[1])
+    rc = cli.run(["-i", inp, "-s", "2", out, "--yes", "--io-backend",
+                  "y4m", "--dtype", "float32", "--device", "3"])
+    assert rc == 0
+    assert captured[0].device == jax.devices()[3]  # conftest: 8 virtual
+
+    rc = cli.run(["-i", inp, "-s", "2", str(tmp_path / "dev2.y4m"),
+                  "--yes", "--io-backend", "y4m", "--device", "99"])
+    assert rc == 2
+    assert "out of range" in capsys.readouterr().err
+
+
 def test_api_resume_refuses_denoise_opts(tmp_path, monkeypatch):
     """upscale_video() has no denoise kwarg: resuming a CLI --denoise
     workspace must refuse (the committed segments were upscaled with
