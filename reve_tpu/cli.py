@@ -15,6 +15,11 @@ Extensions beyond the reference (new capabilities, defaulted off):
                                hardcodes realesr-animevideov3, lib.rs:141)
     --batch / --tile / --dtype engine tuning
     --io-backend               force ffmpeg / cv2 / y4m io
+    --device N[,M,...]         pin to one accelerator, or shard batches
+                               over a comma list (ncnn -g analog)
+    -m/--models-dir, -f/--format
+                               ncnn engine's model-path / image-format
+                               switches
     --yes                      resume non-interactively
     --workspace                override the temp workspace location
     image input/output         `-i in.png -s 4 out.png` upscales a single
@@ -169,11 +174,27 @@ def build_parser() -> argparse.ArgumentParser:
                         "int8-vs-f32 PSNR on this video's first frames is "
                         "below DB (the turbo PSNR is always reported; "
                         "BASELINE's quality gate is 50)")
-    p.add_argument("--device", type=int, default=None, metavar="N",
+    p.add_argument("--device", default=None, metavar="N[,M,...]",
                    help="pin this process to accelerator N of "
                         "jax.devices() (the replaced ncnn engine's -g "
                         "gpu-id; e.g. one --shard-worker per chip on a "
-                        "multi-chip host)")
+                        "multi-chip host).  A comma list builds a local "
+                        "data-parallel mesh over those devices (the ncnn "
+                        "engine's multi-GPU `-g 0,1,...`): each batch of "
+                        "frames is sharded across them, so --batch must "
+                        "be a multiple of the device count")
+    p.add_argument("-f", "--format", choices=("png", "jpg", "webp"),
+                   default=None,
+                   help="image output format for image/directory modes "
+                        "(the replaced ncnn engine's -f switch; default: "
+                        "keep each input's extension)")
+    p.add_argument("-m", "--models-dir", default=None, metavar="DIR",
+                   dest="models_dir",
+                   help="directory searched for --model's weights "
+                        "(<name>.pth or <name>.param+.bin; the replaced "
+                        "ncnn engine's -m model-path switch).  Replaces "
+                        "the default search path ($REVE_TPU_MODELS_DIR, "
+                        "then ./models); an explicit --weights wins")
     p.add_argument("--io-backend", choices=("ffmpeg", "cv2", "y4m"),
                    default=None)
     p.add_argument("--workspace", default=None,
@@ -280,6 +301,9 @@ def run(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(message)s")
 
+    err = _apply_models_dir(args)
+    if err is not None:
+        return err
     if os.path.isdir(args.inputpath):
         if args.int8_gate is not None:
             print("--int8-gate applies to video jobs (image mode does "
@@ -305,6 +329,10 @@ def run(argv: Optional[List[str]] = None) -> int:
                   "not run certification)", file=sys.stderr)
             return 2
         return _run_image(args)
+    if args.format is not None:
+        print("--format applies to image/directory modes (video output "
+              "format follows the output extension)", file=sys.stderr)
+        return 2
     if not args.outputpath.lower().endswith(VIDEO_EXTS + (".y4m",)):
         print("valid output formats: mp4/mkv", file=sys.stderr)
         return 2
@@ -383,9 +411,14 @@ def run(argv: Optional[List[str]] = None) -> int:
         print(f"--denoise weights are x{preloaded[0].upscale} but -s "
               f"{state.scale} was requested", file=sys.stderr)
         return 2
-    device, err = _resolve_device(args)
+    device, mesh, err = _resolve_device(args)
     if err is not None:
         return err
+    if mesh is not None and args.batch % mesh.shape["dp"]:
+        print(f"--batch {args.batch} must be a multiple of the --device "
+              f"count ({mesh.shape['dp']}) so each device gets the same "
+              f"share of every batch", file=sys.stderr)
+        return 2
     engine = UpscaleEngine(
         model=state.model,
         scale=state.scale,
@@ -396,6 +429,7 @@ def run(argv: Optional[List[str]] = None) -> int:
         int8_calib=args.int8_calib,
         tta=args.tta,
         device=device,
+        mesh=mesh,
         preloaded=preloaded,
     )
     if args.dtype == "int8":
@@ -538,17 +572,63 @@ def _load_preloaded(args):
 
 def _resolve_device(args):
     """--device N -> jax.devices()[N] (the ncnn engine's -g gpu-id
-    analog); returns (device_or_None, error_exit_code_or_None)."""
+    analog); --device N,M,... -> a 1-axis 'dp' jax.sharding.Mesh over
+    those devices (the ncnn engine's multi-GPU `-g 0,1,...` — here the
+    engine shards each frame batch across the mesh instead of spawning
+    per-GPU processes).  Returns (device, mesh, error_exit_code); at most
+    one of device/mesh is set."""
     if args.device is None:
-        return None, None
+        return None, None, None
     import jax
 
     devs = jax.devices()
-    if not 0 <= args.device < len(devs):
-        print(f"--device {args.device} out of range: this host has "
-              f"{len(devs)} device(s)", file=sys.stderr)
-        return None, 2
-    return devs[args.device], None
+    try:
+        idxs = [int(t) for t in str(args.device).split(",") if t.strip()]
+    except ValueError:
+        print(f"--device must be a device index or comma list of "
+              f"indices, got {args.device!r}", file=sys.stderr)
+        return None, None, 2
+    if not idxs:
+        print("--device needs at least one device index", file=sys.stderr)
+        return None, None, 2
+    for i in idxs:
+        if not 0 <= i < len(devs):
+            print(f"--device {i} out of range: this host has "
+                  f"{len(devs)} device(s)", file=sys.stderr)
+            return None, None, 2
+    if len(set(idxs)) != len(idxs):
+        print("--device indices must be distinct", file=sys.stderr)
+        return None, None, 2
+    if len(idxs) == 1:
+        return devs[idxs[0]], None, None
+    import numpy as np
+    from jax.sharding import Mesh
+
+    return None, Mesh(np.array([devs[i] for i in idxs]), ("dp",)), None
+
+
+def _apply_models_dir(args) -> Optional[int]:
+    """--models-dir DIR: resolve --model's weights from DIR into
+    args.weights (the ncnn engine's `-m model-path`).  An explicitly
+    named directory with no matching weights is an error — the implicit
+    search path's random-init fallback would silently ignore the flag."""
+    if args.models_dir is None or args.weights:
+        return None
+    if not os.path.isdir(args.models_dir):
+        print(f"--models-dir {args.models_dir!r} is not a directory",
+              file=sys.stderr)
+        return 2
+    from reve_tpu.models import registry
+
+    w = registry.resolve_weights(args.model, args.scale,
+                                 [args.models_dir])
+    if w is None:
+        print(f"no weights for {args.model!r} (x{args.scale}) in "
+              f"{args.models_dir!r} (expected <name>.pth or "
+              f"<name>.param + .bin)", file=sys.stderr)
+        return 2
+    args.weights = w
+    return None
 
 
 def _image_engine(args):
@@ -556,9 +636,13 @@ def _image_engine(args):
     preloaded, err = _load_preloaded(args)
     if err is not None:
         return None, err
-    device, err = _resolve_device(args)
+    device, mesh, err = _resolve_device(args)
     if err is not None:
         return None, err
+    if mesh is not None:
+        print("image mode runs one frame at a time on one device; pass "
+              "a single --device index", file=sys.stderr)
+        return None, 2
 
     from reve_tpu.pipeline.engine import UpscaleEngine
 
@@ -583,6 +667,16 @@ def _run_image(args) -> int:
     if not args.outputpath.lower().endswith(IMAGE_EXTS):
         print("image input requires an image output "
               "(png/jpg/webp/bmp)", file=sys.stderr)
+        return 2
+    if args.format is not None and not _format_matches(
+            args.outputpath, args.format):
+        # the output path names the format in single-file mode; writing
+        # <fmt> bytes under a different extension would lie to every
+        # later consumer of the file
+        print(f"--format {args.format} conflicts with the output "
+              f"extension {os.path.splitext(args.outputpath)[1]!r}; in "
+              f"single-image mode the output path decides the format",
+              file=sys.stderr)
         return 2
     img = cv2.imread(args.inputpath, cv2.IMREAD_UNCHANGED)
     if img is None:
@@ -646,22 +740,34 @@ def _run_image_dir(args) -> int:
         return err
     import cv2
 
-    in_names = set(files)
+    fmt = args.format
+    #: the name every input will claim by default — a file forced onto a
+    #: DIFFERENT name (alpha retarget, --format stem collision) must not
+    #: shadow a sibling's slot
+    projected = {(os.path.splitext(f)[0] + "." + fmt) if fmt else f
+                 for f in files}
     claimed = set()
     done = failed = skipped = 0
     for name in files:
         in_path = os.path.join(args.inputpath, name)
-        out_name = name
+        stem = os.path.splitext(name)[0]
+        out_name = own = (stem + "." + fmt) if fmt else name
         img = cv2.imread(in_path, cv2.IMREAD_UNCHANGED)
         if img is not None and img.ndim == 3 and img.shape[2] == 4 \
                 and not image_mod.alpha_ok(out_name):
-            retarget = os.path.splitext(name)[0] + ".png"
-            if retarget in in_names or retarget in claimed:
+            retarget = stem + ".png"
+            if (retarget in projected and retarget != own) \
+                    or retarget in claimed:
                 # a sibling input already owns that name — keep the
                 # original filename so nothing is shadowed or skipped
                 retarget = name + ".png"
             out_name = retarget
             print(f"{name}: alpha channel -> writing {out_name}",
+                  file=sys.stderr)
+        elif out_name != name and out_name in claimed:
+            # two inputs sharing a stem mapped onto one --format name
+            out_name = name + "." + fmt
+            print(f"{name}: output name taken -> writing {out_name}",
                   file=sys.stderr)
         claimed.add(out_name)
         out_path = os.path.join(args.outputpath, out_name)
@@ -685,6 +791,13 @@ def _run_image_dir(args) -> int:
         summary += f", {failed} FAILED"
     print(summary, file=sys.stderr)
     return 0 if not failed else 2
+
+
+def _format_matches(path: str, fmt: str) -> bool:
+    """Does `path`'s extension name the same encoding as --format `fmt`?
+    (jpg and jpeg are the same encoder)."""
+    ext = os.path.splitext(path)[1].lower().lstrip(".")
+    return ext == fmt or (fmt == "jpg" and ext == "jpeg")
 
 
 def _part_ext(args) -> str:

@@ -87,8 +87,8 @@ def _search_dirs():
     return dirs
 
 
-def _find_weight_files(stem: str):
-    for d in _search_dirs():
+def _find_weight_files(stem: str, dirs=None):
+    for d in (dirs if dirs is not None else _search_dirs()):
         pth = os.path.join(d, stem + ".pth")
         if os.path.exists(pth):
             return ("pth", pth)
@@ -96,6 +96,24 @@ def _find_weight_files(stem: str):
         if os.path.exists(par) and os.path.exists(os.path.join(d, stem + ".bin")):
             return ("ncnn", par)
     return None
+
+
+def resolve_weights(name: str, scale: Optional[int] = None,
+                    dirs=None) -> Optional[str]:
+    """Path of the weight file for model `name` (+ requested scale) under
+    `dirs` (default: the REVE_TPU_MODELS_DIR / ./models search path), or
+    None when absent.  The CLI's --models-dir (the replaced ncnn engine's
+    `-m model-path` switch) resolves through this so an explicitly named
+    directory that holds no weights is an error instead of a silent
+    random-init fallback."""
+    spec, name_scale = parse_model_name(name)
+    scale = scale or name_scale or 2
+    stem = spec.canonical
+    if spec.upscale is None:
+        stem = f"{stem}-x{scale}"
+    found = (_find_weight_files(stem, dirs)
+             or _find_weight_files(spec.canonical, dirs))
+    return found[1] if found else None
 
 
 def load_model(name: str, scale: Optional[int] = None,

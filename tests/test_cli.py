@@ -779,3 +779,106 @@ def test_api_resume_refuses_denoise_opts(tmp_path, monkeypatch):
         reve_tpu.upscale_video(inp, out, scale=2, io_backend="y4m",
                                segment_size=4, batch=3, dtype="float32")
     assert ws.has_state()  # untouched: the CLI can still resume it
+
+
+def test_cli_multi_device_mesh(tmp_path, monkeypatch):
+    """--device 0,1 (the ncnn engine's multi-GPU `-g 0,1`) builds a local
+    dp mesh and shards each batch over it; the output is bit-identical to
+    the single-device run (frames are independent)."""
+    from reve_tpu.pipeline import scheduler as sched_mod
+
+    monkeypatch.chdir(tmp_path)
+    inp = _small_y4m(tmp_path)
+    out1 = str(tmp_path / "one.y4m")
+    out2 = str(tmp_path / "two.y4m")
+    rc = cli.run(["-i", inp, "-s", "2", out1, "--yes", "--io-backend",
+                  "y4m", "--dtype", "float32", "--batch", "2"])
+    assert rc == 0
+
+    captured = []
+    real_run = sched_mod.PipelineJob.run
+    monkeypatch.setattr(sched_mod.PipelineJob, "run",
+                        lambda self: (captured.append(self.engine),
+                                      real_run(self))[1])
+    rc = cli.run(["-i", inp, "-s", "2", out2, "--yes", "--io-backend",
+                  "y4m", "--dtype", "float32", "--batch", "2",
+                  "--device", "0,1"])
+    assert rc == 0
+    eng = captured[0]
+    assert eng.device is None
+    assert eng.mesh is not None and eng.mesh.shape["dp"] == 2
+    with open(out1, "rb") as f1, open(out2, "rb") as f2:
+        assert f1.read() == f2.read()
+
+
+def test_cli_multi_device_validation(tmp_path, capsys):
+    inp = _small_y4m(tmp_path)
+    for i, (extra, msg) in enumerate([
+        (["--device", "0,0"], "must be distinct"),
+        (["--device", "0,junk"], "comma list"),
+        (["--device", "0,99"], "out of range"),
+        # default --batch 4 is not a multiple of 3 devices
+        (["--device", "0,1,2"], "must be a multiple of the --device"),
+    ]):
+        rc = cli.run(["-i", inp, "-s", "2",
+                      str(tmp_path / f"o{i}.y4m"), "--yes",
+                      "--io-backend", "y4m"] + extra)
+        assert rc == 2, (extra, msg)
+        assert msg in capsys.readouterr().err, (extra, msg)
+
+
+def test_cli_image_mode_rejects_multi_device(tmp_path, capsys):
+    import cv2
+    import numpy as np
+
+    inp = str(tmp_path / "in.png")
+    assert cv2.imwrite(inp, np.zeros((6, 8, 3), np.uint8))
+    rc = cli.run(["-i", inp, "-s", "2", str(tmp_path / "o.png"),
+                  "--dtype", "float32", "--device", "0,1"])
+    assert rc == 2
+    assert "single --device index" in capsys.readouterr().err
+
+
+def test_cli_models_dir(tmp_path, monkeypatch, capsys):
+    """--models-dir DIR (the ncnn engine's -m model-path): --model's
+    weights resolve from DIR; a directory holding no matching weights is
+    a clean exit-2 error, NOT a silent random-init fallback."""
+    pytest.importorskip("torch")
+    import jax as jax_mod
+
+    from test_acceptance import make_pth
+    from reve_tpu.models import srvgg as srvgg_mod
+    from reve_tpu.pipeline import scheduler as sched_mod
+
+    cfg = srvgg_mod.SRVGGConfig(num_feat=8, num_conv=2, upscale=2)
+    params = srvgg_mod.init_params(jax_mod.random.key(1), cfg)
+    mdir = tmp_path / "zoo"
+    mdir.mkdir()
+    make_pth(cfg, params, mdir / "realesr-animevideov3-x2.pth")
+
+    monkeypatch.chdir(tmp_path)
+    inp = _small_y4m(tmp_path)
+    captured = []
+    real_run = sched_mod.PipelineJob.run
+    monkeypatch.setattr(sched_mod.PipelineJob, "run",
+                        lambda self: (captured.append(self.engine),
+                                      real_run(self))[1])
+    rc = cli.run(["-i", inp, "-s", "2", str(tmp_path / "out.y4m"),
+                  "--yes", "--io-backend", "y4m", "--dtype", "float32",
+                  "-m", str(mdir)])
+    assert rc == 0
+    # the 8-feat zoo checkpoint, not the registry's 64-feat random init
+    assert captured[0].cfg.num_feat == 8
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    rc = cli.run(["-i", inp, "-s", "2", str(tmp_path / "o2.y4m"),
+                  "--yes", "--io-backend", "y4m", "-m", str(empty)])
+    assert rc == 2
+    assert "no weights for" in capsys.readouterr().err
+
+    rc = cli.run(["-i", inp, "-s", "2", str(tmp_path / "o3.y4m"),
+                  "--yes", "--io-backend", "y4m",
+                  "-m", str(tmp_path / "nosuch")])
+    assert rc == 2
+    assert "not a directory" in capsys.readouterr().err

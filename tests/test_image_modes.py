@@ -242,3 +242,82 @@ def test_api_alpha_refuses_jpg(tmp_path):
     with pytest.raises(ValueError, match="alpha"):
         reve_tpu.upscale_image(inp, str(tmp_path / "o.jpg"), scale=2,
                                dtype="float32")
+
+
+def test_cli_image_dir_format(tmp_path, capsys):
+    """-f jpg (the replaced ncnn engine's -f switch): every output
+    re-encodes to the requested format; two inputs whose stems collide
+    under the shared extension divert to <name>.<fmt>; alpha inputs
+    still retarget to .png (jpg cannot carry the plane)."""
+    ind = tmp_path / "in"
+    ind.mkdir()
+    rs = _rs(9)
+    cv2.imwrite(str(ind / "a.png"), rs.randint(0, 256, (8, 10, 3),
+                                               np.uint8))
+    # sorts before a.png -> claims a.jpg first
+    cv2.imwrite(str(ind / "a.bmp"), rs.randint(0, 256, (6, 6, 3),
+                                               np.uint8))
+    cv2.imwrite(str(ind / "c.bmp"), rs.randint(0, 256, (5, 7, 4),
+                                               np.uint8))
+    outd = tmp_path / "out"
+    rc = cli.run(["-i", str(ind), "-s", "2", str(outd),
+                  "--dtype", "float32", "-f", "jpg"])
+    err = capsys.readouterr().err
+    assert rc == 0, err
+    assert cv2.imread(str(outd / "a.jpg")).shape == (12, 12, 3)
+    assert "a.png: output name taken -> writing a.png.jpg" in err
+    assert cv2.imread(str(outd / "a.png.jpg")).shape == (16, 20, 3)
+    assert "c.bmp: alpha channel -> writing c.png" in err
+    assert cv2.imread(str(outd / "c.png"),
+                      cv2.IMREAD_UNCHANGED).shape == (10, 14, 4)
+    assert sorted(p.name for p in outd.iterdir()) == [
+        "a.jpg", "a.png.jpg", "c.png"]
+
+
+def test_cli_image_dir_format_webp_keeps_alpha(tmp_path, capsys):
+    """-f webp can carry alpha, so the alpha input does NOT retarget."""
+    ind = tmp_path / "in"
+    ind.mkdir()
+    cv2.imwrite(str(ind / "c.bmp"), _rs(10).randint(0, 256, (5, 7, 4),
+                                                    np.uint8))
+    outd = tmp_path / "out"
+    rc = cli.run(["-i", str(ind), "-s", "2", str(outd),
+                  "--dtype", "float32", "-f", "webp"])
+    err = capsys.readouterr().err
+    assert rc == 0, err
+    assert "alpha channel" not in err
+    assert cv2.imread(str(outd / "c.webp"),
+                      cv2.IMREAD_UNCHANGED).shape == (10, 14, 4)
+
+
+def test_cli_single_image_format_must_match_output(tmp_path, capsys):
+    """In single-file mode the output path names the format; a
+    conflicting -f is refused (writing jpg bytes under .png would lie),
+    a matching one (incl. jpg==jpeg) is accepted."""
+    inp = str(tmp_path / "in.png")
+    assert cv2.imwrite(inp, _rs(11).randint(0, 256, (6, 8, 3), np.uint8))
+    rc = cli.run(["-i", inp, "-s", "2", str(tmp_path / "o.png"),
+                  "--dtype", "float32", "-f", "jpg"])
+    assert rc == 2
+    assert "conflicts with the output extension" in \
+        capsys.readouterr().err
+    rc = cli.run(["-i", inp, "-s", "2", str(tmp_path / "o.jpeg"),
+                  "--dtype", "float32", "-f", "jpg"])
+    assert rc == 0
+    assert cv2.imread(str(tmp_path / "o.jpeg")).shape == (12, 16, 3)
+
+
+def test_cli_video_mode_rejects_format(tmp_path, capsys):
+    import fractions
+
+    from reve_tpu.io import writer as writer_mod
+    from reve_tpu.io.reader import SyntheticReader
+
+    inp = str(tmp_path / "in.y4m")
+    with writer_mod.Y4MWriter(inp, 24, 16, fractions.Fraction(24)) as wr:
+        for i in range(4):
+            wr.write(SyntheticReader.frame(i, 16, 24))
+    rc = cli.run(["-i", inp, "-s", "2", str(tmp_path / "o.y4m"),
+                  "--yes", "--io-backend", "y4m", "-f", "png"])
+    assert rc == 2
+    assert "--format applies to image" in capsys.readouterr().err
