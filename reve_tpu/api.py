@@ -149,6 +149,7 @@ def upscale_video(
             total_frames=sum(s.size for s in state.pending),
             total_segments=len(state.pending),
             on_update=lambda t: on_progress(t.snapshot()),
+            source_fps=state.fps_num / max(state.fps_den, 1),
         )
     job = scheduler.PipelineJob(state, ws, engine, io_backend=io_backend,
                                 part_ext=part_ext, progress=progress)

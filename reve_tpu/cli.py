@@ -445,6 +445,7 @@ def run(argv: Optional[List[str]] = None) -> int:
         total_frames=remaining,
         total_segments=len(state.pending),
         on_update=TeeRenderer(renderer, jsonl),
+        source_fps=state.fps_num / max(state.fps_den, 1),
     )
     from reve_tpu.utils import trace as trace_mod
 
@@ -453,6 +454,9 @@ def run(argv: Optional[List[str]] = None) -> int:
     profile_ctx = trace_mod.device_profile(args.profile_dir)
 
     encoder_desc = None
+    import time as _time
+
+    run_t0 = _time.monotonic()
     if args.shard_worker:
         from reve_tpu.pipeline import leases
 
@@ -503,8 +507,19 @@ def run(argv: Optional[List[str]] = None) -> int:
         state, ws, io_backend=args.io_backend, part_ext=_part_ext(args)
     )
     enc_note = f", encoder: {encoder_desc}" if encoder_desc else ""
+    # end-to-end x-realtime for the frames THIS run processed (BASELINE.md
+    # "end-to-end x realtime per segment: report"; resumed runs only paid
+    # for their own pending segments, so that is the honest denominator)
+    rate_note = ""
+    elapsed = _time.monotonic() - run_t0
+    done_frames = tracker.stages["encode"].done
+    src_fps = state.fps_num / max(state.fps_den, 1)
+    if elapsed > 0 and done_frames and src_fps > 0:
+        e2e_fps = done_frames / elapsed
+        rate_note = (f", {e2e_fps:.1f} fps end-to-end = "
+                     f"{e2e_fps / src_fps:.2f}x realtime")
     print(f"\ndone: {state.output_path} (concat backend: "
-          f"{report['backend']}{enc_note})", file=sys.stderr)
+          f"{report['backend']}{enc_note}{rate_note})", file=sys.stderr)
     if not args.keep_workspace:
         ws.destroy()
     return 0

@@ -35,7 +35,8 @@ class ProgressTracker:
     """Thread-safe frame counters for decode/upscale/encode + segment total."""
 
     def __init__(self, total_frames: int, total_segments: int,
-                 on_update: Optional[Callable[["ProgressTracker"], None]] = None):
+                 on_update: Optional[Callable[["ProgressTracker"], None]] = None,
+                 source_fps: float = 0.0):
         now = time.monotonic()
         self.stages = {
             "decode": StageCounter(total=total_frames, started_at=now),
@@ -43,6 +44,11 @@ class ProgressTracker:
             "encode": StageCounter(total=total_frames, started_at=now),
             "total": StageCounter(total=total_segments, started_at=now),
         }
+        #: source frame rate; when known, snapshots carry the end-to-end
+        #: x-realtime factor (encode rate / source fps — frames fully
+        #: through decode->upscale->encode per wall second vs playback).
+        #: BASELINE.md's "end-to-end x realtime per segment: report" row.
+        self.source_fps = float(source_fps)
         self._lock = threading.Lock()
         # callbacks are serialized on their own lock (decode/submit/encode
         # threads all advance concurrently; renderers and user callbacks
@@ -60,10 +66,14 @@ class ProgressTracker:
 
     def snapshot(self) -> dict:
         with self._lock:
-            return {
+            snap = {
                 name: {"done": c.done, "total": c.total, "rate": round(c.rate, 2)}
                 for name, c in self.stages.items()
             }
+            if self.source_fps > 0:
+                snap["x_realtime"] = round(
+                    self.stages["encode"].rate / self.source_fps, 3)
+            return snap
 
 
 class ConsoleRenderer:
@@ -92,9 +102,12 @@ class ConsoleRenderer:
             frac = c["done"] / c["total"] if c["total"] else 0.0
             bar = "#" * int(frac * 30)
             unit = "seg" if name == "total" else "fps"
+            xrt = ""
+            if name == "total" and "x_realtime" in snap:
+                xrt = f", {snap['x_realtime']}x realtime"
             self.stream.write(
                 f"[{self.LABELS[name]}] [{bar:<30}] "
-                f"{c['done']}/{c['total']} ({c['rate']} {unit})\x1b[K\n"
+                f"{c['done']}/{c['total']} ({c['rate']} {unit}{xrt})\x1b[K\n"
             )
             self._lines += 1
         self.stream.flush()

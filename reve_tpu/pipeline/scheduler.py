@@ -147,7 +147,8 @@ class PipelineJob:
         wire_int8_calibration(engine, workspace)
         remaining = sum(s.size for s in state.pending)
         self.progress = progress or ProgressTracker(
-            total_frames=remaining, total_segments=len(state.pending)
+            total_frames=remaining, total_segments=len(state.pending),
+            source_fps=state.fps_num / max(state.fps_den, 1),
         )
 
     # -- stage 1: decode ---------------------------------------------------

@@ -330,6 +330,7 @@ class JobManager:
         job.progress = ProgressTracker(
             total_frames=sum(s.size for s in st.pending),
             total_segments=len(st.pending),
+            source_fps=st.fps_num / max(st.fps_den, 1),
         )
         pipeline = scheduler.PipelineJob(
             st, ws, engine, io_backend=io_backend,

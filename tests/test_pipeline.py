@@ -168,6 +168,32 @@ def test_progress_rates_present(tmp_path):
     job.run()
     snap = tracker.snapshot()
     assert snap["encode"]["done"] == 6 and snap["encode"]["rate"] >= 0
+    # no source_fps given -> no x_realtime claim
+    assert "x_realtime" not in snap
+
+
+def test_progress_x_realtime(tmp_path):
+    """With a known source fps the snapshot reports the end-to-end
+    x-realtime factor (encode rate / source fps — BASELINE.md's
+    'end-to-end x realtime per segment: report' row), and the default
+    PipelineJob tracker wires it from the job state's fps."""
+    import time
+
+    tracker = ProgressTracker(total_frames=6, total_segments=1,
+                              source_fps=24.0)
+    tracker.advance("encode", 6)
+    time.sleep(0.05)  # let the elapsed time dominate the per-call skew
+    snap = tracker.snapshot()
+    assert snap["x_realtime"] == pytest.approx(
+        snap["encode"]["rate"] / 24.0, rel=0.2)
+
+    inp = _make_input(tmp_path, num_frames=6)
+    ws, st = _make_state(tmp_path, inp, num_frames=6, seg=6)
+    job = scheduler.PipelineJob(st, ws, FakeEngine(), io_backend="y4m",
+                                part_ext=".y4m")
+    assert job.progress.source_fps == st.fps_num / st.fps_den
+    job.run()
+    assert "x_realtime" in job.progress.snapshot()
 
 
 def test_pipeline_stress_tiny_queues(tmp_path):
