@@ -161,6 +161,8 @@ def test_api_job_end_to_end(server, tmp_path):
         time.sleep(0.2)
     assert j["status"] == "done", j["error"]
     assert j["progress"]["encode"]["done"] == 12
+    # end-to-end x-realtime factor rides the progress snapshot
+    assert j["progress"]["x_realtime"] > 0
     rd = reader.Y4MReader(out)
     assert (rd.width, rd.height, rd.frame_count()) == (64, 48, 12)
 
