@@ -41,6 +41,8 @@ def upscale_video(
     resume: bool = True,
     on_progress=None,
     scene_align: bool = False,
+    device=None,
+    mesh=None,
 ) -> dict:
     """Upscale a video through the full segmented, resumable pipeline.
 
@@ -50,8 +52,14 @@ def upscale_video(
     CLI: output must not exist, mkv input requires mkv output).
 
     `on_progress`: optional callable receiving a snapshot dict
-    ({stage: {done, total, rate}} for decode/upscale/encode/total) after
-    every counter update; called from pipeline worker threads.
+    ({stage: {done, total, rate}} for decode/upscale/encode/total plus
+    x_realtime) after every counter update; called from pipeline worker
+    threads.
+
+    `device`: a jax.Device or jax.devices() index to pin to (the CLI's
+    --device N).  `mesh`: a jax.sharding.Mesh with a 'dp' axis to shard
+    each batch across devices (the CLI's --device N,M,...); `batch` must
+    be a multiple of the dp size.  Mutually exclusive.
     """
     from fractions import Fraction
 
@@ -63,6 +71,15 @@ def upscale_video(
 
     if scale not in (2, 3, 4):
         raise ValueError("scale must be 2, 3 or 4")
+    if device is not None and mesh is not None:
+        raise ValueError("device and mesh are mutually exclusive")
+    if mesh is not None and batch % mesh.shape["dp"]:
+        raise ValueError(f"batch {batch} must be a multiple of the "
+                         f"mesh's dp size ({mesh.shape['dp']})")
+    if isinstance(device, int):
+        import jax
+
+        device = jax.devices()[device]
     if os.path.exists(output_path):
         raise FileExistsError(f"output path already exists: {output_path}")
     if input_path.lower().endswith(".mkv") and \
@@ -140,7 +157,7 @@ def upscale_video(
     engine = UpscaleEngine(model=state.model, scale=state.scale,
                            weights=weights, batch_size=batch, tile=tile,
                            compute_dtype=dtype, int8_calib=int8_calib,
-                           tta=tta)
+                           tta=tta, device=device, mesh=mesh)
     progress = None
     if on_progress is not None:
         from reve_tpu.pipeline.progress import ProgressTracker
@@ -173,12 +190,14 @@ def upscale_image(
     tile: int = 0,
     dtype: str = "bfloat16",
     tta: bool = False,
+    device=None,
 ) -> tuple:
     """Upscale one image file; returns the output (width, height).
 
     Grayscale, BGRA (alpha upscaled through the model) and 16-bit inputs
     keep their layout/bit depth (io/image.py — the replaced ncnn engine's
     still-image channel semantics); alpha requires a png/webp output.
+    `device`: a jax.Device or jax.devices() index to pin to.
     """
     import cv2
 
@@ -192,9 +211,13 @@ def upscale_image(
             not image_mod.alpha_ok(output_path):
         raise ValueError("input has an alpha channel; output must be "
                          "png/webp to keep it")
+    if isinstance(device, int):
+        import jax
+
+        device = jax.devices()[device]
     engine = UpscaleEngine(model=model, scale=scale, weights=weights,
                            batch_size=1, tile=tile, compute_dtype=dtype,
-                           tta=tta)
+                           tta=tta, device=device)
     err, dims = image_mod.upscale_image_file(engine, input_path,
                                              output_path, img=img)
     if err is not None:

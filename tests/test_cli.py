@@ -500,7 +500,8 @@ def test_api_progress_callback(tmp_path, monkeypatch):
                            on_progress=snaps.append)
     assert snaps, "callback never fired"
     last = snaps[-1]
-    assert set(last) == {"decode", "upscale", "encode", "total"}
+    assert set(last) == {"decode", "upscale", "encode", "total",
+                         "x_realtime"}
     assert last["encode"]["done"] == last["encode"]["total"] == 10
     assert last["total"]["done"] == last["total"]["total"] == 3
 
@@ -882,3 +883,37 @@ def test_cli_models_dir(tmp_path, monkeypatch, capsys):
                   "-m", str(tmp_path / "nosuch")])
     assert rc == 2
     assert "not a directory" in capsys.readouterr().err
+
+
+def test_api_device_and_mesh(tmp_path):
+    """Library parity with --device: an int pins to jax.devices()[N]; a
+    dp mesh shards batches (bit-identical output); both together raise
+    BEFORE any workspace is created."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    import reve_tpu
+
+    inp = _small_y4m(tmp_path)
+    out1 = str(tmp_path / "a1.y4m")
+    out2 = str(tmp_path / "a2.y4m")
+    reve_tpu.upscale_video(inp, out1, scale=2, io_backend="y4m",
+                           dtype="float32", batch=2, segment_size=4,
+                           device=3)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("dp",))
+    reve_tpu.upscale_video(inp, out2, scale=2, io_backend="y4m",
+                           dtype="float32", batch=2, segment_size=4,
+                           mesh=mesh)
+    with open(out1, "rb") as f1, open(out2, "rb") as f2:
+        assert f1.read() == f2.read()
+
+    out3 = str(tmp_path / "a3.y4m")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        reve_tpu.upscale_video(inp, out3, scale=2, io_backend="y4m",
+                               device=0, mesh=mesh)
+    with pytest.raises(ValueError, match="multiple of"):
+        reve_tpu.upscale_video(inp, out3, scale=2, io_backend="y4m",
+                               batch=3, mesh=mesh)
+    # the early validation must not leave a workspace behind
+    assert not os.path.exists(out3 + ".revework")
