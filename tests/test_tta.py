@@ -148,3 +148,37 @@ def test_service_factory_without_tta_arity_is_refused():
         assert mgr._get_engine("m", 2, "bfloat16", "max", False) is None
     finally:
         mgr.shutdown()
+
+
+def test_tta_on_dp_mesh_matches_single_device():
+    """TTA over a mesh engine: the device-side inverse/accumulate runs on
+    dp-sharded pieces (jnp.rot90 over the spatial axes of a batch-sharded
+    array); the ensemble must equal the single-device TTA bit-for-bit."""
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("dp",))
+    frames = np.random.RandomState(5).randint(0, 256, (2, 12, 20, 3),
+                                              np.uint8)
+    single = _engine(tta=True).submit(frames).result()
+    sharded = _engine(tta=True, mesh=mesh).submit(frames).result()
+    np.testing.assert_array_equal(single, sharded)
+
+
+def test_tta_chunked_pieces_accumulate_exactly(monkeypatch):
+    """TTA when the HBM plan splits each batch into sub-batch pieces
+    (wf_chunk, the 4K path): accumulation is piece-wise; the result must
+    still equal the unchunked ensemble bit-for-bit."""
+    from reve_tpu.pipeline import engine as engine_mod
+
+    frames = np.random.RandomState(6).randint(0, 256, (2, 12, 20, 3),
+                                              np.uint8)
+    expected = _engine(tta=True).submit(frames).result()
+    chunked_engine = _engine(tta=True)
+    # force the plan into 1-frame whole-frame pieces
+    monkeypatch.setattr(
+        engine_mod.UpscaleEngine, "_plan_execution",
+        lambda self, h, w: (0, 1, 0))
+    assert chunked_engine._plan_execution(1, 1) == (0, 1, 0)
+    got = chunked_engine.submit(frames).result()
+    np.testing.assert_array_equal(expected, got)
