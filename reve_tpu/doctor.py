@@ -15,6 +15,45 @@ import shutil
 import sys
 import tempfile
 
+#: whole-run deadline (--timeout N overrides).  Normal runs finish in well
+#: under a minute off-TPU and a few minutes on it (first compiles ~8 s
+#: each); a dead accelerator relay blocks backend init/compiles FOREVER
+#: inside native code (seen live in round 3: jax.devices() never
+#: returned), so diagnostics must self-terminate with an honest verdict.
+DEFAULT_TIMEOUT_S = 600.0
+
+
+def _arm_hang_watchdog(timeout_s: float, results: list, want_json: bool):
+    """Daemon thread that reports a wedged accelerator stack and
+    hard-exits (code 2) if the probes haven't all completed in time —
+    no Python-level deadline can interrupt a native-code hang, so the
+    whole process goes.  Call .set() on the returned event when done."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def fire():
+        if done.wait(timeout_s):
+            return
+        where = (f"hung after the {results[-1]['probe']!r} probe"
+                 if results else "hung in the first ('accelerator') probe")
+        entry = {"probe": "watchdog", "status": "fail", "required": True,
+                 "detail": f"no response in {timeout_s:.0f}s ({where}) — "
+                           f"accelerator stack wedged: backend init or "
+                           f"compile is blocking in native code (dead "
+                           f"TPU-relay link?)"}
+        results.append(entry)
+        print(f" [x] watchdog: {entry['detail']}", flush=True)
+        if want_json:
+            print(json.dumps({"ok": False, "probes": results}), flush=True)
+        print("FAILURES above", file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(2)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done
+
 
 def _probe(name, fn, required=True, results=None):
     try:
@@ -131,8 +170,16 @@ def _mini_pipeline():
 
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    timeout_s = DEFAULT_TIMEOUT_S
+    if "--timeout" in argv:
+        try:
+            timeout_s = float(argv[argv.index("--timeout") + 1])
+        except (IndexError, ValueError):
+            print("--timeout needs a number of seconds", file=sys.stderr)
+            return 1
     results: list = []
     print("reve-tpu doctor")
+    done = _arm_hang_watchdog(timeout_s, results, "--json" in argv)
     _probe("accelerator", _jax_device, results=results)
     _probe("jit compile", _jax_compile, results=results)
     _probe("native core", _native_core, results=results)
@@ -140,6 +187,7 @@ def main(argv=None) -> int:
     _probe("codecs", _codecs, required=False, results=results)
     _probe("model registry", _models, required=False, results=results)
     _probe("mini pipeline e2e", _mini_pipeline, results=results)
+    done.set()
     ok = all(r["status"] != "fail" for r in results)
     if "--json" in argv:
         print(json.dumps({"ok": ok, "probes": results}))
