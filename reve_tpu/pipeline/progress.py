@@ -66,10 +66,16 @@ class ProgressTracker:
 
     def snapshot(self) -> dict:
         with self._lock:
-            snap = {
-                name: {"done": c.done, "total": c.total, "rate": round(c.rate, 2)}
-                for name, c in self.stages.items()
-            }
+            snap = {}
+            for name, c in self.stages.items():
+                d = {"done": c.done, "total": c.total,
+                     "rate": round(c.rate, 2)}
+                # eta, like the reference's indicatif bars (SURVEY.md §5:
+                # elapsed/eta/per_sec per bar)
+                rate = c.rate
+                if rate > 0 and c.total > c.done:
+                    d["eta_s"] = round((c.total - c.done) / rate, 1)
+                snap[name] = d
             if self.source_fps > 0:
                 snap["x_realtime"] = round(
                     self.stages["encode"].rate / self.source_fps, 3)
@@ -105,9 +111,15 @@ class ConsoleRenderer:
             xrt = ""
             if name == "total" and "x_realtime" in snap:
                 xrt = f", {snap['x_realtime']}x realtime"
+            eta = ""
+            if "eta_s" in c:
+                s = int(c["eta_s"])
+                eta = f", eta {s // 60}m{s % 60:02d}s" if s >= 60 \
+                    else f", eta {s}s"
             self.stream.write(
                 f"[{self.LABELS[name]}] [{bar:<30}] "
-                f"{c['done']}/{c['total']} ({c['rate']} {unit}{xrt})\x1b[K\n"
+                f"{c['done']}/{c['total']} "
+                f"({c['rate']} {unit}{eta}{xrt})\x1b[K\n"
             )
             self._lines += 1
         self.stream.flush()

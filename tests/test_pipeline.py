@@ -186,6 +186,11 @@ def test_progress_x_realtime(tmp_path):
     snap = tracker.snapshot()
     assert snap["x_realtime"] == pytest.approx(
         snap["encode"]["rate"] / 24.0, rel=0.2)
+    # nothing pending -> no eta claim; a part-done stage carries one
+    assert "eta_s" not in snap["encode"]
+    tracker.advance("decode", 3)
+    snap = tracker.snapshot()
+    assert snap["decode"]["eta_s"] > 0
 
     inp = _make_input(tmp_path, num_frames=6)
     ws, st = _make_state(tmp_path, inp, num_frames=6, seg=6)
