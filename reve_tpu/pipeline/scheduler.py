@@ -190,8 +190,12 @@ class PipelineJob:
     # -- stage 3: encode ---------------------------------------------------
 
     def _encode_loop(self):
+        import time
+
         writer = None
         cur_seg = -1
+        seg_frames = 0
+        last_commit_t = time.monotonic()
         fps = Fraction(self.state.fps_num, self.state.fps_den)
         out_w = self.state.width * self.state.scale
         out_h = self.state.height * self.state.scale
@@ -230,12 +234,27 @@ class PipelineJob:
                                       n=len(frames)):
                     for f in frames:
                         writer.write(f)
+                seg_frames += len(frames)
                 self.progress.advance("encode", len(frames))
                 if item.last_of_segment:
                     writer.close()
                     writer = None
                     self.ws.commit_part(cur_seg, self.part_ext)
-                    self.tracer.event("segment_commit", seg=cur_seg)
+                    # per-segment end-to-end x-realtime (BASELINE.md's
+                    # "per segment" report): commit-to-commit wall time —
+                    # in steady state the pipeline's true per-segment
+                    # throughput with all three stages overlapped —
+                    # against the segment's source-time duration
+                    now = time.monotonic()
+                    wall = now - last_commit_t
+                    last_commit_t = now
+                    xrt = (seg_frames / float(fps) / wall
+                           if wall > 0 and fps > 0 else 0.0)
+                    self.tracer.event("segment_commit", seg=cur_seg,
+                                      frames=seg_frames,
+                                      wall_s=round(wall, 3),
+                                      x_realtime=round(xrt, 3))
+                    seg_frames = 0
                     # checkpoint: everything not yet on disk is pending
                     done = set(self.ws.completed_parts(self.part_ext))
                     new_pending = [

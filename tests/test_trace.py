@@ -64,7 +64,13 @@ def test_pipeline_emits_stage_events(tmp_path):
         tracer=trace.Tracer(tpath),
     )
     job.run()
-    events = [json.loads(line)["ev"] for line in open(tpath)]
+    records = [json.loads(line) for line in open(tpath)]
+    events = [r["ev"] for r in records]
     assert "submit" in events
     assert "encode_batch" in events
-    assert events.count("segment_commit") == 2
+    commits = [r for r in records if r["ev"] == "segment_commit"]
+    assert len(commits) == 2
+    # per-segment end-to-end x-realtime report (BASELINE.md "per segment")
+    for c in commits:
+        assert c["frames"] == 4
+        assert c["wall_s"] > 0 and c["x_realtime"] > 0
