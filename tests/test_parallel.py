@@ -515,3 +515,30 @@ def test_sharded_engine_hbm_chunking_matches_single_device(monkeypatch):
     assert wf_chunk == 8  # 1 frame/device x dp=8; two dispatches of 8
     out = sharded.submit(frames).result()
     np.testing.assert_array_equal(out, ref)
+
+
+def test_int8_sharded_engine_matches_single_device():
+    """int8 turbo on a dp mesh: calibration runs on the dp-sharded batch
+    and the quantized body is replicated — with identical injected scales
+    the sharded output must equal the single-device int8 output exactly
+    (integer hidden stack; the determinism contract that makes sharded
+    int8 jobs byte-stable across workers)."""
+    from jax.sharding import Mesh
+    from reve_tpu.pipeline.engine import UpscaleEngine
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("dp",))
+    frames = np.random.RandomState(3).randint(
+        0, 256, (4, 16, 20, 3), np.uint8
+    )
+    kw = dict(model="realesr-animevideov3", scale=2, batch_size=4,
+              compute_dtype="int8", tile=-1)
+    single = UpscaleEngine(**kw)
+    out_1 = single.submit(frames).result()
+    maxima = single.get_calibration()
+    assert maxima is not None
+
+    sharded = UpscaleEngine(mesh=mesh, **kw)
+    sharded.set_calibration(maxima)
+    out_s = sharded.submit(frames).result()
+    np.testing.assert_array_equal(out_s, out_1)
+    np.testing.assert_array_equal(sharded.get_calibration(), maxima)
