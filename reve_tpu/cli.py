@@ -107,6 +107,19 @@ def _crf_validation(s: str) -> int:
     return v
 
 
+def _int8_calib_validation(s: str) -> str:
+    """Same grammar the engine/service accept ("max" or "p<percentile>",
+    reve_tpu.pipeline.engine.parse_int8_calib) so the three surfaces
+    agree on what a valid spec is."""
+    from reve_tpu.pipeline.engine import parse_int8_calib
+
+    try:
+        parse_int8_calib(s)
+    except ValueError as e:
+        raise argparse.ArgumentTypeError(str(e))
+    return s
+
+
 def _preset_validation(s: str) -> str:
     if s not in PRESETS:
         raise argparse.ArgumentTypeError(
@@ -159,12 +172,13 @@ def build_parser() -> argparse.ArgumentParser:
                    default="bfloat16",
                    help="compute dtype; int8 = turbo mode (~1.5x fps, "
                         "hidden stack quantized, costs some PSNR)")
-    p.add_argument("--int8-calib", choices=("max", "p99.9", "p99.99"),
-                   default="max", dest="int8_calib",
+    p.add_argument("--int8-calib", type=_int8_calib_validation,
+                   default="max", dest="int8_calib", metavar="max|p<PCT>",
                    help="with --dtype int8: calibration statistic for "
                         "activation scales. max = true maxima (default); "
-                        "p99.9 clips the outlier tail (+7 dB on the "
-                        "trained-weights proxy, PERF.md int8 frontier)")
+                        "p<percentile> (e.g. p99.9) clips the outlier "
+                        "tail (+7 dB on the trained-weights proxy, "
+                        "PERF.md int8 frontier)")
     p.add_argument("--tta", action="store_true",
                    help="8-transform dihedral self-ensemble (the replaced "
                         "ncnn engine's -x switch): ~8x the compute for a "

@@ -182,7 +182,7 @@ async function refresh(){
    ${live?`<button style="float:right" onclick="cancel(${j.id})">cancel</button>`:''}
    ${j.status==='done'?`<a style="float:right" href="/api/jobs/${j.id}/output" download>download</a>`:''}
    <div class=bar><div style="width:${pct}%"></div></div>
-   ${p?`${p.done}/${p.total} frames (${p.rate} fps${j.progress.x_realtime!==undefined?`, ${j.progress.x_realtime}x realtime`:''})`:''}
+   ${p?`${p.done}/${p.total} frames (${p.rate} fps${p.eta_s!==undefined&&live?`, eta ${Math.round(p.eta_s)}s`:''}${j.progress.x_realtime!==undefined?`, ${j.progress.x_realtime}x realtime`:''})`:''}
    ${j.error?`<div class=err>${j.error}</div>`:''}</div>`;
  }).join('');
 }

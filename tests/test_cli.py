@@ -917,3 +917,18 @@ def test_api_device_and_mesh(tmp_path):
                                batch=3, mesh=mesh)
     # the early validation must not leave a workspace behind
     assert not os.path.exists(out3 + ".revework")
+
+
+def test_int8_calib_grammar_shared_with_engine(tmp_path, capsys):
+    """--int8-calib accepts the full engine grammar (any p<percentile>),
+    not just the frontier's measured points; invalid specs fail at parse
+    with the engine's own message."""
+    inp = _small_y4m(tmp_path)
+    with pytest.raises(SystemExit):
+        cli.build_parser().parse_args(
+            ["-i", inp, "-s", "2", str(tmp_path / "o.y4m"),
+             "--int8-calib", "p0"])
+    args = cli.build_parser().parse_args(
+        ["-i", inp, "-s", "2", str(tmp_path / "o.y4m"),
+         "--dtype", "int8", "--int8-calib", "p97.5"])
+    assert args.int8_calib == "p97.5"

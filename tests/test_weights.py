@@ -210,3 +210,28 @@ def test_load_dni_direction(tmp_path):
     np.testing.assert_allclose(
         np.asarray(at_zero["convs"][0]["w"]),
         np.asarray(p_wdn["convs"][0]["w"]), rtol=1e-6)
+
+
+def test_registry_resolve_weights(tmp_path):
+    """resolve_weights (--models-dir backend) finds .pth and .param/.bin
+    pairs for both archs; absent -> None (the CLI turns that into an
+    error for an explicitly named directory)."""
+    from reve_tpu.models import registry
+
+    zoo = tmp_path / "zoo"
+    zoo.mkdir()
+    assert registry.resolve_weights("realesr-animevideov3", 2,
+                                    [str(zoo)]) is None
+    (zoo / "realesr-animevideov3-x2.pth").write_bytes(b"x")
+    got = registry.resolve_weights("realesr-animevideov3", 2, [str(zoo)])
+    assert got.endswith("realesr-animevideov3-x2.pth")
+    # scale names a different file
+    assert registry.resolve_weights("realesr-animevideov3", 3,
+                                    [str(zoo)]) is None
+    # RRDB canonical stems + ncnn pairs resolve too
+    (zoo / "RealESRGAN_x4plus.param").write_bytes(b"x")
+    assert registry.resolve_weights("realesrgan-x4plus",
+                                    dirs=[str(zoo)]) is None  # .bin missing
+    (zoo / "RealESRGAN_x4plus.bin").write_bytes(b"x")
+    got = registry.resolve_weights("realesrgan-x4plus", dirs=[str(zoo)])
+    assert got.endswith("RealESRGAN_x4plus.param")
