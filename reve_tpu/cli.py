@@ -310,7 +310,12 @@ def run(argv: Optional[List[str]] = None) -> int:
 
         for name, spec in registry.list_models():
             scales = spec.upscale or "2|3|4"
-            print(f"{name}  [{spec.arch}, x{scales}]")
+            found = [s for s in ([spec.upscale] if spec.upscale
+                                 else (2, 3, 4))
+                     if registry.resolve_weights(name, s)]
+            w = (f"weights: x{'/x'.join(map(str, found))}" if found
+                 else "weights: none (random-init fallback)")
+            print(f"{name}  [{spec.arch}, x{scales}]  {w}")
         return 0
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(message)s")
