@@ -87,97 +87,104 @@ def upscale_video(
         raise ValueError("mkv input requires mkv output")
 
     ws = Workspace(workspace or output_path + ".revework")
-    if resume and ws.has_state():
-        state = ws.load()
-        if state.model != model or state.scale != scale:
-            raise ValueError(
-                f"workspace {ws.root!r} holds progress for model "
-                f"{state.model!r} x{state.scale}; resume with the same "
-                f"model/scale or remove the workspace to start fresh")
-        # restore the engine/io settings the job was STARTED with (the
-        # CLI's resume contract, cli.run): resumed segments must go
-        # through the same weights/dtype/container as committed ones —
-        # a changed io_backend would even flip part_ext and discard them
-        if state.opts.get("denoise") is not None:
-            # CLI --denoise jobs run dni-INTERPOLATED weights; this API
-            # has no denoise kwarg, so a resumed engine would silently
-            # upscale the remaining segments with the plain weights —
-            # exactly the mixed-model output the restore contract forbids
-            raise ValueError(
-                f"workspace {ws.root!r} was started with --denoise "
-                f"(interpolated weights); resume it via the CLI with the "
-                f"original flags, or remove the workspace to start fresh")
-        weights = state.opts.get("weights", weights)
-        dtype = state.opts.get("dtype", dtype)
-        int8_calib = state.opts.get("int8_calib", int8_calib)
-        tta = state.opts.get("tta", False)
-        io_backend = state.opts.get("io_backend", io_backend)
-        part_ext = ".y4m" if io_backend == "y4m" else ".mp4"
-        ws.create(keep_parts=True)
-        state = repair_pending(state, ws, ext=part_ext)
-    else:
-        part_ext = ".y4m" if io_backend == "y4m" else ".mp4"
-        info = probe_mod.probe(input_path, backend=io_backend)
-        if info.frame_count <= 0:
-            raise ValueError(f"could not determine frame count of "
-                             f"{input_path!r}")
-        fps = info.fps or Fraction(30, 1)
-        if scene_align:
-            from reve_tpu.pipeline import scenes
-
-            pending = scenes.plan_for_video(input_path, io_backend, info,
-                                            segment_size)
+    if not ws.acquire_owner():
+        raise RuntimeError(
+            f"another live process is already working on this "
+            f"workspace ({ws.owner_path}); wait for it to finish")
+    try:
+        if resume and ws.has_state():
+            state = ws.load()
+            if state.model != model or state.scale != scale:
+                raise ValueError(
+                    f"workspace {ws.root!r} holds progress for model "
+                    f"{state.model!r} x{state.scale}; resume with the same "
+                    f"model/scale or remove the workspace to start fresh")
+            # restore the engine/io settings the job was STARTED with (the
+            # CLI's resume contract, cli.run): resumed segments must go
+            # through the same weights/dtype/container as committed ones —
+            # a changed io_backend would even flip part_ext and discard them
+            if state.opts.get("denoise") is not None:
+                # CLI --denoise jobs run dni-INTERPOLATED weights; this API
+                # has no denoise kwarg, so a resumed engine would silently
+                # upscale the remaining segments with the plain weights —
+                # exactly the mixed-model output the restore contract forbids
+                raise ValueError(
+                    f"workspace {ws.root!r} was started with --denoise "
+                    f"(interpolated weights); resume it via the CLI with the "
+                    f"original flags, or remove the workspace to start fresh")
+            weights = state.opts.get("weights", weights)
+            dtype = state.opts.get("dtype", dtype)
+            int8_calib = state.opts.get("int8_calib", int8_calib)
+            tta = state.opts.get("tta", False)
+            io_backend = state.opts.get("io_backend", io_backend)
+            part_ext = ".y4m" if io_backend == "y4m" else ".mp4"
+            ws.create(keep_parts=True)
+            state = repair_pending(state, ws, ext=part_ext)
         else:
-            pending = plan_segments(info.frame_count, segment_size)
-        ws.create(keep_parts=False)
-        state = JobState(
-            input_path=os.path.abspath(input_path),
-            output_path=os.path.abspath(output_path),
-            scale=scale,
-            segment_size=segment_size,
-            frame_count=info.frame_count,
-            fps_num=fps.numerator,
-            fps_den=fps.denominator,
-            width=info.width,
-            height=info.height,
-            pending=pending,
-            # persist the full plan: on resume repair_pending must see the
-            # ACTUAL boundaries (scene-aligned plans are not re-derivable
-            # from frame_count/segment_size)
-            plan=list(pending),
-            encode={"crf": crf, "preset": preset,
-                    "x265_params": x265_params},
-            model=model,
-            opts={"weights": weights, "dtype": dtype,
-                  "int8_calib": int8_calib, "tta": tta,
-                  "io_backend": io_backend},
-        )
-    ws.save(state)
+            part_ext = ".y4m" if io_backend == "y4m" else ".mp4"
+            info = probe_mod.probe(input_path, backend=io_backend)
+            if info.frame_count <= 0:
+                raise ValueError(f"could not determine frame count of "
+                                 f"{input_path!r}")
+            fps = info.fps or Fraction(30, 1)
+            if scene_align:
+                from reve_tpu.pipeline import scenes
 
-    engine = UpscaleEngine(model=state.model, scale=state.scale,
-                           weights=weights, batch_size=batch, tile=tile,
-                           compute_dtype=dtype, int8_calib=int8_calib,
-                           tta=tta, device=device, mesh=mesh)
-    progress = None
-    if on_progress is not None:
-        from reve_tpu.pipeline.progress import ProgressTracker
+                pending = scenes.plan_for_video(input_path, io_backend, info,
+                                                segment_size)
+            else:
+                pending = plan_segments(info.frame_count, segment_size)
+            ws.create(keep_parts=False)
+            state = JobState(
+                input_path=os.path.abspath(input_path),
+                output_path=os.path.abspath(output_path),
+                scale=scale,
+                segment_size=segment_size,
+                frame_count=info.frame_count,
+                fps_num=fps.numerator,
+                fps_den=fps.denominator,
+                width=info.width,
+                height=info.height,
+                pending=pending,
+                # persist the full plan: on resume repair_pending must see the
+                # ACTUAL boundaries (scene-aligned plans are not re-derivable
+                # from frame_count/segment_size)
+                plan=list(pending),
+                encode={"crf": crf, "preset": preset,
+                        "x265_params": x265_params},
+                model=model,
+                opts={"weights": weights, "dtype": dtype,
+                      "int8_calib": int8_calib, "tta": tta,
+                      "io_backend": io_backend},
+            )
+        ws.save(state)
 
-        progress = ProgressTracker(
-            total_frames=sum(s.size for s in state.pending),
-            total_segments=len(state.pending),
-            on_update=lambda t: on_progress(t.snapshot()),
-            source_fps=state.fps_num / max(state.fps_den, 1),
-        )
-    job = scheduler.PipelineJob(state, ws, engine, io_backend=io_backend,
-                                part_ext=part_ext, progress=progress)
-    state = job.run()
-    report = scheduler.finalize(state, ws, io_backend=io_backend,
-                                part_ext=part_ext)
-    if job.encoder_desc:
-        report["encoder"] = job.encoder_desc
-    if not keep_workspace:
-        ws.destroy()
-    return report
+        engine = UpscaleEngine(model=state.model, scale=state.scale,
+                               weights=weights, batch_size=batch, tile=tile,
+                               compute_dtype=dtype, int8_calib=int8_calib,
+                               tta=tta, device=device, mesh=mesh)
+        progress = None
+        if on_progress is not None:
+            from reve_tpu.pipeline.progress import ProgressTracker
+
+            progress = ProgressTracker(
+                total_frames=sum(s.size for s in state.pending),
+                total_segments=len(state.pending),
+                on_update=lambda t: on_progress(t.snapshot()),
+                source_fps=state.fps_num / max(state.fps_den, 1),
+            )
+        job = scheduler.PipelineJob(state, ws, engine, io_backend=io_backend,
+                                    part_ext=part_ext, progress=progress)
+        state = job.run()
+        report = scheduler.finalize(state, ws, io_backend=io_backend,
+                                    part_ext=part_ext)
+        if job.encoder_desc:
+            report["encoder"] = job.encoder_desc
+        if not keep_workspace:
+            ws.destroy()
+        return report
+    finally:
+        ws.release_owner()
 
 
 def upscale_image(

@@ -362,186 +362,199 @@ def run(argv: Optional[List[str]] = None) -> int:
         return 2
 
     ws = Workspace(args.workspace or args.outputpath + ".revework")
-
-    if ws.has_state():
-        if _confirm("found an interrupted job — resume?", args.yes):
-            state = ws.load()
-            if state.model != args.model:
-                print(f"workspace holds progress for model {state.model!r};"
-                      f" resume with the same --model or start fresh",
-                      file=sys.stderr)
-                return 2
-            if state.scale != args.scale:
-                # the reference resumes with its SAVED args wholesale
-                # (main.rs:92-101); we match that but say so — a silent
-                # -s override would surprise anyone who changed it
-                print(f"resume: using saved -s {state.scale} (command "
-                      f"line said {args.scale})", file=sys.stderr)
-            # restore the engine/io settings the job was STARTED with
-            # (mirrors the reference's args.temp, main.rs:92-101): resumed
-            # segments must go through the same model/weights/container as
-            # the committed ones
-            # ("fused" may appear in pre-round-3 state files; the Pallas
-            # fused kernel was deleted after three rounds of losing to
-            # XLA - PERF.md round 3)
-            # jobs started before the --tta flag existed ran without it
-            state.opts.setdefault("tta", False)
-            for key in ("weights", "weights_wdn", "denoise", "dtype",
-                        "int8_calib", "tta", "io_backend"):
-                if key in state.opts and \
-                        getattr(args, key) != state.opts[key]:
-                    print(f"resume: using saved --{key.replace('_', '-')}"
-                          f"={state.opts[key]!r} (command line said "
-                          f"{getattr(args, key)!r})", file=sys.stderr)
-                    setattr(args, key, state.opts[key])
-            if args.int8_gate is not None and args.dtype != "int8":
-                # the saved job is not int8, so certification will never
-                # run — refusing beats silently dropping an explicit gate
-                print("--int8-gate was requested but this workspace's "
-                      f"saved job runs --dtype {args.dtype}; resume "
-                      "without the gate, or start fresh to run int8",
-                      file=sys.stderr)
-                return 2
-            ws.create(keep_parts=True)
-            state = repair_pending(state, ws, ext=_part_ext(args))
-            print(
-                f"resuming: {len(state.pending)} segment(s) remaining",
-                file=sys.stderr,
-            )
+    if not args.shard_worker:
+        # single-writer guard: a second concurrent non-sharded run on
+        # this workspace would redo every pending segment and race the
+        # finalize rename; cooperating writers must use --shard-worker
+        # (lease queue).  A crashed owner's lock (dead pid) is stolen.
+        if not ws.acquire_owner():
+            print(f"another live process is already working on this "
+                  f"workspace ({ws.owner_path}); wait for it to finish "
+                  f"or run both as --shard-worker", file=sys.stderr)
+            return 2
+    try:
+        if ws.has_state():
+            if _confirm("found an interrupted job — resume?", args.yes):
+                state = ws.load()
+                if state.model != args.model:
+                    print(f"workspace holds progress for model {state.model!r};"
+                          f" resume with the same --model or start fresh",
+                          file=sys.stderr)
+                    return 2
+                if state.scale != args.scale:
+                    # the reference resumes with its SAVED args wholesale
+                    # (main.rs:92-101); we match that but say so — a silent
+                    # -s override would surprise anyone who changed it
+                    print(f"resume: using saved -s {state.scale} (command "
+                          f"line said {args.scale})", file=sys.stderr)
+                # restore the engine/io settings the job was STARTED with
+                # (mirrors the reference's args.temp, main.rs:92-101): resumed
+                # segments must go through the same model/weights/container as
+                # the committed ones
+                # ("fused" may appear in pre-round-3 state files; the Pallas
+                # fused kernel was deleted after three rounds of losing to
+                # XLA - PERF.md round 3)
+                # jobs started before the --tta flag existed ran without it
+                state.opts.setdefault("tta", False)
+                for key in ("weights", "weights_wdn", "denoise", "dtype",
+                            "int8_calib", "tta", "io_backend"):
+                    if key in state.opts and \
+                            getattr(args, key) != state.opts[key]:
+                        print(f"resume: using saved --{key.replace('_', '-')}"
+                              f"={state.opts[key]!r} (command line said "
+                              f"{getattr(args, key)!r})", file=sys.stderr)
+                        setattr(args, key, state.opts[key])
+                if args.int8_gate is not None and args.dtype != "int8":
+                    # the saved job is not int8, so certification will never
+                    # run — refusing beats silently dropping an explicit gate
+                    print("--int8-gate was requested but this workspace's "
+                          f"saved job runs --dtype {args.dtype}; resume "
+                          "without the gate, or start fresh to run int8",
+                          file=sys.stderr)
+                    return 2
+                ws.create(keep_parts=True)
+                state = repair_pending(state, ws, ext=_part_ext(args))
+                print(
+                    f"resuming: {len(state.pending)} segment(s) remaining",
+                    file=sys.stderr,
+                )
+            else:
+                if not _confirm("discard previous progress and start over?",
+                                args.yes):
+                    return 1
+                ws.create(keep_parts=False)
+                state = _fresh_state(args)
         else:
-            if not _confirm("discard previous progress and start over?",
-                            args.yes):
-                return 1
             ws.create(keep_parts=False)
             state = _fresh_state(args)
-    else:
-        ws.create(keep_parts=False)
-        state = _fresh_state(args)
-    ws.save(state)
+        ws.save(state)
 
-    from reve_tpu.pipeline.engine import UpscaleEngine
-    from reve_tpu.pipeline.progress import ConsoleRenderer, ProgressTracker
-    from reve_tpu.pipeline import scheduler
+        from reve_tpu.pipeline.engine import UpscaleEngine
+        from reve_tpu.pipeline.progress import ConsoleRenderer, ProgressTracker
+        from reve_tpu.pipeline import scheduler
 
-    preloaded, err = _load_preloaded(args)
-    if err is not None:
-        return err
-    if preloaded is not None and preloaded[0].upscale != state.scale:
-        print(f"--denoise weights are x{preloaded[0].upscale} but -s "
-              f"{state.scale} was requested", file=sys.stderr)
-        return 2
-    device, mesh, err = _resolve_device(args)
-    if err is not None:
-        return err
-    if mesh is not None and args.batch % mesh.shape["dp"]:
-        print(f"--batch {args.batch} must be a multiple of the --device "
-              f"count ({mesh.shape['dp']}) so each device gets the same "
-              f"share of every batch", file=sys.stderr)
-        return 2
-    engine = UpscaleEngine(
-        model=state.model,
-        scale=state.scale,
-        weights=args.weights,
-        batch_size=args.batch,
-        tile=args.tile,
-        compute_dtype=args.dtype,
-        int8_calib=args.int8_calib,
-        tta=args.tta,
-        device=device,
-        mesh=mesh,
-        preloaded=preloaded,
-    )
-    if args.dtype == "int8":
-        err = _certify_int8(args, state, engine, ws)
+        preloaded, err = _load_preloaded(args)
         if err is not None:
             return err
-    from reve_tpu.pipeline.progress import JsonlRenderer, TeeRenderer
-
-    renderer = ConsoleRenderer()
-    jsonl = JsonlRenderer(args.progress_json) if args.progress_json else None
-    remaining = sum(s.size for s in state.pending)
-    tracker = ProgressTracker(
-        total_frames=remaining,
-        total_segments=len(state.pending),
-        on_update=TeeRenderer(renderer, jsonl),
-        source_fps=state.fps_num / max(state.fps_den, 1),
-    )
-    from reve_tpu.utils import trace as trace_mod
-
-    tracer = trace_mod.Tracer(args.trace) if args.trace else \
-        trace_mod.from_env()
-    profile_ctx = trace_mod.device_profile(args.profile_dir)
-
-    encoder_desc = None
-    import time as _time
-
-    run_t0 = _time.monotonic()
-    if args.shard_worker:
-        from reve_tpu.pipeline import leases
-
-        stale = (args.lease_stale_after
-                 if args.lease_stale_after is not None
-                 else leases.DEFAULT_STALE_AFTER)
-        q = leases.SegmentLeaseQueue(ws, args.shard_worker,
-                                     stale_after=stale,
-                                     part_ext=_part_ext(args))
-        with profile_ctx:
-            done = leases.run_sharded(
-                state, ws, engine, args.shard_worker,
-                io_backend=args.io_backend, part_ext=_part_ext(args),
-                progress=tracker, stale_after=stale, tracer=tracer,
-                queue=q,
-            )
-        print(f"worker {args.shard_worker}: {done} segment(s)",
-              file=sys.stderr)
-        if not q.all_done(state.pending):
-            print("other workers still running; not finalizing",
-                  file=sys.stderr)
-            return 0
-        # every worker that observes all_done reaches here — elect exactly
-        # one finalizer so two near-simultaneous finishers don't both write
-        # the output (O_EXCL finalize lease; stale+no-output is stealable)
-        if not q.claim_finalize(state.output_path):
-            print("another worker is finalizing; exiting", file=sys.stderr)
-            return 0
-    else:
-        job = scheduler.PipelineJob(
-            state, ws, engine, io_backend=args.io_backend,
-            part_ext=_part_ext(args), progress=tracker, tracer=tracer,
+        if preloaded is not None and preloaded[0].upscale != state.scale:
+            print(f"--denoise weights are x{preloaded[0].upscale} but -s "
+                  f"{state.scale} was requested", file=sys.stderr)
+            return 2
+        device, mesh, err = _resolve_device(args)
+        if err is not None:
+            return err
+        if mesh is not None and args.batch % mesh.shape["dp"]:
+            print(f"--batch {args.batch} must be a multiple of the --device "
+                  f"count ({mesh.shape['dp']}) so each device gets the same "
+                  f"share of every batch", file=sys.stderr)
+            return 2
+        engine = UpscaleEngine(
+            model=state.model,
+            scale=state.scale,
+            weights=args.weights,
+            batch_size=args.batch,
+            tile=args.tile,
+            compute_dtype=args.dtype,
+            int8_calib=args.int8_calib,
+            tta=args.tta,
+            device=device,
+            mesh=mesh,
+            preloaded=preloaded,
         )
-        try:
+        if args.dtype == "int8":
+            err = _certify_int8(args, state, engine, ws)
+            if err is not None:
+                return err
+        from reve_tpu.pipeline.progress import JsonlRenderer, TeeRenderer
+
+        renderer = ConsoleRenderer()
+        jsonl = JsonlRenderer(args.progress_json) if args.progress_json else None
+        remaining = sum(s.size for s in state.pending)
+        tracker = ProgressTracker(
+            total_frames=remaining,
+            total_segments=len(state.pending),
+            on_update=TeeRenderer(renderer, jsonl),
+            source_fps=state.fps_num / max(state.fps_den, 1),
+        )
+        from reve_tpu.utils import trace as trace_mod
+
+        tracer = trace_mod.Tracer(args.trace) if args.trace else \
+            trace_mod.from_env()
+        profile_ctx = trace_mod.device_profile(args.profile_dir)
+
+        encoder_desc = None
+        import time as _time
+
+        run_t0 = _time.monotonic()
+        if args.shard_worker:
+            from reve_tpu.pipeline import leases
+
+            stale = (args.lease_stale_after
+                     if args.lease_stale_after is not None
+                     else leases.DEFAULT_STALE_AFTER)
+            q = leases.SegmentLeaseQueue(ws, args.shard_worker,
+                                         stale_after=stale,
+                                         part_ext=_part_ext(args))
             with profile_ctx:
-                state = job.run()
-            encoder_desc = job.encoder_desc
-        except KeyboardInterrupt:
-            # graceful interrupt: committed parts + state are already on
-            # disk (checkpoint after every segment) — same guarantee the
-            # reference gets from kill+resume, with a clean message
-            job.cancel()
-            done = len(ws.completed_parts(_part_ext(args)))
-            print(f"\ninterrupted — {done} segment(s) committed; rerun the "
-                  f"same command to resume", file=sys.stderr)
-            return 130
-    report = scheduler.finalize(
-        state, ws, io_backend=args.io_backend, part_ext=_part_ext(args)
-    )
-    enc_note = f", encoder: {encoder_desc}" if encoder_desc else ""
-    # end-to-end x-realtime for the frames THIS run processed (BASELINE.md
-    # "end-to-end x realtime per segment: report"; resumed runs only paid
-    # for their own pending segments, so that is the honest denominator)
-    rate_note = ""
-    elapsed = _time.monotonic() - run_t0
-    done_frames = tracker.stages["encode"].done
-    src_fps = state.fps_num / max(state.fps_den, 1)
-    if elapsed > 0 and done_frames and src_fps > 0:
-        e2e_fps = done_frames / elapsed
-        rate_note = (f", {e2e_fps:.1f} fps end-to-end = "
-                     f"{e2e_fps / src_fps:.2f}x realtime")
-    print(f"\ndone: {state.output_path} (concat backend: "
-          f"{report['backend']}{enc_note}{rate_note})", file=sys.stderr)
-    if not args.keep_workspace:
-        ws.destroy()
-    return 0
+                done = leases.run_sharded(
+                    state, ws, engine, args.shard_worker,
+                    io_backend=args.io_backend, part_ext=_part_ext(args),
+                    progress=tracker, stale_after=stale, tracer=tracer,
+                    queue=q,
+                )
+            print(f"worker {args.shard_worker}: {done} segment(s)",
+                  file=sys.stderr)
+            if not q.all_done(state.pending):
+                print("other workers still running; not finalizing",
+                      file=sys.stderr)
+                return 0
+            # every worker that observes all_done reaches here — elect exactly
+            # one finalizer so two near-simultaneous finishers don't both write
+            # the output (O_EXCL finalize lease; stale+no-output is stealable)
+            if not q.claim_finalize(state.output_path):
+                print("another worker is finalizing; exiting", file=sys.stderr)
+                return 0
+        else:
+            job = scheduler.PipelineJob(
+                state, ws, engine, io_backend=args.io_backend,
+                part_ext=_part_ext(args), progress=tracker, tracer=tracer,
+            )
+            try:
+                with profile_ctx:
+                    state = job.run()
+                encoder_desc = job.encoder_desc
+            except KeyboardInterrupt:
+                # graceful interrupt: committed parts + state are already on
+                # disk (checkpoint after every segment) — same guarantee the
+                # reference gets from kill+resume, with a clean message
+                job.cancel()
+                done = len(ws.completed_parts(_part_ext(args)))
+                print(f"\ninterrupted — {done} segment(s) committed; rerun the "
+                      f"same command to resume", file=sys.stderr)
+                return 130
+        report = scheduler.finalize(
+            state, ws, io_backend=args.io_backend, part_ext=_part_ext(args)
+        )
+        enc_note = f", encoder: {encoder_desc}" if encoder_desc else ""
+        # end-to-end x-realtime for the frames THIS run processed (BASELINE.md
+        # "end-to-end x realtime per segment: report"; resumed runs only paid
+        # for their own pending segments, so that is the honest denominator)
+        rate_note = ""
+        elapsed = _time.monotonic() - run_t0
+        done_frames = tracker.stages["encode"].done
+        src_fps = state.fps_num / max(state.fps_den, 1)
+        if elapsed > 0 and done_frames and src_fps > 0:
+            e2e_fps = done_frames / elapsed
+            rate_note = (f", {e2e_fps:.1f} fps end-to-end = "
+                         f"{e2e_fps / src_fps:.2f}x realtime")
+        print(f"\ndone: {state.output_path} (concat backend: "
+              f"{report['backend']}{enc_note}{rate_note})", file=sys.stderr)
+        if not args.keep_workspace:
+            ws.destroy()
+        return 0
+    finally:
+        if not args.shard_worker:
+            ws.release_owner()
 
 
 def _certify_int8(args, state, engine, ws: Workspace) -> Optional[int]:

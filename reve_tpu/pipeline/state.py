@@ -34,6 +34,17 @@ STATE_VERSION = 1
 STATE_FILE = "state.json"
 PARTS_DIR = "parts"
 CALIBRATION_FILE = "int8_calibration.json"
+OWNER_FILE = "owner.lock"
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
 
 
 @dataclasses.dataclass
@@ -134,6 +145,60 @@ class Workspace:
             return JobState.from_json(json.load(f))
 
     # -- int8 calibration (first-wins, job-scoped) -------------------------
+
+    # -- single-writer owner lock -------------------------------------------
+
+    @property
+    def owner_path(self) -> str:
+        return os.path.join(self.root, OWNER_FILE)
+
+    def acquire_owner(self) -> bool:
+        """Single-writer advisory lock for NON-sharded runs: a second
+        concurrent CLI/API/service run on the same workspace would redo
+        every pending segment and race the finalize rename (the reference
+        has the same hazard on its exe-relative `temp\\`; two instances
+        there silently corrupt each other's state).  Multi-writer is the
+        lease queue's job (--shard-worker), which skips this lock.
+
+        O_EXCL-creates `owner.lock` holding this pid; returns False when
+        a LIVE other process owns the workspace.  A lock whose pid is
+        dead (crashed run) is stolen — same-host pid-liveness semantics,
+        matching the same-host workspace layout.  Re-acquiring a lock
+        this process already holds succeeds."""
+        os.makedirs(self.root, exist_ok=True)
+        me = {"pid": os.getpid()}
+        for _ in range(3):  # steal races: retry the O_EXCL create
+            try:
+                fd = os.open(self.owner_path,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+                with os.fdopen(fd, "w") as f:
+                    json.dump(me, f)
+                return True
+            except FileExistsError:
+                try:
+                    with open(self.owner_path) as f:
+                        pid = int(json.load(f).get("pid", -1))
+                except (OSError, ValueError):
+                    pid = -1  # garbled: treat as dead
+                if pid == os.getpid():
+                    return True
+                if pid > 0 and _pid_alive(pid):
+                    return False
+                try:  # dead owner: steal
+                    os.unlink(self.owner_path)
+                except FileNotFoundError:
+                    pass
+        return False
+
+    def release_owner(self) -> None:
+        """Drop the owner lock iff this process holds it."""
+        try:
+            with open(self.owner_path) as f:
+                if int(json.load(f).get("pid", -1)) != os.getpid():
+                    return
+            os.unlink(self.owner_path)
+        except (OSError, ValueError):
+            pass
 
     @property
     def calibration_path(self) -> str:

@@ -279,83 +279,90 @@ class JobManager:
         ws = Workspace(
             os.path.abspath(job.output_path) + ".revework"
         )
-        if ws.has_state():
-            # re-submitted after cancel/crash: resume from completed parts,
-            # mirroring the CLI path (cancel() documents this contract)
-            st = ws.load()
-            if (st.model != job.model or st.scale != job.scale):
-                raise RuntimeError(
-                    f"workspace {ws.root!r} holds progress for model "
-                    f"{st.model!r} x{st.scale}; resubmit with the same "
-                    f"settings to resume, or remove the workspace/choose "
-                    f"another output to start fresh")
-            # restore the engine/io settings the job was STARTED with (the
-            # CLI resume contract, cli.run): resumed segments must be
-            # computed like the committed ones — never mix bf16- and
-            # int8-upscaled segments in one output, and a changed
-            # io_backend would flip part_ext and silently discard every
-            # committed part (a CLI y4m job resumed through the service)
-            job.dtype = st.opts.get("dtype", job.dtype)
-            job.int8_calib = st.opts.get("int8_calib", job.int8_calib)
-            job.tta = st.opts.get("tta", False)
-            io_backend = st.opts.get("io_backend", io_backend)
-            part_ext = ".y4m" if io_backend == "y4m" else ".mp4"
-            job.part_ext = part_ext
-            ws.create(keep_parts=True)
-            st = repair_pending(st, ws, ext=part_ext)
-        else:
-            part_ext = ".y4m" if io_backend == "y4m" else ".mp4"
-            job.part_ext = part_ext
-            info = probe.probe(job.input_path, backend=io_backend)
-            fps = info.fps or Fraction(30, 1)
-            st = JobState(
-                input_path=os.path.abspath(job.input_path),
-                output_path=os.path.abspath(job.output_path),
-                scale=job.scale,
-                segment_size=self.cfg.segment_size,
-                frame_count=info.frame_count,
-                fps_num=fps.numerator, fps_den=fps.denominator,
-                width=info.width, height=info.height,
-                pending=plan_segments(info.frame_count,
-                                      self.cfg.segment_size),
-                encode={"crf": self.cfg.crf, "preset": self.cfg.preset},
-                model=job.model,
-                opts={"dtype": job.dtype, "int8_calib": job.int8_calib,
-                      "tta": job.tta, "io_backend": io_backend},
+        if not ws.acquire_owner():
+            raise RuntimeError(
+                f"another live process (e.g. a CLI run) owns this "
+                f"workspace ({ws.owner_path}); wait for it to finish")
+        try:
+            if ws.has_state():
+                # re-submitted after cancel/crash: resume from completed parts,
+                # mirroring the CLI path (cancel() documents this contract)
+                st = ws.load()
+                if (st.model != job.model or st.scale != job.scale):
+                    raise RuntimeError(
+                        f"workspace {ws.root!r} holds progress for model "
+                        f"{st.model!r} x{st.scale}; resubmit with the same "
+                        f"settings to resume, or remove the workspace/choose "
+                        f"another output to start fresh")
+                # restore the engine/io settings the job was STARTED with (the
+                # CLI resume contract, cli.run): resumed segments must be
+                # computed like the committed ones — never mix bf16- and
+                # int8-upscaled segments in one output, and a changed
+                # io_backend would flip part_ext and silently discard every
+                # committed part (a CLI y4m job resumed through the service)
+                job.dtype = st.opts.get("dtype", job.dtype)
+                job.int8_calib = st.opts.get("int8_calib", job.int8_calib)
+                job.tta = st.opts.get("tta", False)
+                io_backend = st.opts.get("io_backend", io_backend)
+                part_ext = ".y4m" if io_backend == "y4m" else ".mp4"
+                job.part_ext = part_ext
+                ws.create(keep_parts=True)
+                st = repair_pending(st, ws, ext=part_ext)
+            else:
+                part_ext = ".y4m" if io_backend == "y4m" else ".mp4"
+                job.part_ext = part_ext
+                info = probe.probe(job.input_path, backend=io_backend)
+                fps = info.fps or Fraction(30, 1)
+                st = JobState(
+                    input_path=os.path.abspath(job.input_path),
+                    output_path=os.path.abspath(job.output_path),
+                    scale=job.scale,
+                    segment_size=self.cfg.segment_size,
+                    frame_count=info.frame_count,
+                    fps_num=fps.numerator, fps_den=fps.denominator,
+                    width=info.width, height=info.height,
+                    pending=plan_segments(info.frame_count,
+                                          self.cfg.segment_size),
+                    encode={"crf": self.cfg.crf, "preset": self.cfg.preset},
+                    model=job.model,
+                    opts={"dtype": job.dtype, "int8_calib": job.int8_calib,
+                          "tta": job.tta, "io_backend": io_backend},
+                )
+                ws.create()
+            ws.save(st)
+            engine = self._get_engine(job.model, job.scale, job.dtype,
+                                      job.int8_calib, job.tta)
+            job.progress = ProgressTracker(
+                total_frames=sum(s.size for s in st.pending),
+                total_segments=len(st.pending),
+                source_fps=st.fps_num / max(st.fps_den, 1),
             )
-            ws.create()
-        ws.save(st)
-        engine = self._get_engine(job.model, job.scale, job.dtype,
-                                  job.int8_calib, job.tta)
-        job.progress = ProgressTracker(
-            total_frames=sum(s.size for s in st.pending),
-            total_segments=len(st.pending),
-            source_fps=st.fps_num / max(st.fps_den, 1),
-        )
-        pipeline = scheduler.PipelineJob(
-            st, ws, engine, io_backend=io_backend,
-            part_ext=part_ext, progress=job.progress,
-        )
-        if job.dtype == "int8":
-            # report the quantization cost on THIS video (the same helper
-            # the CLI's --dtype int8 report/gate uses; measures with the
-            # job's persisted scales, so a resumed job re-certifies
-            # identically)
-            try:
-                db = scheduler.certify_int8_on_input(
-                    engine, ws, st, io_backend=io_backend)
-                if db is not None:
-                    job.int8_psnr = round(db, 2)
-            except Exception:
-                pass  # certification must never fail the job
-        job.pipeline = pipeline
-        if job.cancel_requested:  # cancelled during probe/compile window
-            pipeline.cancel()
-        final = pipeline.run()
-        report = scheduler.finalize(
-            final, ws, io_backend=io_backend, part_ext=part_ext
-        )
-        if pipeline.encoder_desc:
-            report["encoder"] = pipeline.encoder_desc
-        ws.destroy()
-        return report
+            pipeline = scheduler.PipelineJob(
+                st, ws, engine, io_backend=io_backend,
+                part_ext=part_ext, progress=job.progress,
+            )
+            if job.dtype == "int8":
+                # report the quantization cost on THIS video (the same helper
+                # the CLI's --dtype int8 report/gate uses; measures with the
+                # job's persisted scales, so a resumed job re-certifies
+                # identically)
+                try:
+                    db = scheduler.certify_int8_on_input(
+                        engine, ws, st, io_backend=io_backend)
+                    if db is not None:
+                        job.int8_psnr = round(db, 2)
+                except Exception:
+                    pass  # certification must never fail the job
+            job.pipeline = pipeline
+            if job.cancel_requested:  # cancelled during probe/compile window
+                pipeline.cancel()
+            final = pipeline.run()
+            report = scheduler.finalize(
+                final, ws, io_backend=io_backend, part_ext=part_ext
+            )
+            if pipeline.encoder_desc:
+                report["encoder"] = pipeline.encoder_desc
+            ws.destroy()
+            return report
+        finally:
+            ws.release_owner()

@@ -274,3 +274,85 @@ def test_pipeline_cancel(tmp_path):
     done = ws.completed_parts(".y4m")
     st2 = state.repair_pending(ws.load(), ws, ext=".y4m")
     assert len(st2.pending) == 20 - len(done)
+
+
+def test_workspace_owner_lock(tmp_path):
+    """Single-writer guard: a live pid's lock refuses a second acquire
+    from another process; a dead owner's lock is stolen; re-acquiring
+    our own lock succeeds; release only drops our own."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from reve_tpu.pipeline.state import Workspace
+
+    ws = Workspace(str(tmp_path / "w"))
+    assert ws.acquire_owner()
+    assert ws.acquire_owner()  # re-entrant for the same pid
+
+    # a LIVE foreign owner refuses us
+    child = subprocess.Popen([sys.executable, "-c",
+                              "import time; time.sleep(60)"])
+    try:
+        with open(ws.owner_path, "w") as f:
+            json.dump({"pid": child.pid}, f)
+        assert not ws.acquire_owner()
+        # release must not drop someone else's lock
+        ws.release_owner()
+        assert os.path.exists(ws.owner_path)
+    finally:
+        child.kill()
+        child.wait()
+    # the owner is now dead -> the lock is stolen
+    assert ws.acquire_owner()
+    with open(ws.owner_path) as f:
+        assert json.load(f)["pid"] == os.getpid()
+    ws.release_owner()
+    assert not os.path.exists(ws.owner_path)
+
+    # garbled lock: treated as dead, stolen
+    with open(ws.owner_path, "w") as f:
+        f.write("not json")
+    assert ws.acquire_owner()
+
+
+def test_cli_refuses_second_live_writer(tmp_path, capsys):
+    """A second non-sharded CLI run on a workspace owned by a LIVE
+    process exits 2 with a clear message instead of silently redoing
+    (and racing) the first run's work."""
+    import fractions
+    import json
+    import subprocess
+    import sys
+
+    from reve_tpu import cli
+    from reve_tpu.io import writer as writer_mod
+    from reve_tpu.io.reader import SyntheticReader
+    from reve_tpu.pipeline.state import Workspace
+
+    inp = str(tmp_path / "in.y4m")
+    with writer_mod.Y4MWriter(inp, 24, 16, fractions.Fraction(24)) as wr:
+        for i in range(4):
+            wr.write(SyntheticReader.frame(i, 16, 24))
+    out = str(tmp_path / "o.y4m")
+    ws = Workspace(out + ".revework")
+    child = subprocess.Popen([sys.executable, "-c",
+                              "import time; time.sleep(60)"])
+    try:
+        import os
+
+        os.makedirs(ws.root, exist_ok=True)
+        with open(ws.owner_path, "w") as f:
+            json.dump({"pid": child.pid}, f)
+        rc = cli.run(["-i", inp, "-s", "2", out, "--yes",
+                      "--io-backend", "y4m"])
+        assert rc == 2
+        assert "another live process" in capsys.readouterr().err
+    finally:
+        child.kill()
+        child.wait()
+    # dead owner: the run proceeds (lock stolen) and cleans up after
+    rc = cli.run(["-i", inp, "-s", "2", out, "--yes",
+                  "--io-backend", "y4m", "--dtype", "float32"])
+    assert rc == 0
