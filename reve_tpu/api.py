@@ -19,6 +19,20 @@ import os
 from typing import Optional
 
 
+def _resolve_device_index(device):
+    """int -> jax.devices()[i] with a contextual range check (negative
+    indices would silently wrap to a different accelerator)."""
+    if not isinstance(device, int):
+        return device
+    import jax
+
+    devs = jax.devices()
+    if not 0 <= device < len(devs):
+        raise ValueError(f"device index {device} out of range: this host "
+                         f"has {len(devs)} device(s)")
+    return devs[device]
+
+
 def upscale_video(
     input_path: str,
     output_path: str,
@@ -76,10 +90,7 @@ def upscale_video(
     if mesh is not None and batch % mesh.shape["dp"]:
         raise ValueError(f"batch {batch} must be a multiple of the "
                          f"mesh's dp size ({mesh.shape['dp']})")
-    if isinstance(device, int):
-        import jax
-
-        device = jax.devices()[device]
+    device = _resolve_device_index(device)
     if os.path.exists(output_path):
         raise FileExistsError(f"output path already exists: {output_path}")
     if input_path.lower().endswith(".mkv") and \
@@ -218,10 +229,7 @@ def upscale_image(
             not image_mod.alpha_ok(output_path):
         raise ValueError("input has an alpha channel; output must be "
                          "png/webp to keep it")
-    if isinstance(device, int):
-        import jax
-
-        device = jax.devices()[device]
+    device = _resolve_device_index(device)
     engine = UpscaleEngine(model=model, scale=scale, weights=weights,
                            batch_size=1, tile=tile, compute_dtype=dtype,
                            tta=tta, device=device)

@@ -308,11 +308,19 @@ def run(argv: Optional[List[str]] = None) -> int:
     if "--list-models" in argv:
         from reve_tpu.models import registry
 
+        # honor an -m/--models-dir on the same command line (the natural
+        # way to check whether a model directory is picked up)
+        dirs = None
+        for i, a in enumerate(argv):
+            if a in ("-m", "--models-dir") and i + 1 < len(argv):
+                dirs = [argv[i + 1]]
+            elif a.startswith("--models-dir="):
+                dirs = [a.split("=", 1)[1]]
         for name, spec in registry.list_models():
             scales = spec.upscale or "2|3|4"
             found = [s for s in ([spec.upscale] if spec.upscale
                                  else (2, 3, 4))
-                     if registry.resolve_weights(name, s)]
+                     if registry.resolve_weights(name, s, dirs)]
             w = (f"weights: x{'/x'.join(map(str, found))}" if found
                  else "weights: none (random-init fallback)")
             print(f"{name}  [{spec.arch}, x{scales}]  {w}")
@@ -359,6 +367,18 @@ def run(argv: Optional[List[str]] = None) -> int:
             not args.outputpath.lower().endswith(".mkv"):
         # reference refuses mkv -> mp4 (reve-cli/src/main.rs:124-140)
         print("mkv input requires mkv output", file=sys.stderr)
+        return 2
+
+    # resolve --device (and its --batch divisibility) BEFORE any workspace
+    # exists: a rejected invocation must not leave behind a fresh state
+    # file whose saved opts hijack the user's next, corrected command
+    device, mesh, err = _resolve_device(args)
+    if err is not None:
+        return err
+    if mesh is not None and args.batch % mesh.shape["dp"]:
+        print(f"--batch {args.batch} must be a multiple of the --device "
+              f"count ({mesh.shape['dp']}) so each device gets the same "
+              f"share of every batch", file=sys.stderr)
         return 2
 
     ws = Workspace(args.workspace or args.outputpath + ".revework")
@@ -439,14 +459,6 @@ def run(argv: Optional[List[str]] = None) -> int:
         if preloaded is not None and preloaded[0].upscale != state.scale:
             print(f"--denoise weights are x{preloaded[0].upscale} but -s "
                   f"{state.scale} was requested", file=sys.stderr)
-            return 2
-        device, mesh, err = _resolve_device(args)
-        if err is not None:
-            return err
-        if mesh is not None and args.batch % mesh.shape["dp"]:
-            print(f"--batch {args.batch} must be a multiple of the --device "
-                  f"count ({mesh.shape['dp']}) so each device gets the same "
-                  f"share of every batch", file=sys.stderr)
             return 2
         engine = UpscaleEngine(
             model=state.model,
@@ -788,33 +800,38 @@ def _run_image_dir(args) -> int:
     import cv2
 
     fmt = args.format
-    #: the name every input will claim by default — a file forced onto a
-    #: DIFFERENT name (alpha retarget, --format stem collision) must not
-    #: shadow a sibling's slot
-    projected = {(os.path.splitext(f)[0] + "." + fmt) if fmt else f
-                 for f in files}
+    #: owner of each default output name: when --format maps two stems
+    #: onto one name, the input whose filename already IS that name owns
+    #: it (its output must not be shadowed — the skip-exists check would
+    #:  silently never upscale it), then sorted-first; everyone else
+    #: diverts to <name>.<fmt>
+    owner = {}
+    for f in files:
+        ident = (os.path.splitext(f)[0] + "." + fmt) if fmt else f
+        cur = owner.get(ident)
+        if cur is None or (f == ident and cur != ident):
+            owner[ident] = f
     claimed = set()
     done = failed = skipped = 0
     for name in files:
         in_path = os.path.join(args.inputpath, name)
         stem = os.path.splitext(name)[0]
-        out_name = own = (stem + "." + fmt) if fmt else name
+        own = (stem + "." + fmt) if fmt else name
+        out_name = own if owner[own] == name else name + "." + fmt
+        if out_name != own:
+            print(f"{name}: output name taken -> writing {out_name}",
+                  file=sys.stderr)
         img = cv2.imread(in_path, cv2.IMREAD_UNCHANGED)
         if img is not None and img.ndim == 3 and img.shape[2] == 4 \
                 and not image_mod.alpha_ok(out_name):
             retarget = stem + ".png"
-            if (retarget in projected and retarget != own) \
+            if (retarget in owner and owner[retarget] != name) \
                     or retarget in claimed:
                 # a sibling input already owns that name — keep the
                 # original filename so nothing is shadowed or skipped
                 retarget = name + ".png"
             out_name = retarget
             print(f"{name}: alpha channel -> writing {out_name}",
-                  file=sys.stderr)
-        elif out_name != name and out_name in claimed:
-            # two inputs sharing a stem mapped onto one --format name
-            out_name = name + "." + fmt
-            print(f"{name}: output name taken -> writing {out_name}",
                   file=sys.stderr)
         claimed.add(out_name)
         out_path = os.path.join(args.outputpath, out_name)

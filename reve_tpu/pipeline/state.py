@@ -37,16 +37,6 @@ CALIBRATION_FILE = "int8_calibration.json"
 OWNER_FILE = "owner.lock"
 
 
-def _pid_alive(pid: int) -> bool:
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True  # exists, owned by someone else
-    return True
-
-
 @dataclasses.dataclass
 class JobState:
     """Everything needed to resume an interrupted upscale job."""
@@ -103,6 +93,7 @@ class Workspace:
         self.root = root
         self.parts_dir = os.path.join(root, PARTS_DIR)
         self.state_path = os.path.join(root, STATE_FILE)
+        self._owner_fd: Optional[int] = None
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -160,44 +151,51 @@ class Workspace:
         there silently corrupt each other's state).  Multi-writer is the
         lease queue's job (--shard-worker), which skips this lock.
 
-        O_EXCL-creates `owner.lock` holding this pid; returns False when
-        a LIVE other process owns the workspace.  A lock whose pid is
-        dead (crashed run) is stolen — same-host pid-liveness semantics,
-        matching the same-host workspace layout.  Re-acquiring a lock
-        this process already holds succeeds."""
+        Kernel `flock` on `owner.lock`: the lock dies with the holding
+        process (a crashed owner needs no stealing, and there is no
+        read-check-delete race between contenders).  The pid inside the
+        file is diagnostic only.  Re-acquiring through the same Workspace
+        instance succeeds; a second live process gets False."""
+        import fcntl
+
+        if self._owner_fd is not None:
+            return True
         os.makedirs(self.root, exist_ok=True)
-        me = {"pid": os.getpid()}
-        for _ in range(3):  # steal races: retry the O_EXCL create
+        while True:
+            fd = os.open(self.owner_path, os.O_CREAT | os.O_RDWR, 0o644)
             try:
-                fd = os.open(self.owner_path,
-                             os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-                with os.fdopen(fd, "w") as f:
-                    json.dump(me, f)
-                return True
-            except FileExistsError:
-                try:
-                    with open(self.owner_path) as f:
-                        pid = int(json.load(f).get("pid", -1))
-                except (OSError, ValueError):
-                    pid = -1  # garbled: treat as dead
-                if pid == os.getpid():
-                    return True
-                if pid > 0 and _pid_alive(pid):
-                    return False
-                try:  # dead owner: steal
-                    os.unlink(self.owner_path)
-                except FileNotFoundError:
-                    pass
-        return False
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                os.close(fd)
+                return False
+            # the path may have been unlinked+recreated between our open
+            # and the flock (a releasing owner): a lock on an orphaned
+            # inode excludes nobody — verify we locked the live file
+            try:
+                live = os.stat(self.owner_path)
+            except FileNotFoundError:
+                os.close(fd)
+                continue
+            if os.fstat(fd).st_ino != live.st_ino:
+                os.close(fd)
+                continue
+            os.ftruncate(fd, 0)
+            os.write(fd, json.dumps({"pid": os.getpid()}).encode())
+            self._owner_fd = fd
+            return True
 
     def release_owner(self) -> None:
-        """Drop the owner lock iff this process holds it."""
+        """Drop the owner lock iff this Workspace instance holds it."""
+        fd, self._owner_fd = self._owner_fd, None
+        if fd is None:
+            return
         try:
-            with open(self.owner_path) as f:
-                if int(json.load(f).get("pid", -1)) != os.getpid():
-                    return
             os.unlink(self.owner_path)
-        except (OSError, ValueError):
+        except OSError:
+            pass
+        try:
+            os.close(fd)  # drops the flock
+        except OSError:
             pass
 
     @property

@@ -932,3 +932,56 @@ def test_int8_calib_grammar_shared_with_engine(tmp_path, capsys):
         ["-i", inp, "-s", "2", str(tmp_path / "o.y4m"),
          "--dtype", "int8", "--int8-calib", "p97.5"])
     assert args.int8_calib == "p97.5"
+
+
+def test_cli_device_rejection_leaves_no_workspace(tmp_path, capsys):
+    """--device/--batch validation runs BEFORE the workspace exists: a
+    rejected invocation must not persist a fresh state file whose saved
+    opts would hijack the user's next, corrected command."""
+    inp = _small_y4m(tmp_path)
+    out = str(tmp_path / "o.y4m")
+    rc = cli.run(["-i", inp, "-s", "2", out, "--yes", "--io-backend",
+                  "y4m", "--dtype", "int8", "--device", "0,1,2"])
+    assert rc == 2
+    assert "must be a multiple" in capsys.readouterr().err
+    assert not os.path.exists(out + ".revework")
+
+
+def test_list_models_honors_models_dir(tmp_path, capsys):
+    pytest.importorskip("torch")
+    import jax as jax_mod
+
+    from test_acceptance import make_pth
+    from reve_tpu.models import srvgg as srvgg_mod
+
+    cfg = srvgg_mod.SRVGGConfig(num_feat=8, num_conv=2, upscale=2)
+    params = srvgg_mod.init_params(jax_mod.random.key(1), cfg)
+    mdir = tmp_path / "zoo"
+    mdir.mkdir()
+    make_pth(cfg, params, mdir / "realesr-animevideov3-x2.pth")
+    rc = cli.run(["--list-models", "-m", str(mdir)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    line = next(l for l in out.splitlines()
+                if l.startswith("realesr-animevideov3 "))
+    assert "weights: x2" in line
+
+
+def test_api_device_index_validated(tmp_path):
+    import reve_tpu
+
+    inp = _small_y4m(tmp_path)
+    with pytest.raises(ValueError, match="out of range"):
+        reve_tpu.upscale_video(inp, str(tmp_path / "o.y4m"), scale=2,
+                               io_backend="y4m", device=99)
+    with pytest.raises(ValueError, match="out of range"):
+        reve_tpu.upscale_video(inp, str(tmp_path / "o.y4m"), scale=2,
+                               io_backend="y4m", device=-1)
+    assert not os.path.exists(str(tmp_path / "o.y4m") + ".revework")
+    import cv2
+    import numpy as np
+
+    png = str(tmp_path / "in.png")
+    assert cv2.imwrite(png, np.zeros((6, 8, 3), np.uint8))
+    with pytest.raises(ValueError, match="out of range"):
+        reve_tpu.upscale_image(png, str(tmp_path / "o.png"), device=99)

@@ -321,3 +321,27 @@ def test_cli_video_mode_rejects_format(tmp_path, capsys):
                   "--yes", "--io-backend", "y4m", "-f", "png"])
     assert rc == 2
     assert "--format applies to image" in capsys.readouterr().err
+
+
+def test_cli_image_dir_format_literal_name_owns_slot(tmp_path, capsys):
+    """An input whose filename already IS the --format target name owns
+    that output slot even when a sibling's stem maps onto it earlier in
+    sort order — otherwise the sibling's output shadows it and the
+    skip-exists check silently never upscales the real a.jpg."""
+    ind = tmp_path / "in"
+    ind.mkdir()
+    rs = _rs(12)
+    a_bmp = rs.randint(0, 256, (6, 6, 3), np.uint8)   # sorts first
+    a_jpg = rs.randint(0, 256, (8, 10, 3), np.uint8)
+    cv2.imwrite(str(ind / "a.bmp"), a_bmp)
+    cv2.imwrite(str(ind / "a.jpg"), a_jpg)
+    outd = tmp_path / "out"
+    rc = cli.run(["-i", str(ind), "-s", "2", str(outd),
+                  "--dtype", "float32", "-f", "jpg"])
+    err = capsys.readouterr().err
+    assert rc == 0, err
+    assert "a.bmp: output name taken -> writing a.bmp.jpg" in err
+    # a.jpg keeps its identity slot, upscaled from a.jpg's own content
+    assert cv2.imread(str(outd / "a.jpg")).shape == (16, 20, 3)
+    assert cv2.imread(str(outd / "a.bmp.jpg")).shape == (12, 12, 3)
+    assert "done: 2 upscaled" in err

@@ -276,55 +276,68 @@ def test_pipeline_cancel(tmp_path):
     assert len(st2.pending) == 20 - len(done)
 
 
-def test_workspace_owner_lock(tmp_path):
-    """Single-writer guard: a live pid's lock refuses a second acquire
-    from another process; a dead owner's lock is stolen; re-acquiring
-    our own lock succeeds; release only drops our own."""
-    import json
-    import os
+def _flock_holder(lock_path):
+    """Spawn a process that flocks `lock_path` and sleeps — a live foreign
+    owner for lock tests.  Returns the Popen after the lock is held."""
     import subprocess
     import sys
+
+    code = (
+        "import fcntl, os, sys, time\n"
+        f"fd = os.open({lock_path!r}, os.O_CREAT | os.O_RDWR)\n"
+        "fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)\n"
+        "print('locked', flush=True)\n"
+        "time.sleep(60)\n"
+    )
+    p = subprocess.Popen([sys.executable, "-c", code],
+                         stdout=subprocess.PIPE, text=True)
+    assert p.stdout.readline().strip() == "locked"
+    return p
+
+
+def test_workspace_owner_lock(tmp_path):
+    """Single-writer guard (kernel flock): a live holder refuses a second
+    acquire from another process; a crashed owner's lock evaporates with
+    its process (no staleness); re-acquiring through the same instance
+    succeeds; release drops only a held lock."""
+    import os
 
     from reve_tpu.pipeline.state import Workspace
 
     ws = Workspace(str(tmp_path / "w"))
     assert ws.acquire_owner()
-    assert ws.acquire_owner()  # re-entrant for the same pid
+    assert ws.acquire_owner()  # re-entrant for the same instance
+    ws.release_owner()
 
-    # a LIVE foreign owner refuses us
-    child = subprocess.Popen([sys.executable, "-c",
-                              "import time; time.sleep(60)"])
+    # a LIVE foreign flock holder refuses us
+    os.makedirs(ws.root, exist_ok=True)
+    child = _flock_holder(ws.owner_path)
     try:
-        with open(ws.owner_path, "w") as f:
-            json.dump({"pid": child.pid}, f)
         assert not ws.acquire_owner()
-        # release must not drop someone else's lock
-        ws.release_owner()
+        ws.release_owner()  # not held by us: must be a no-op
         assert os.path.exists(ws.owner_path)
     finally:
         child.kill()
         child.wait()
-    # the owner is now dead -> the lock is stolen
+    # the owner process is gone -> the kernel dropped its lock
     assert ws.acquire_owner()
-    with open(ws.owner_path) as f:
-        assert json.load(f)["pid"] == os.getpid()
     ws.release_owner()
     assert not os.path.exists(ws.owner_path)
 
-    # garbled lock: treated as dead, stolen
+    # a leftover lock FILE from a crashed owner is not a lock at all
     with open(ws.owner_path, "w") as f:
-        f.write("not json")
+        f.write("stale")
     assert ws.acquire_owner()
+    ws.release_owner()
 
 
 def test_cli_refuses_second_live_writer(tmp_path, capsys):
     """A second non-sharded CLI run on a workspace owned by a LIVE
     process exits 2 with a clear message instead of silently redoing
-    (and racing) the first run's work."""
+    (and racing) the first run's work; once the owner dies the next run
+    proceeds."""
     import fractions
-    import json
-    import subprocess
-    import sys
+    import os
 
     from reve_tpu import cli
     from reve_tpu.io import writer as writer_mod
@@ -337,14 +350,9 @@ def test_cli_refuses_second_live_writer(tmp_path, capsys):
             wr.write(SyntheticReader.frame(i, 16, 24))
     out = str(tmp_path / "o.y4m")
     ws = Workspace(out + ".revework")
-    child = subprocess.Popen([sys.executable, "-c",
-                              "import time; time.sleep(60)"])
+    os.makedirs(ws.root, exist_ok=True)
+    child = _flock_holder(ws.owner_path)
     try:
-        import os
-
-        os.makedirs(ws.root, exist_ok=True)
-        with open(ws.owner_path, "w") as f:
-            json.dump({"pid": child.pid}, f)
         rc = cli.run(["-i", inp, "-s", "2", out, "--yes",
                       "--io-backend", "y4m"])
         assert rc == 2
@@ -352,7 +360,7 @@ def test_cli_refuses_second_live_writer(tmp_path, capsys):
     finally:
         child.kill()
         child.wait()
-    # dead owner: the run proceeds (lock stolen) and cleans up after
+    # owner gone: the run proceeds and cleans up after itself
     rc = cli.run(["-i", inp, "-s", "2", out, "--yes",
                   "--io-backend", "y4m", "--dtype", "float32"])
     assert rc == 0
