@@ -958,3 +958,36 @@ def test_resume_restores_io_backend(tmp_path):
         assert CountingEngine.frames_seen < 12
     finally:
         manager.shutdown()
+
+
+def test_job_refuses_live_foreign_workspace_owner(server, tmp_path):
+    """A service job whose output workspace is flock-held by a live
+    foreign process (e.g. a CLI run) must error with a clear message
+    instead of racing it."""
+    import os
+
+    from test_pipeline import _flock_holder
+    from reve_tpu.pipeline.state import Workspace
+
+    inp = str(tmp_path / "in.y4m")
+    with writer.Y4MWriter(inp, 32, 24, fractions.Fraction(24)) as wr:
+        for i in range(4):
+            wr.write(np.full((24, 32, 3), 30 + i * 10, np.uint8))
+    out = str(tmp_path / "held.y4m")
+    ws = Workspace(out + ".revework")
+    os.makedirs(ws.root, exist_ok=True)
+    child = _flock_holder(ws.owner_path)
+    try:
+        job = _post(server + "/api/jobs",
+                    {"input": inp, "output": out, "scale": 2})
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            j = _get(server + f"/api/jobs/{job['id']}")
+            if j["status"] in ("done", "error"):
+                break
+            time.sleep(0.2)
+        assert j["status"] == "error", j
+        assert "another live process" in j["error"]
+    finally:
+        child.kill()
+        child.wait()
