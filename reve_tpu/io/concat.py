@@ -18,6 +18,7 @@ Backends (preference order):
 from __future__ import annotations
 
 import fractions
+import logging
 import os
 import shutil
 import subprocess
@@ -26,6 +27,9 @@ from typing import List, Optional
 
 from reve_tpu.io import reader as reader_mod
 from reve_tpu.io import writer as writer_mod
+
+
+log = logging.getLogger(__name__)
 
 
 def ffmpeg_concat(parts: List[str], original: str, output: str,
@@ -96,11 +100,11 @@ def native_concat(parts: List[str], original: str, output: str) -> bool:
         return False
     if output.lower().endswith(".y4m"):
         # byte-exact stream copy (y4m carries no audio to remux)
-        if not all(p.endswith(".y4m") for p in parts):
+        if not all(p.lower().endswith(".y4m") for p in parts):
             return False
         native.concat_y4m(parts, output)
         return True
-    if not all(p.endswith(".mp4") for p in parts):
+    if not all(p.lower().endswith(".mp4") for p in parts):
         return False
     if output.lower().endswith(".mkv"):
         orig = original if (
@@ -134,9 +138,19 @@ def concatenate(parts: List[str], original: str, output: str,
                 has_orig = bool(original) and os.path.exists(original) \
                     and original.lower().endswith(ok_exts)
                 return {"backend": "native", "audio_copied": has_orig}
-        except Exception:
+        except Exception as e:
             if backend == "native":
                 raise
+            # without ffmpeg the chain ends in a full re-encode that DROPS
+            # the original's audio — degrading silently would hide why
+            if shutil.which("ffmpeg"):
+                log.warning("native concat failed (%s); falling back to "
+                            "ffmpeg stream-copy", e)
+            else:
+                log.warning(
+                    "native concat failed (%s); falling back to a frame "
+                    "rewrite, which re-encodes and cannot carry the "
+                    "original's audio", e)
     if backend == "native":
         raise RuntimeError("native concat backend unusable for these files")
     if backend in (None, "ffmpeg") and shutil.which("ffmpeg"):

@@ -54,12 +54,28 @@ def _probe_ffprobe(path: str) -> Optional[VideoInfo]:
         has_audio = any(
             s.get("codec_type") == "audio" for s in data["streams"]
         )
-        num, den = (int(t) for t in vstream["r_frame_rate"].split("/"))
+        # avg_frame_rate (frames/duration — what the reference's mediainfo
+        # %FrameRate% reports) over r_frame_rate: the latter is the LCM of
+        # frame timings and is 2x the playback rate on interlaced/
+        # telecined streams, which would desync the encode from the
+        # verbatim-remuxed audio
+        num = den = 0
+        for key in ("avg_frame_rate", "r_frame_rate"):
+            try:
+                num, den = (int(t) for t in vstream[key].split("/"))
+            except (KeyError, ValueError):
+                continue
+            if num > 0 and den > 0:
+                break
         if num <= 0 or den <= 0:
             return None
         frames = int(
             vstream.get("nb_frames") or vstream.get("nb_read_packets") or 0
         )
+        if frames <= 0:
+            # a 'successful' probe without a frame count would plan zero
+            # segments; let the next backend count frames instead
+            return None
         return VideoInfo(
             path=path,
             width=int(vstream["width"]),
@@ -77,21 +93,31 @@ def _probe_cv2(path: str) -> Optional[VideoInfo]:
         import cv2
     except ImportError:
         return None
+    import math
+
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
         return None
     try:
         fps = cap.get(cv2.CAP_PROP_FPS)
-        info = VideoInfo(
-            path=path,
-            width=int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
-            height=int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
-            frame_count=int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),
-            fps=fractions.Fraction(fps).limit_denominator(1001 * 120),
-        )
+        width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     finally:
         cap.release()
-    return info
+    # cv2 reports 0 (or NaN fps) instead of failing on damaged headers —
+    # treat that as 'cannot probe' so the chain's error names the real
+    # problem instead of exploding later in planning/encoding
+    if not math.isfinite(fps) or fps <= 0 or width <= 0 or height <= 0 \
+            or frames <= 0:
+        return None
+    return VideoInfo(
+        path=path,
+        width=width,
+        height=height,
+        frame_count=frames,
+        fps=fractions.Fraction(fps).limit_denominator(1001 * 120),
+    )
 
 
 def _probe_native_mkv(path: str) -> Optional[VideoInfo]:
@@ -109,10 +135,24 @@ def _probe_native_mkv(path: str) -> Optional[VideoInfo]:
         return None
     if info["video_blocks"] <= 0 or info["width"] <= 0:
         return None
-    # fps is not a Matroska header field; derive from duration when sane,
-    # else fall back to the cv2 estimate
+    # fps is not a Matroska header field; prefer the cv2 estimate, else
+    # derive blocks/duration from the container itself; 30 only when the
+    # file carries no duration at all (and say so — a wrong rate desyncs
+    # the encode from the verbatim-remuxed audio)
     cv2_info = _probe_cv2(path)
-    fps = cv2_info.fps if cv2_info else fractions.Fraction(30, 1)
+    if cv2_info:
+        fps = cv2_info.fps
+    elif info.get("duration_s", 0) and info["duration_s"] > 0:
+        fps = fractions.Fraction(
+            info["video_blocks"] / info["duration_s"]
+        ).limit_denominator(1001 * 120)
+    else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: no decodable rate source (cv2 cannot open, container has "
+            "no duration); assuming 30 fps", path)
+        fps = fractions.Fraction(30, 1)
     return VideoInfo(
         path=path,
         width=info["width"],
@@ -155,7 +195,7 @@ def _probe_y4m(path: str) -> VideoInfo:
 
 def probe(path: str, backend: Optional[str] = None) -> VideoInfo:
     """Probe a video file. backend: None (auto) | 'ffprobe' | 'cv2' | 'y4m'."""
-    if path.endswith(".y4m") or backend == "y4m":
+    if path.lower().endswith(".y4m") or backend == "y4m":
         return _probe_y4m(path)
     if path.lower().endswith(".mkv") and backend in (None, "cv2"):
         info = _probe_native_mkv(path)

@@ -112,8 +112,13 @@ class Cv2Reader(FrameReader):
 class FfmpegPipeReader(FrameReader):
     """ffmpeg subprocess piping rawvideo rgb24 frames over stdout.
 
-    Frame-exact range decode uses the trim filter by frame index — no
-    timestamp seeks, so no off-by-one compensation needed.
+    ONE long-lived sequential decode per reader: frames are counted off
+    the pipe, so range access is frame-exact with no timestamp seeks and
+    no off-by-one compensation — and consecutive read_range calls (the
+    pipeline's per-segment access pattern) continue the same process, so
+    a whole job decodes the stream ONCE (a per-range trim from frame 0
+    would make total decode cost quadratic in the segment count).  Only
+    a backward seek restarts the decode from the top.
     """
 
     def __init__(self, path: str, width: int, height: int,
@@ -125,41 +130,51 @@ class FfmpegPipeReader(FrameReader):
         if not self.ffmpeg:
             raise RuntimeError("ffmpeg binary not found")
         self._proc: Optional[subprocess.Popen] = None
+        self._pos = 0
 
-    def read_range(self, start: int, stop: int) -> Iterator[np.ndarray]:
-        frame_bytes = self.width * self.height * 3
+    def _open_stream(self) -> None:
         # -vsync 0 (passthrough): no CFR resampling of the rawvideo
         # output — the default would duplicate/drop frames on VFR input,
-        # breaking packet-count frame indexing (the reference's own decode
-        # uses -vsync 0 for the same reason, lib.rs:108-115); setpts
-        # re-bases the trimmed range's timestamps
+        # breaking frame-count indexing (the reference's own decode uses
+        # -vsync 0 for the same reason, lib.rs:108-115)
         cmd = [
             self.ffmpeg, "-v", "error", "-i", self.path,
-            "-vf", (f"trim=start_frame={start}:end_frame={stop},"
-                    "setpts=PTS-STARTPTS"),
             "-vsync", "0",
             "-f", "rawvideo", "-pix_fmt", "rgb24", "-",
         ]
         self._proc = subprocess.Popen(
             cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL
         )
-        try:
-            for _ in range(stop - start):
-                buf = self._proc.stdout.read(frame_bytes)
-                if len(buf) < frame_bytes:
-                    break
-                yield np.frombuffer(buf, np.uint8).reshape(
-                    self.height, self.width, 3
-                )
-        finally:
+        self._pos = 0
+
+    def _reap(self) -> None:
+        if self._proc is not None:
             self._proc.stdout.close()
+            self._proc.kill()
             self._proc.wait()
             self._proc = None
 
+    def read_range(self, start: int, stop: int) -> Iterator[np.ndarray]:
+        frame_bytes = self.width * self.height * 3
+        if self._proc is None or start < self._pos:
+            self._reap()
+            self._open_stream()
+        while self._pos < start:  # skip-decode up to start
+            buf = self._proc.stdout.read(frame_bytes)
+            if buf is None or len(buf) < frame_bytes:
+                return
+            self._pos += 1
+        while self._pos < stop:
+            buf = self._proc.stdout.read(frame_bytes)
+            if buf is None or len(buf) < frame_bytes:
+                return
+            self._pos += 1
+            yield np.frombuffer(buf, np.uint8).reshape(
+                self.height, self.width, 3
+            )
+
     def close(self):
-        if self._proc is not None:
-            self._proc.kill()
-            self._proc.wait()
+        self._reap()
 
 
 class Y4MReader(FrameReader):
@@ -327,7 +342,7 @@ def open_reader(path: str, *, backend: Optional[str] = None,
     backend: None (auto: ffmpeg pipe if binary exists, else cv2) |
              'ffmpeg' | 'cv2' | 'y4m'.
     """
-    if path.endswith(".y4m") or backend == "y4m":
+    if path.lower().endswith(".y4m") or backend == "y4m":
         return Y4MReader(path)
     if backend in (None, "ffmpeg") and shutil.which("ffmpeg"):
         if width and height:

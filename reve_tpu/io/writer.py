@@ -121,7 +121,14 @@ class FfmpegX265Writer(FrameWriter):
 
     def close(self):
         if self._proc.stdin and not self._proc.stdin.closed:
-            self._proc.stdin.close()
+            try:
+                self._proc.stdin.close()
+            except OSError:
+                # ffmpeg already died: the close() flush hits a broken
+                # pipe — proceed to wait() and the stderr read so the
+                # error below carries ffmpeg's actual diagnostic (the
+                # whole point of capturing stderr)
+                pass
         ret = self._proc.wait()
         try:
             self._errf.seek(0)
@@ -239,7 +246,7 @@ def open_writer(path: str, width: int, height: int, fps: fractions.Fraction,
     """backend: None (auto: ffmpeg-x265 if available, else cv2) |
     'ffmpeg' | 'cv2' | 'y4m'."""
     settings = settings or EncodeSettings()
-    if path.endswith(".y4m") or backend == "y4m":
+    if path.lower().endswith(".y4m") or backend == "y4m":
         bits = 10 if "10" in settings.pix_fmt else 8
         return Y4MWriter(path, width, height, fps, bits=bits)
     if backend in (None, "ffmpeg") and shutil.which("ffmpeg"):

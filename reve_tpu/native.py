@@ -265,6 +265,12 @@ class FrameRing:
         self._lib = load()
         if self._lib is None:
             raise NativeError("native core unavailable")
+        if frame_bytes <= 0 or capacity <= 0:
+            # capacity 0 would make push() block forever (the ring can
+            # never accept a frame); a negative value wraps to a huge
+            # size_t allocation that terminates across the C boundary
+            raise ValueError(f"frame_bytes and capacity must be positive, "
+                             f"got {frame_bytes}, {capacity}")
         self.frame_bytes = frame_bytes
         self._ring = self._lib.rc_ring_create(frame_bytes, capacity)
 
@@ -272,17 +278,25 @@ class FrameRing:
         import numpy as np
 
         frame = np.ascontiguousarray(frame_u8, dtype=np.uint8)
-        assert frame.nbytes == self.frame_bytes
+        # memory-safety precondition, NOT a debug assert (python -O must
+        # not disable it): the native side memcpys frame_bytes from the
+        # buffer unconditionally
+        if frame.nbytes != self.frame_bytes:
+            raise ValueError(f"frame is {frame.nbytes} bytes; ring expects "
+                             f"{self.frame_bytes}")
         ptr = frame.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         return self._lib.rc_ring_push(self._ring, ptr, timeout_ms)
 
     def pop(self, out_u8, timeout_ms: int = -1) -> int:
         # same guard as push: the native side memcpys frame_bytes into the
         # buffer unconditionally — an undersized/non-contiguous target
-        # would corrupt the heap, not raise
-        assert out_u8.flags["C_CONTIGUOUS"] and \
-            out_u8.nbytes == self.frame_bytes, \
-            (out_u8.nbytes, self.frame_bytes)
+        # would corrupt the heap, not raise (and python -O strips asserts,
+        # so these are real raises)
+        if not out_u8.flags["C_CONTIGUOUS"] or \
+                out_u8.nbytes != self.frame_bytes:
+            raise ValueError(
+                f"pop target must be C-contiguous and exactly "
+                f"{self.frame_bytes} bytes, got {out_u8.nbytes}")
         ptr = out_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         return self._lib.rc_ring_pop(self._ring, ptr, timeout_ms)
 

@@ -10,9 +10,10 @@ in the test suite:
     stores it as a 10-bit y4m at `out`, so tests can decode and compare
     frames; the full argv is recorded to `<out>.argv.json` for byte-level
     contract assertions against reve-cli/src/main.rs:306-328's knobs.
-  * ffmpeg pipe-decoder mode (`-i in -vf trim=start_frame=A:end_frame=B -f
-    rawvideo -pix_fmt rgb24 -`): reads a y4m input and emits rgb24 frames
-    on stdout (same color math as the real readers).
+  * ffmpeg pipe-decoder mode (`-i in -vsync 0 -f rawvideo -pix_fmt rgb24
+    -`): reads a y4m input and streams every frame as rgb24 on stdout
+    (same color math as the real readers; a legacy `-vf trim=...` is
+    still honored).
   * ffmpeg concat mode (`-f concat -safe 0 -i list -i orig -map 0:v -map
     1:a? -map 1:s? -map_chapters 1 -c copy out`): concatenates the listed
     y4m parts; argv recorded.
@@ -132,6 +133,7 @@ def ffprobe_main(argv):
                 "codec_type": "video",
                 "width": rd.width,
                 "height": rd.height,
+                "avg_frame_rate": f"{n}/{d}",
                 "r_frame_rate": f"{n}/{d}",
                 "nb_read_packets": str(rd.frame_count()),
             }

@@ -75,6 +75,35 @@ def test_pipe_reader_frame_exact(fakebin, tmp_path):
         np.testing.assert_array_equal(w_, g)
 
 
+def test_pipe_reader_sequential_ranges_reuse_one_decode(fakebin, tmp_path):
+    """Consecutive forward ranges (the per-segment access pattern) must
+    continue ONE ffmpeg decode — a per-range restart from frame 0 makes a
+    whole job's decode cost quadratic in the segment count.  A backward
+    seek restarts."""
+    src = str(tmp_path / "in.y4m")
+    with writer_mod.Y4MWriter(src, 32, 24, fractions.Fraction(24)) as wr:
+        for f in _flat_frames(12):
+            wr.write(f)
+    ref = reader_mod.Y4MReader(src)
+    rd = reader_mod.FfmpegPipeReader(src, 32, 24)
+    try:
+        a = list(rd.read_range(0, 4))
+        proc = rd._proc
+        assert proc is not None
+        b = list(rd.read_range(4, 8))
+        assert rd._proc is proc  # same decode continued
+        c = list(rd.read_range(2, 6))  # backward: restart
+        assert rd._proc is not proc
+        for got, (lo, hi) in zip((a, b, c), ((0, 4), (4, 8), (2, 6))):
+            want = list(ref.read_range(lo, hi))
+            assert len(got) == hi - lo
+            for w_, g in zip(want, got):
+                np.testing.assert_array_equal(w_, g)
+    finally:
+        rd.close()
+    assert rd._proc is None
+
+
 def test_ffmpeg_concat_argv(fakebin, tmp_path):
     parts = []
     for i in range(3):

@@ -329,3 +329,98 @@ def test_y4m_corrupt_tail_bounded_marker_read(tmp_path):
     assert rd.frame_count() == 1
     frames = list(rd.read_range(0, 5))
     assert len(frames) == 1 and frames[0].shape == (h, w, 3)
+
+
+def test_probe_ffprobe_prefers_avg_frame_rate(monkeypatch, tmp_path):
+    """Interlaced/telecined streams: r_frame_rate is the LCM of frame
+    timings (2x the playback rate); avg_frame_rate is what the
+    reference's mediainfo %FrameRate% reports — a doubled fps would
+    desync the encode from the remuxed audio.  And a probe with no frame
+    count must fall through to the next backend, not 'succeed' with 0."""
+    import json as json_mod
+    import subprocess
+    import types
+
+    from reve_tpu.io import probe as probe_mod
+
+    def fake_run(payload):
+        def run(*a, **k):
+            return types.SimpleNamespace(
+                returncode=0, stdout=json_mod.dumps(payload))
+        return run
+
+    monkeypatch.setattr(probe_mod.shutil, "which", lambda exe: "/bin/fake")
+    telecined = {"streams": [{
+        "codec_type": "video", "width": 720, "height": 480,
+        "r_frame_rate": "60000/1001", "avg_frame_rate": "30000/1001",
+        "nb_frames": "300",
+    }]}
+    monkeypatch.setattr(subprocess, "run", fake_run(telecined))
+    info = probe_mod._probe_ffprobe("x.mp4")
+    assert info.fps == fractions.Fraction(30000, 1001)
+
+    # broken avg ("0/0", common on some muxers) falls back to r_frame_rate
+    telecined["streams"][0]["avg_frame_rate"] = "0/0"
+    monkeypatch.setattr(subprocess, "run", fake_run(telecined))
+    assert probe_mod._probe_ffprobe("x.mp4").fps == \
+        fractions.Fraction(60000, 1001)
+
+    # no frame count anywhere -> None (next backend counts)
+    del telecined["streams"][0]["nb_frames"]
+    monkeypatch.setattr(subprocess, "run", fake_run(telecined))
+    assert probe_mod._probe_ffprobe("x.mp4") is None
+
+
+def test_probe_cv2_rejects_damaged_headers(monkeypatch):
+    """cv2 reports 0 / NaN instead of failing on damaged headers; the
+    probe must return None (-> chain error) rather than a VideoInfo that
+    plans zero segments or feeds fps=0 into an encoder."""
+    from reve_tpu.io import probe as probe_mod
+
+    class FakeCap:
+        def __init__(self, fps):
+            self._fps = fps
+
+        def isOpened(self):
+            return True
+
+        def get(self, prop):
+            import cv2
+
+            return {cv2.CAP_PROP_FPS: self._fps,
+                    cv2.CAP_PROP_FRAME_WIDTH: 0,
+                    cv2.CAP_PROP_FRAME_HEIGHT: 0,
+                    cv2.CAP_PROP_FRAME_COUNT: 0}[prop]
+
+        def release(self):
+            pass
+
+    import cv2
+
+    for bad_fps in (0.0, float("nan")):
+        monkeypatch.setattr(cv2, "VideoCapture",
+                            lambda p, f=bad_fps: FakeCap(f))
+        assert probe_mod._probe_cv2("x.mp4") is None
+
+
+def test_frame_ring_validates_memory_safety_preconditions():
+    import numpy as np
+    import pytest as _pytest
+
+    from reve_tpu import native
+
+    if not native.available():
+        _pytest.skip("native core unavailable")
+    with _pytest.raises(ValueError, match="positive"):
+        native.FrameRing(16, 0)
+    with _pytest.raises(ValueError, match="positive"):
+        native.FrameRing(-1, 4)
+    ring = native.FrameRing(16, 2)
+    with _pytest.raises(ValueError, match="bytes"):
+        ring.push(np.zeros(8, np.uint8))
+    ring.push(np.zeros(16, np.uint8))
+    with _pytest.raises(ValueError, match="contiguous|bytes"):
+        ring.pop(np.zeros(8, np.uint8))
+    out = np.zeros(16, np.uint8)
+    assert ring.pop(out) == 0
+    ring.close()
