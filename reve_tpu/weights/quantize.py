@@ -22,11 +22,15 @@ Scheme (standard symmetric PTQ):
   * dequant + bias + PReLU + requant happen in f32 between convs; XLA fuses
     them into the conv epilogue (no extra HBM round trips).
 
-Quality: int8 costs PSNR vs the f32 reference (typically ~40-48 dB for
-8-bit video content vs the >=50 dB bf16 gate) — this is an OPT-IN turbo
-mode (`--dtype int8`), not the default.  The reference's own engine
-(realesrgan-ncnn-vulkan, reve-shared/src/lib.rs:134-147) runs fp16/fp32;
-this mode has no reference counterpart.
+Quality: int8 costs PSNR vs the f32 reference.  On the most realistic
+proxy this image allows (trained weights + real frames,
+scripts/int8_frontier.py) every design variant measured 64-73 dB —
+comfortably above the 50 dB gate — but that is a proxy, not the
+published weights, so this stays an OPT-IN turbo mode (`--dtype int8`),
+not the default, until `compare_reference.py --gate` certifies it on
+real weights.  The reference's own engine (realesrgan-ncnn-vulkan,
+reve-shared/src/lib.rs:134-147) runs fp16/fp32; this mode has no
+reference counterpart.
 """
 
 from __future__ import annotations
