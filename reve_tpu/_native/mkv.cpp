@@ -545,7 +545,8 @@ static VideoStream build_video_stream(
     }
     if (!t->timescale) throw Error("video track has no timescale");
     // per-sample dts from stts, pts offset from ctts, key from stss
-    uint32_t n = t->sample_count();
+    uint64_t part_size = files[pi]->size();
+    uint32_t n = bounded_sample_count(*t, part_size);
     std::vector<uint64_t> offs(n);
     {
       uint32_t s = 0;
@@ -579,6 +580,11 @@ static VideoStream build_video_stream(
         VideoSample smp;
         smp.file_off = offs[s];
         smp.size = t->sample_size(s);
+        // a lied stsz entry must not drive a giant framebuf allocation
+        // in the cluster writer: every sample-copy source lives inside
+        // its part file
+        if (smp.file_off + uint64_t(smp.size) > part_size)
+          throw Error("mkv mux: video sample outside its part file");
         smp.ts_ns = ts_acc_ns +
                     int64_t(double(pts_ticks) * 1e9 / t->timescale);
         smp.key = key[s];
@@ -974,7 +980,8 @@ void concat_mkv(const std::vector<std::string>& parts,
         is_chapter |= (t.track_id != 0 && id == t.track_id);
       if (is_chapter) {
         EbmlBuf atoms;
-        uint32_t n = t.sample_count();
+        uint64_t orig_size = orig_mp4_file->size();
+        uint32_t n = bounded_sample_count(t, orig_size);
         std::vector<uint64_t> offs(n);
         uint32_t s = 0;
         for (uint32_t c = 0; c < t.chunk_offsets.size() && s < n; c++) {
@@ -993,6 +1000,11 @@ void concat_mkv(const std::vector<std::string>& parts,
           for (uint32_t k = 0; k < e.count && s < n; k++) {
             uint32_t sz = t.sample_size(s);
             std::string title;
+            // lied stsz entry / truncated chapter mdat: surface the error
+            // BEFORE allocating sz bytes (read_at would catch it after)
+            if (offs[s] + uint64_t(sz) > orig_size)
+              throw Error("mkv mux: chapter sample outside the original "
+                          "file");
             if (sz >= 2) {
               std::vector<uint8_t> buf(sz);
               orig_mp4_file->read_at(offs[s], buf.data(), sz);
@@ -1050,7 +1062,8 @@ void concat_mkv(const std::vector<std::string>& parts,
       }
       uint64_t num = next_num++;
       mp4_audio.emplace_back(num, ac);
-      uint32_t n = t.sample_count();
+      uint64_t orig_size = orig_mp4_file->size();
+      uint32_t n = bounded_sample_count(t, orig_size);
       std::vector<uint64_t> offs(n);
       uint32_t s = 0;
       for (uint32_t c = 0; c < t.chunk_offsets.size() && s < n; c++) {
@@ -1076,6 +1089,10 @@ void concat_mkv(const std::vector<std::string>& parts,
           ob.file = orig_mp4_file.get();
           ob.file_off = offs[s];
           ob.size = t.sample_size(s);
+          // lied stsz entry: the cluster writer allocates ob.size bytes,
+          // so refuse samples that reach past the source file
+          if (ob.file_off + uint64_t(ob.size) > orig_size)
+            throw Error("mkv mux: audio sample outside the original file");
           if (is_text) {
             // strip the tx3g u16 length prefix; empty text = a gap
             // (no subtitle displayed) -> no block at all

@@ -490,7 +490,7 @@ static void concat_mp4(const std::vector<std::string>& parts,
   // 2) copy video sample data part by part (one output chunk per part)
   for (auto& pd : pds) {
     Track& t = *pd.video;
-    uint32_t n = t.sample_count();
+    uint32_t n = bounded_sample_count(t, pd.file->size());
     v.chunk_offsets.push_back(out.tell());
     v.chunk_sample_counts.push_back(n);
     uint32_t sample_base = uint32_t(v.sizes.size());

@@ -148,6 +148,17 @@ struct Movie {
   std::vector<std::vector<uint8_t>> extra_moov_children;  // udta, meta...
 };
 
+// A crafted stts can claim ~2^32 samples (count fields are attacker
+// controlled and sample_count() sums them) while the file is tiny; every
+// sample-table expansion that allocates O(n) must clamp what it trusts to
+// the file size — a real sample occupies at least a byte of mdat, so no
+// legitimate file loses samples, and a lie now hits the existing
+// stsc/stco-inconsistency errors instead of a multi-GB allocation.
+inline uint32_t bounded_sample_count(const Track& t, uint64_t file_size) {
+  uint32_t n = t.sample_count();
+  return uint64_t(n) <= file_size ? n : uint32_t(file_size);
+}
+
 Movie parse_movie(File& f);
 void copy_bytes(File& src, uint64_t off, uint64_t len, File& dst);
 uint64_t chunk_length(const Track& t, uint32_t chunk_idx,

@@ -152,6 +152,7 @@ int main(int argc, char** argv) {
     const char* bad[1] = {argv[i]};
     (void)rc_concat_mp4(bad, 1, nullptr, "/dev/null");
     (void)rc_concat_mkv(bad, 1, nullptr, "/dev/null");
+    (void)rc_concat_mp4(parts, 2, argv[i], "/dev/null");
     (void)rc_concat_mkv(parts, 2, argv[i], "/dev/null");
     int w, h, ntracks, has_audio;
     long long samples, ts, dur;

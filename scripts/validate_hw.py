@@ -185,11 +185,32 @@ def check_chunked_x4(work):
     return None
 
 
+def check_tiled_8k(work):
+    # A single 8K frame exceeds the whole-frame HBM budget -> the engine
+    # must take the halo-tiled path (chunked windows through lax.map), the
+    # only production plan branch the 4K bench could not reach (PERF.md
+    # "4K story": whole-frame wins everywhere it fits; tiling remains for
+    # 8K-class overflow).
+    import cv2
+
+    frame = _frames(1, 4320, 7680)[0]
+    inp = os.path.join(work, "in8k.png")
+    cv2.imwrite(inp, frame[:, :, ::-1])
+    out = os.path.join(work, "out16k.png")
+    r = _run(["-i", inp, "-s", "2", "--yes", out], timeout=2400)
+    if r.returncode != 0:
+        return f"rc={r.returncode}: {r.stdout[-800:]}"
+    img = cv2.imread(out, cv2.IMREAD_UNCHANGED)
+    if img is None or img.shape[:2] != (8640, 15360):
+        return f"bad output {None if img is None else img.shape}"
+    return None
+
+
 CHECKS = {
     "int8_resume": check_int8_resume,
     "tta_image": check_tta_image,
 }
-FULL_CHECKS = {"chunked_x4": check_chunked_x4}
+FULL_CHECKS = {"chunked_x4": check_chunked_x4, "tiled_8k": check_tiled_8k}
 
 
 def main():

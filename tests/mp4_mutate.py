@@ -88,6 +88,33 @@ def lie_table_count(src, dst, table, count=0xFFFFFFFF):
     return True
 
 
+def stts_sample_flood(src, dst, count=0x7FFFFFF0):
+    """Copy src->dst, then make the video track claim ~2^31 samples
+    without a per-sample size table: stsz switches to a fixed sample size
+    (entry table empty) and stts's first entry count is inflated.  Found
+    by scripts/fuzz_native.py — sample_count() sums attacker-controlled
+    stts counts, and every O(n) sample-table expansion must clamp what it
+    trusts (mp4_internal.h bounded_sample_count) or a 1 KB file drives a
+    multi-GB allocation."""
+    data = bytearray(open(src, "rb").read())
+    off, _size = find_box_path(
+        data, [b"moov", b"trak", b"mdia", b"minf", b"stbl", b"stsz"])
+    if off is None:
+        return False
+    # fullbox payload: verflags(4) sample_size(4) sample_count(4)
+    struct.pack_into(">I", data, off + 8 + 4, 1)  # fixed sample_size = 1
+    struct.pack_into(">I", data, off + 8 + 8, 0)  # no per-sample entries
+    off, _size = find_box_path(
+        data, [b"moov", b"trak", b"mdia", b"minf", b"stbl", b"stts"])
+    if off is None:
+        return False
+    # verflags(4) entry_count(4) then (count, delta) pairs
+    struct.pack_into(">I", data, off + 8 + 8, count)  # first entry count
+    with open(dst, "wb") as f:
+        f.write(data)
+    return True
+
+
 def truncate_box(src, dst, path, new_payload_len):
     """Copy src->dst shrinking a box's declared size so fixed-offset reads
     (tkhd/mdhd/mvhd) would fall past it if unchecked.  Only the size field

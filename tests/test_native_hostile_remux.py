@@ -121,3 +121,25 @@ def test_tref_chap_truncated_payload_ignored(tmp_path):
     # if it succeeded, the chapter track must have degraded gracefully:
     # either converted (chapters) or remuxed/skipped — but never crashed
     assert os.path.exists(out)
+
+
+def test_stts_sample_flood_is_rejected_bounded(tmp_path):
+    """A ~2^31-sample stts lie (fixed stsz size, empty entry table) in a
+    1 KB part must fail fast with a clean error — not allocate gigabytes
+    of per-sample tables (fuzz_native.py's first find: the mkv muxer hung
+    the machine expanding offs(n) from sample_count()'s unclamped sum)."""
+    good, bad_src = _parts(tmp_path, [4, 4])
+    flooded = str(tmp_path / "flood.mp4")
+    assert mp4_mutate.stts_sample_flood(bad_src, flooded)
+
+    for fn, out in ((native.concat_mkv, str(tmp_path / "o.mkv")),
+                    (native.concat_mp4, str(tmp_path / "o.mp4"))):
+        with pytest.raises(native.NativeError):
+            fn([flooded, good], None, out)
+    # as a remux original the flooded audio/chapter walks must stay
+    # bounded too (the video lie is on the 'vide' track, but the clamp
+    # code is shared; a clean error OR a skipped track are both fine)
+    try:
+        native.concat_mkv([good, good], flooded, str(tmp_path / "r.mkv"))
+    except native.NativeError:
+        pass
