@@ -315,7 +315,11 @@ class UpscaleEngine:
             )
         else:
             self._batch_sharding = None
-            self.device = device or jax.devices()[0]
+            # local_devices, not devices: under jax.distributed (multi-host
+            # lease sharding) jax.devices()[0] is process 0's device, which
+            # other processes cannot address — each worker runs on its own
+            # local chip (proven by tests/test_distributed.py)
+            self.device = device or jax.local_devices()[0]
             self.params = jax.device_put(self.params, self.device)
         self.stats = EngineStats()
         self._compiled = {}
