@@ -254,8 +254,8 @@ class GANTrainer:
         self._bs = mesh_lib.batch_sharding(self.mesh)
 
     def step(self, lr_batch, hr_batch) -> dict:
-        lr_batch = jax.device_put(lr_batch, self._bs)
-        hr_batch = jax.device_put(hr_batch, self._bs)
+        lr_batch, hr_batch = trainer_mod.shard_host_batch(
+            self._bs, lr_batch, hr_batch)
         (self.g_params, self.d_params, self.g_opt, self.d_opt,
          metrics) = gan_step(
             self.g_params, self.d_params, self.g_opt, self.d_opt,

@@ -71,6 +71,26 @@ def train_step(params, opt_state, lr_batch, hr_batch, *,
     return params, opt_state, loss_val
 
 
+def shard_host_batch(bs, lr_batch, hr_batch):
+    """Place a host batch under the mesh batch sharding.
+
+    Multi-host (jax.distributed): each process feeds its LOCAL shard of
+    the global batch — the global batch is the concatenation over
+    process_index order.  device_put of a full global batch there would
+    silently treat every process's (different) data as the same global
+    array; building the array from process-local shards is the multi-host
+    contract (tests/test_distributed.py proves loss-equality with the
+    concatenated single-process run)."""
+    if jax.process_count() > 1:
+        import numpy as np
+
+        return (
+            jax.make_array_from_process_local_data(bs, np.asarray(lr_batch)),
+            jax.make_array_from_process_local_data(bs, np.asarray(hr_batch)),
+        )
+    return jax.device_put(lr_batch, bs), jax.device_put(hr_batch, bs)
+
+
 @functools.partial(jax.jit, static_argnames=("decay",))
 def ema_update(ema_params, params, *, decay: float):
     """ema <- decay*ema + (1-decay)*params, leafwise."""
@@ -100,10 +120,7 @@ class Trainer:
         self._bs = mesh_lib.batch_sharding(self.mesh)
 
     def shard_batch(self, lr_batch, hr_batch):
-        return (
-            jax.device_put(lr_batch, self._bs),
-            jax.device_put(hr_batch, self._bs),
-        )
+        return shard_host_batch(self._bs, lr_batch, hr_batch)
 
     def step(self, lr_batch, hr_batch) -> float:
         lr_batch, hr_batch = self.shard_batch(lr_batch, hr_batch)

@@ -44,10 +44,15 @@ def main():
         cfg = srvgg.SRVGGConfig(num_feat=8, num_conv=2, upscale=2)
         mesh = mesh_lib.make_mesh()  # GLOBAL devices across both processes
         tr = Trainer(cfg, TrainConfig(ema_decay=0.0), mesh=mesh, seed=0)
-        rng = np.random.default_rng(0)  # same full batch on every process
+        # every process draws the same GLOBAL batch, then feeds only its
+        # process-local shard (multi-host contract: the global batch is
+        # the concatenation over process_index)
+        rng = np.random.default_rng(0)
         lr = rng.random((4, 16, 16, 3), np.float32)
         hr = rng.random((4, 32, 32, 3), np.float32)
-        out["losses"] = [tr.step(lr, hr) for _ in range(3)]
+        per = lr.shape[0] // nproc
+        sl = slice(pid * per, (pid + 1) * per)
+        out["losses"] = [tr.step(lr[sl], hr[sl]) for _ in range(3)]
         out["mesh"] = dict(mesh.shape)
     elif mode == "leases":
         import dataclasses
