@@ -57,6 +57,7 @@ def upscale_video(
     scene_align: bool = False,
     device=None,
     mesh=None,
+    compile_attempts: Optional[int] = None,
 ) -> dict:
     """Upscale a video through the full segmented, resumable pipeline.
 
@@ -74,12 +75,16 @@ def upscale_video(
     --device N).  `mesh`: a jax.sharding.Mesh with a 'dp' axis to shard
     each batch across devices (the CLI's --device N,M,...); `batch` must
     be a multiple of the dp size.  Mutually exclusive.
+
+    `compile_attempts`: best-of-N fresh compiles per resolution (the
+    compile-lottery mitigation, PERF.md).  None = auto: 2 on TPU for jobs
+    >= 200 frames, else 1; REVE_TPU_COMPILE_ATTEMPTS overrides.
     """
     from fractions import Fraction
 
     from reve_tpu.io import probe as probe_mod
     from reve_tpu.pipeline import scheduler
-    from reve_tpu.pipeline.engine import UpscaleEngine
+    from reve_tpu.pipeline.engine import UpscaleEngine, auto_compile_attempts
     from reve_tpu.pipeline.planner import plan_segments
     from reve_tpu.pipeline.state import JobState, Workspace, repair_pending
 
@@ -173,7 +178,14 @@ def upscale_video(
         engine = UpscaleEngine(model=state.model, scale=state.scale,
                                weights=weights, batch_size=batch, tile=tile,
                                compute_dtype=dtype, int8_calib=int8_calib,
-                               tta=tta, device=device, mesh=mesh)
+                               tta=tta, device=device, mesh=mesh,
+                               compile_attempts=compile_attempts)
+        if compile_attempts is None and \
+                "REVE_TPU_COMPILE_ATTEMPTS" not in os.environ:
+            platform = (mesh.devices.flat[0].platform if mesh is not None
+                        else engine.device.platform)
+            engine.compile_attempts = auto_compile_attempts(
+                platform, sum(s.size for s in state.pending))
         progress = None
         if on_progress is not None:
             from reve_tpu.pipeline.progress import ProgressTracker

@@ -209,6 +209,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "ncnn engine's -m model-path switch).  Replaces "
                         "the default search path ($REVE_TPU_MODELS_DIR, "
                         "then ./models); an explicit --weights wins")
+    p.add_argument("--compile-attempts", type=_positive_int(
+                   "compile-attempts"), default=None, metavar="N",
+                   help="best-of-N fresh compiles per resolution, keeping "
+                        "the fastest binary (this stack's compiler "
+                        "non-deterministically emits 10-500x-slower "
+                        "binaries for the same program — PERF.md "
+                        "'compile lottery').  Default: 2 on TPU for jobs "
+                        ">= 200 frames, else 1; env "
+                        "REVE_TPU_COMPILE_ATTEMPTS overrides")
     p.add_argument("--io-backend", choices=("ffmpeg", "cv2", "y4m"),
                    default=None)
     p.add_argument("--workspace", default=None,
@@ -449,7 +458,8 @@ def run(argv: Optional[List[str]] = None) -> int:
             state = _fresh_state(args)
         ws.save(state)
 
-        from reve_tpu.pipeline.engine import UpscaleEngine
+        from reve_tpu.pipeline.engine import (UpscaleEngine,
+                                              auto_compile_attempts)
         from reve_tpu.pipeline.progress import ConsoleRenderer, ProgressTracker
         from reve_tpu.pipeline import scheduler
 
@@ -472,7 +482,14 @@ def run(argv: Optional[List[str]] = None) -> int:
             device=device,
             mesh=mesh,
             preloaded=preloaded,
+            compile_attempts=args.compile_attempts,
         )
+        if args.compile_attempts is None and \
+                "REVE_TPU_COMPILE_ATTEMPTS" not in os.environ:
+            platform = (mesh.devices.flat[0].platform if mesh is not None
+                        else engine.device.platform)
+            engine.compile_attempts = auto_compile_attempts(
+                platform, sum(s.size for s in state.pending))
         if args.dtype == "int8":
             err = _certify_int8(args, state, engine, ws)
             if err is not None:

@@ -332,6 +332,19 @@ class JobManager:
             ws.save(st)
             engine = self._get_engine(job.model, job.scale, job.dtype,
                                       job.int8_calib, job.tta)
+            # compile-lottery mitigation for fresh resolutions: best-of-2
+            # compiles on TPU when this job is long enough to amortize it
+            # (already-compiled resolutions in a cached engine are reused
+            # as-is).  getattr-guarded: test/plugin engine factories may
+            # return stubs without the attribute.
+            if "REVE_TPU_COMPILE_ATTEMPTS" not in os.environ and \
+                    hasattr(engine, "compile_attempts"):
+                from reve_tpu.pipeline.engine import auto_compile_attempts
+
+                dev = getattr(engine, "device", None)
+                platform = dev.platform if dev is not None else "cpu"
+                engine.compile_attempts = auto_compile_attempts(
+                    platform, sum(s.size for s in st.pending))
             job.progress = ProgressTracker(
                 total_frames=sum(s.size for s in st.pending),
                 total_segments=len(st.pending),

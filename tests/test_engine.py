@@ -224,3 +224,93 @@ def test_engine_compiler_options_plumbing():
                         compiler_options=None)
     out = eng.upscale_frames(np.zeros((1, 8, 8, 3), np.uint8))
     assert out.shape == (1, 16, 16, 3)
+
+
+# --------------------------------------------- compile-lottery mitigation
+
+
+def test_auto_compile_attempts_policy():
+    """Best-of-2 only on TPU and only for jobs long enough to amortize the
+    extra ~30 s compile (engine.auto_compile_attempts docstring)."""
+    from reve_tpu.pipeline.engine import (_AUTO_LOTTERY_MIN_FRAMES,
+                                          auto_compile_attempts)
+
+    assert auto_compile_attempts("tpu", _AUTO_LOTTERY_MIN_FRAMES) == 2
+    assert auto_compile_attempts("tpu", _AUTO_LOTTERY_MIN_FRAMES - 1) == 1
+    assert auto_compile_attempts("cpu", 10 ** 6) == 1
+
+
+def test_compile_attempts_validation_and_env(monkeypatch):
+    with pytest.raises(ValueError, match="compile_attempts"):
+        _engine(compile_attempts=0)
+    monkeypatch.setenv("REVE_TPU_COMPILE_ATTEMPTS", "3")
+    assert _engine().compile_attempts == 3
+    assert _engine(compile_attempts=1).compile_attempts == 1  # explicit wins
+    monkeypatch.delenv("REVE_TPU_COMPILE_ATTEMPTS")
+    assert _engine().compile_attempts == 1
+
+
+def test_compile_attempts_output_bit_identical():
+    """The cache-busting barrier adds +0.0f, so every reroll attempt
+    computes byte-identical output; best-of-N only changes which binary
+    runs.  N compiles happen per fresh resolution, reused afterwards."""
+    frames = np.random.RandomState(7).randint(0, 256, (2, 20, 24, 3),
+                                              np.uint8)
+    ref = _engine().submit(frames).result()
+    e = _engine(compile_attempts=3)
+    np.testing.assert_array_equal(e.submit(frames).result(), ref)
+    assert e.stats.compile_count == 3  # 3 attempts, one resolution
+    e.submit(frames).result()
+    assert e.stats.compile_count == 3  # cached binary reused
+
+
+def test_compile_lottery_reroll_selected(monkeypatch):
+    """Simulate attempt 0 drawing a lottery-bad binary: the probe reports
+    it slow, the reroll wins, the reroll counter ticks, and output stays
+    exact."""
+    frames = np.random.RandomState(8).randint(0, 256, (2, 16, 16, 3),
+                                              np.uint8)
+    ref = _engine().submit(frames).result()
+    e = _engine(compile_attempts=2)
+    probes = iter([1.0, 50.0])  # attempt 0 catastrophically slow
+
+    monkeypatch.setattr(UpscaleEngine, "_probe_fps",
+                        lambda self, fn, wf, h, w: next(probes))
+    out = e.submit(frames).result()
+    np.testing.assert_array_equal(out, ref)
+    assert e.stats.lottery_rerolls == 1
+
+
+def test_compile_reroll_failure_keeps_working_binary(monkeypatch):
+    """A reroll that fails to build/probe must never break the engine —
+    attempt 0's working binary is kept."""
+    frames = np.random.RandomState(9).randint(0, 256, (2, 16, 16, 3),
+                                              np.uint8)
+    ref = _engine().submit(frames).result()
+    e = _engine(compile_attempts=2)
+    orig_build = UpscaleEngine._build
+
+    def build(self, h, w, attempt=0):
+        if attempt:
+            raise RuntimeError("synthetic reroll compile failure")
+        return orig_build(self, h, w, attempt)
+
+    monkeypatch.setattr(UpscaleEngine, "_build", build)
+    np.testing.assert_array_equal(e.submit(frames).result(), ref)
+    assert e.stats.lottery_rerolls == 0
+
+
+def test_compile_attempts_int8_exact():
+    """int8 engines probe with a provisional zero-frame calibration; the
+    first REAL batch still owns the job's calibration, so best-of-N output
+    equals the single-compile engine bit-for-bit."""
+    frames = np.random.RandomState(10).randint(0, 256, (2, 24, 32, 3),
+                                               np.uint8)
+    kw = dict(model="realesr-animevideov3", scale=2, batch_size=2,
+              compute_dtype="int8")
+    ref_e = UpscaleEngine(**kw)
+    ref = ref_e.submit(frames).result()
+    e = UpscaleEngine(compile_attempts=2, **kw)
+    np.testing.assert_array_equal(e.submit(frames).result(), ref)
+    np.testing.assert_array_equal(e.get_calibration(),
+                                  ref_e.get_calibration())
