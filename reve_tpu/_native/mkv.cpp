@@ -156,7 +156,7 @@ static std::vector<Elem> ebml_children(const uint8_t* d, uint64_t off,
     uint64_t eoff = r.pos;
     uint32_t eid = r.read_id();
     uint64_t sz = r.read_size();
-    if (sz == UINT64_MAX || r.pos + sz > end)
+    if (sz == UINT64_MAX || sz > end || r.pos > end - sz)
       throw Error("mkv: unknown-size or overflowing child element");
     out.push_back({eid, r.pos, sz, eoff});
     r.pos += sz;
@@ -296,7 +296,10 @@ struct FileEbml {
   }
 
   std::vector<uint8_t> read_payload(uint64_t sz) {
-    if (pos + sz > size) throw Error("mkv: element overflows file");
+    // overflow-safe (sz can be a 56-bit lie or the UINT64_MAX sentinel:
+    // pos + sz must never be formed)
+    if (sz > size || pos > size - sz)
+      throw Error("mkv: element overflows file");
     std::vector<uint8_t> buf(sz);
     if (sz) f.read_at(pos, buf.data(), sz);
     pos += sz;
@@ -326,7 +329,8 @@ static MkvOriginal parse_mkv(const std::string& path) {
     if (!r.read_head(&eid, &sz)) break;
     if (sz == UINT64_MAX)
       throw Error("mkv: unknown-size element (live stream?) unsupported");
-    if (r.pos + sz > seg_end) throw Error("mkv: element overflows segment");
+    if (sz > seg_end || r.pos > seg_end - sz)
+      throw Error("mkv: element overflows segment");
     if (eid != ID_Info && eid != ID_Tracks && eid != ID_Cluster &&
         eid != ID_Chapters && eid != ID_Tags && eid != ID_Attachments) {
       r.pos += sz;  // SeekHead, Cues, Void, ...: skip without reading
@@ -582,8 +586,10 @@ static VideoStream build_video_stream(
         smp.size = t->sample_size(s);
         // a lied stsz entry must not drive a giant framebuf allocation
         // in the cluster writer: every sample-copy source lives inside
-        // its part file
-        if (smp.file_off + uint64_t(smp.size) > part_size)
+        // its part file (overflow-safe: a 64-bit co64 offset near 2^64
+        // wraps off+size below the file size)
+        if (smp.file_off > part_size ||
+            uint64_t(smp.size) > part_size - smp.file_off)
           throw Error("mkv mux: video sample outside its part file");
         smp.ts_ns = ts_acc_ns +
                     int64_t(double(pts_ticks) * 1e9 / t->timescale);
@@ -1001,8 +1007,9 @@ void concat_mkv(const std::vector<std::string>& parts,
             uint32_t sz = t.sample_size(s);
             std::string title;
             // lied stsz entry / truncated chapter mdat: surface the error
-            // BEFORE allocating sz bytes (read_at would catch it after)
-            if (offs[s] + uint64_t(sz) > orig_size)
+            // BEFORE allocating sz bytes (read_at would catch it after);
+            // overflow-safe against co64 offsets near 2^64
+            if (offs[s] > orig_size || uint64_t(sz) > orig_size - offs[s])
               throw Error("mkv mux: chapter sample outside the original "
                           "file");
             if (sz >= 2) {
@@ -1091,7 +1098,9 @@ void concat_mkv(const std::vector<std::string>& parts,
           ob.size = t.sample_size(s);
           // lied stsz entry: the cluster writer allocates ob.size bytes,
           // so refuse samples that reach past the source file
-          if (ob.file_off + uint64_t(ob.size) > orig_size)
+          // (overflow-safe against co64 offsets near 2^64)
+          if (ob.file_off > orig_size ||
+              uint64_t(ob.size) > orig_size - ob.file_off)
             throw Error("mkv mux: audio sample outside the original file");
           if (is_text) {
             // strip the tx3g u16 length prefix; empty text = a gap
@@ -1166,7 +1175,7 @@ MkvProbe probe_mkv(const std::string& path) {
   while (r.pos < seg_end) {
     if (!r.read_head(&eid, &sz)) break;
     if (sz == UINT64_MAX) throw Error("mkv: unknown-size element");
-    if (r.pos + sz > seg_end) break;
+    if (sz > seg_end || r.pos > seg_end - sz) break;
     if (eid != ID_Info && eid != ID_Tracks && eid != ID_Cluster) {
       r.pos += sz;
       continue;
