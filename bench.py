@@ -276,8 +276,11 @@ def main():
         "unit": "fps/chip",
         "vs_baseline": round(fps / NORTH_STAR_FPS, 3) if on_tpu else 0.0,
         "paths": {k: round(v, 2) for k, v in results.items()},
-        "note": "best path; int8 = opt-in turbo (--dtype int8, quantized "
-                "hidden stack, PSNR cost documented in PERF.md)",
+        "note": "best path; int8 turbo IS the product default on TPU "
+                "(--dtype auto selects it when int8-vs-f32 PSNR on frames "
+                "sampled across the input clears 50 dB, with automatic "
+                "bf16 fallback; PERF.md int8 frontier: every trained-proxy "
+                "point >= 50 dB)",
     }
     print(json.dumps(result))
 

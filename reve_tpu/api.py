@@ -43,8 +43,8 @@ def upscale_video(
     segment_size: int = 1000,
     batch: int = 4,
     tile: int = 0,
-    dtype: str = "bfloat16",
-    int8_calib: str = "max",
+    dtype: str = "auto",
+    int8_calib: str = "p99.9",
     tta: bool = False,
     io_backend: Optional[str] = None,
     crf: int = 15,
@@ -61,10 +61,15 @@ def upscale_video(
 ) -> dict:
     """Upscale a video through the full segmented, resumable pipeline.
 
-    Returns the finalize report: {"backend": ..., "audio_copied": bool}.
+    Returns the finalize report: {"backend": ..., "audio_copied": bool,
+    "dtype": resolved compute path}.
     When `resume` and a prior interrupted workspace exists, continues it;
     otherwise starts fresh.  Raises on invalid inputs (same rules as the
     CLI: output must not exist, mkv input requires mkv output).
+
+    `dtype="auto"` (default) selects the int8 turbo path on TPU when its
+    PSNR vs f32, measured on frames sampled across this video, clears the
+    50 dB gate — else bfloat16 (the CLI's --dtype auto policy).
 
     `on_progress`: optional callable receiving a snapshot dict
     ({stage: {done, total, rate}} for decode/upscale/encode/total plus
@@ -175,11 +180,30 @@ def upscale_video(
             )
         ws.save(state)
 
-        engine = UpscaleEngine(model=state.model, scale=state.scale,
-                               weights=weights, batch_size=batch, tile=tile,
-                               compute_dtype=dtype, int8_calib=int8_calib,
-                               tta=tta, device=device, mesh=mesh,
-                               compile_attempts=compile_attempts)
+        def make_engine(d: str, calib: str) -> UpscaleEngine:
+            return UpscaleEngine(model=state.model, scale=state.scale,
+                                 weights=weights, batch_size=batch,
+                                 tile=tile, compute_dtype=d,
+                                 int8_calib=calib, tta=tta, device=device,
+                                 mesh=mesh,
+                                 compile_attempts=compile_attempts)
+
+        engine = None
+        if dtype == "auto":
+            # certified int8 turbo on TPU, else bf16 (the CLI's --dtype
+            # auto policy, scheduler.resolve_auto_dtype); the resolved
+            # dtype is persisted so a resumed call runs the same path
+            platform = (mesh.devices.flat[0].platform if mesh is not None
+                        else device.platform if device is not None
+                        else None)
+            dtype, engine, _, _ = scheduler.resolve_auto_dtype(
+                make_engine, ws, state, io_backend=io_backend,
+                platform=platform)
+            state.opts["dtype"] = dtype
+            state.opts["int8_calib"] = int8_calib
+            ws.save(state)
+        if engine is None:
+            engine = make_engine(dtype, int8_calib)
         if compile_attempts is None and \
                 "REVE_TPU_COMPILE_ATTEMPTS" not in os.environ:
             platform = (mesh.devices.flat[0].platform if mesh is not None
@@ -201,6 +225,7 @@ def upscale_video(
         state = job.run()
         report = scheduler.finalize(state, ws, io_backend=io_backend,
                                     part_ext=part_ext)
+        report["dtype"] = dtype
         if job.encoder_desc:
             report["encoder"] = job.encoder_desc
         if not keep_workspace:
@@ -241,6 +266,8 @@ def upscale_image(
             not image_mod.alpha_ok(output_path):
         raise ValueError("input has an alpha channel; output must be "
                          "png/webp to keep it")
+    if dtype == "auto":  # images run the exact path (the CLI's rule)
+        dtype = "bfloat16"
     device = _resolve_device_index(device)
     engine = UpscaleEngine(model=model, scale=scale, weights=weights,
                            batch_size=1, tile=tile, compute_dtype=dtype,

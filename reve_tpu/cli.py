@@ -168,26 +168,31 @@ def build_parser() -> argparse.ArgumentParser:
                    help="frames per TPU batch")
     p.add_argument("--tile", type=int, default=0,
                    help="tile size (0=auto, -1=never tile)")
-    p.add_argument("--dtype", choices=("bfloat16", "float32", "int8"),
-                   default="bfloat16",
-                   help="compute dtype; int8 = turbo mode (~1.5x fps, "
-                        "hidden stack quantized, costs some PSNR)")
+    p.add_argument("--dtype",
+                   choices=("auto", "bfloat16", "float32", "int8"),
+                   default="auto",
+                   help="compute dtype.  auto (default): on TPU, use the "
+                        "int8 turbo path (~1.6x fps) when its PSNR vs f32 "
+                        "measured on frames sampled across THIS video "
+                        "clears 50 dB (or --int8-gate), else bfloat16; "
+                        "elsewhere bfloat16.  int8 forces the turbo path "
+                        "(hidden stack quantized)")
     p.add_argument("--int8-calib", type=_int8_calib_validation,
-                   default="max", dest="int8_calib", metavar="max|p<PCT>",
-                   help="with --dtype int8: calibration statistic for "
-                        "activation scales. max = true maxima (default); "
-                        "p<percentile> (e.g. p99.9) clips the outlier "
-                        "tail (+7 dB on the trained-weights proxy, "
-                        "PERF.md int8 frontier)")
+                   default=None, dest="int8_calib", metavar="max|p<PCT>",
+                   help="int8 turbo calibration statistic for activation "
+                        "scales.  p<percentile> clips the outlier tail "
+                        "(default p99.9 — best on both trained-weights "
+                        "frontier seeds, PERF.md); max = true maxima")
     p.add_argument("--tta", action="store_true",
                    help="8-transform dihedral self-ensemble (the replaced "
                         "ncnn engine's -x switch): ~8x the compute for a "
                         "small quality gain")
     p.add_argument("--int8-gate", type=float, default=None, metavar="DB",
-                   help="with --dtype int8: refuse to run if the measured "
-                        "int8-vs-f32 PSNR on this video's first frames is "
-                        "below DB (the turbo PSNR is always reported; "
-                        "BASELINE's quality gate is 50)")
+                   help="minimum int8-vs-f32 PSNR (dB) measured on frames "
+                        "sampled across this video.  With --dtype auto: "
+                        "overrides the 50 dB turbo-selection gate.  With "
+                        "--dtype int8: refuse to run below DB (the turbo "
+                        "PSNR is always reported)")
     p.add_argument("--device", default=None, metavar="N[,M,...]",
                    help="pin this process to accelerator N of "
                         "jax.devices() (the replaced ncnn engine's -g "
@@ -340,24 +345,25 @@ def run(argv: Optional[List[str]] = None) -> int:
     err = _apply_models_dir(args)
     if err is not None:
         return err
+    if args.dtype not in ("int8", "auto") and args.int8_calib is not None:
+        print("--int8-calib requires --dtype int8 or auto (it configures "
+              "the int8 turbo path only)", file=sys.stderr)
+        return 2
+    args.int8_calib = args.int8_calib or "p99.9"
     if os.path.isdir(args.inputpath):
         if args.int8_gate is not None:
             print("--int8-gate applies to video jobs (image mode does "
                   "not run certification)", file=sys.stderr)
             return 2
-        if args.dtype != "int8" and args.int8_calib != "max":
-            print("--int8-calib requires --dtype int8", file=sys.stderr)
-            return 2
         return _run_image_dir(args)
     if os.path.exists(args.outputpath):
         print("output path already exists", file=sys.stderr)
         return 2
-    if args.dtype != "int8" and (args.int8_gate is not None
-                                 or args.int8_calib != "max"):
+    if args.dtype not in ("int8", "auto") and args.int8_gate is not None:
         # a silently ignored quality gate is worse than no gate: the
         # operator would believe certification ran when nothing did
-        print("--int8-gate/--int8-calib require --dtype int8 (they "
-              "configure the int8 turbo path only)", file=sys.stderr)
+        print("--int8-gate requires --dtype int8 or auto (it gates the "
+              "int8 turbo path only)", file=sys.stderr)
         return 2
     if args.inputpath.lower().endswith(IMAGE_EXTS):
         if args.int8_gate is not None:
@@ -470,28 +476,44 @@ def run(argv: Optional[List[str]] = None) -> int:
             print(f"--denoise weights are x{preloaded[0].upscale} but -s "
                   f"{state.scale} was requested", file=sys.stderr)
             return 2
-        engine = UpscaleEngine(
-            model=state.model,
-            scale=state.scale,
-            weights=args.weights,
-            batch_size=args.batch,
-            tile=args.tile,
-            compute_dtype=args.dtype,
-            int8_calib=args.int8_calib,
-            tta=args.tta,
-            device=device,
-            mesh=mesh,
-            preloaded=preloaded,
-            compile_attempts=args.compile_attempts,
-        )
+
+        def make_engine(dtype: str, int8_calib: str) -> UpscaleEngine:
+            return UpscaleEngine(
+                model=state.model, scale=state.scale, weights=args.weights,
+                batch_size=args.batch, tile=args.tile, compute_dtype=dtype,
+                int8_calib=int8_calib, tta=args.tta, device=device,
+                mesh=mesh, preloaded=preloaded,
+                compile_attempts=args.compile_attempts,
+            )
+
+        engine = None
+        int8_db = None
+        if args.dtype == "auto":
+            # pick the certified int8 turbo when it clears the on-content
+            # quality gate, else bf16 (scheduler.resolve_auto_dtype); the
+            # RESOLVED dtype is persisted so a resume runs the same path
+            platform = (mesh.devices.flat[0].platform if mesh is not None
+                        else device.platform if device is not None
+                        else None)
+            args.dtype, engine, int8_db, notes = \
+                scheduler.resolve_auto_dtype(
+                    make_engine, ws, state, io_backend=args.io_backend,
+                    gate_db=args.int8_gate, platform=platform)
+            for msg in notes:
+                print(msg, file=sys.stderr)
+            state.opts["dtype"] = args.dtype
+            state.opts["int8_calib"] = args.int8_calib
+            ws.save(state)
+        if engine is None:
+            engine = make_engine(args.dtype, args.int8_calib)
         if args.compile_attempts is None and \
                 "REVE_TPU_COMPILE_ATTEMPTS" not in os.environ:
             platform = (mesh.devices.flat[0].platform if mesh is not None
                         else engine.device.platform)
             engine.compile_attempts = auto_compile_attempts(
                 platform, sum(s.size for s in state.pending))
-        if args.dtype == "int8":
-            err = _certify_int8(args, state, engine, ws)
+        if args.dtype == "int8" and int8_db is None:
+            err, int8_db = _certify_int8(args, state, engine, ws)
             if err is not None:
                 return err
         from reve_tpu.pipeline.progress import JsonlRenderer, TeeRenderer
@@ -576,8 +598,15 @@ def run(argv: Optional[List[str]] = None) -> int:
             e2e_fps = done_frames / elapsed
             rate_note = (f", {e2e_fps:.1f} fps end-to-end = "
                          f"{e2e_fps / src_fps:.2f}x realtime")
+        # the chosen compute path + its measured quality certificate
+        # belong in the done-line: the turbo/exact decision (--dtype
+        # auto) must never be invisible in a log
+        path_note = f", path: {args.dtype}"
+        if args.dtype == "int8" and int8_db is not None:
+            path_note = f", path: int8 turbo ({int8_db:.1f} dB certified)"
         print(f"\ndone: {state.output_path} (concat backend: "
-              f"{report['backend']}{enc_note}{rate_note})", file=sys.stderr)
+              f"{report['backend']}{enc_note}{path_note}{rate_note})",
+              file=sys.stderr)
         if not args.keep_workspace:
             ws.destroy()
         return 0
@@ -586,20 +615,21 @@ def run(argv: Optional[List[str]] = None) -> int:
             ws.release_owner()
 
 
-def _certify_int8(args, state, engine, ws: Workspace) -> Optional[int]:
+def _certify_int8(args, state, engine, ws: Workspace):
     """Report (and optionally gate) the int8 turbo quantization cost on
-    THIS video before committing to a long job: int8-vs-f32 PSNR on the
-    first frames, using the exact scales the job will run with (persisted
-    via `ws` — the SAME workspace the job runs in, so resume re-certifies
-    identically).  Returns an exit code to abort with, or None to
-    proceed."""
+    THIS video before committing to a long job (explicit --dtype int8;
+    --dtype auto runs the same measurement via resolve_auto_dtype):
+    int8-vs-f32 PSNR on frames sampled across the video, using the exact
+    scales the job will run with (persisted via `ws` — the SAME workspace
+    the job runs in, so resume re-certifies identically).  Returns
+    (exit_code_or_None, measured_db_or_None)."""
     from reve_tpu.pipeline import scheduler
 
     try:
         db = scheduler.certify_int8_on_input(engine, ws, state,
                                              io_backend=args.io_backend)
         if db is None:
-            return None
+            return None, None
     except Exception as e:
         if args.int8_gate is not None:
             # an explicit gate must fail CLOSED: if we cannot measure the
@@ -611,12 +641,14 @@ def _certify_int8(args, state, engine, ws: Workspace) -> Optional[int]:
             if not args.shard_worker and \
                     not ws.completed_parts(_part_ext(args)):
                 ws.destroy()
-            return 3
+            return 3, None
         print(f"int8 certification skipped: {e}", file=sys.stderr)
-        return None
-    n = min(engine.batch_size, state.frame_count)
-    print(f"int8 turbo: {db:.1f} dB vs f32 on the first "
-          f"{n} frame(s) (quality gate reference: 50 dB)",
+        return None, None
+    ws.save(state)  # persist the sampled indices (opts["calib_frames"])
+    n = len(state.opts.get("calib_frames") or ()) or \
+        min(engine.batch_size, state.frame_count)
+    print(f"int8 turbo: {db:.1f} dB vs f32 on {n} frame(s) sampled "
+          f"across the video (quality gate reference: 50 dB)",
           file=sys.stderr)
     if args.int8_gate is not None and db < args.int8_gate:
         print(f"refusing: int8 PSNR {db:.1f} dB is below --int8-gate "
@@ -628,8 +660,8 @@ def _certify_int8(args, state, engine, ws: Workspace) -> Optional[int]:
         if not args.shard_worker and \
                 not ws.completed_parts(_part_ext(args)):
             ws.destroy()  # nothing committed: don't leave a resume prompt
-        return 3
-    return None
+        return 3, db
+    return None, db
 
 
 def _load_preloaded(args):
@@ -722,9 +754,13 @@ def _image_engine(args):
 
     from reve_tpu.pipeline.engine import UpscaleEngine
 
+    # image modes run the exact path under --dtype auto: per-content
+    # certification is a video-job contract (sampled frames), and a still
+    # image is too small to amortize calibration + turbo compilation
+    dtype = "bfloat16" if args.dtype == "auto" else args.dtype
     return UpscaleEngine(
         model=args.model, scale=args.scale, weights=args.weights,
-        batch_size=1, tile=args.tile, compute_dtype=args.dtype,
+        batch_size=1, tile=args.tile, compute_dtype=dtype,
         int8_calib=args.int8_calib, tta=args.tta,
         device=device,
         preloaded=preloaded,

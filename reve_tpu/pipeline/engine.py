@@ -273,7 +273,7 @@ class UpscaleEngine:
         batch_size: int = 4,
         tile: int = 0,            # 0 = auto, -1 = never tile
         compute_dtype: str = "bfloat16",
-        int8_calib: str = "max",
+        int8_calib: str = "p99.9",
         tta: bool = False,
         device: Optional[jax.Device] = None,
         mesh=None,
@@ -306,18 +306,22 @@ class UpscaleEngine:
         self.tile = tile
         #: int8 turbo mode: hidden stack quantized (weights/quantize.py),
         #: first/last conv + epilogue in bf16.  ~1.6x the bf16 body rate on
-        #: the MXU (PERF.md); costs PSNR — opt-in, SRVGG only.  Activation
-        #: scales are calibrated on the first real batch submitted.
+        #: the MXU (PERF.md); costs PSNR — SRVGG only; the product
+        #: auto-selects it on TPU when on-content certification clears
+        #: 50 dB (scheduler.resolve_auto_dtype).  Activation scales come
+        #: from calibrate_int8 (pipeline: frames sampled across the whole
+        #: video) or, lazily, the first real batch submitted.
         self._int8 = compute_dtype == "int8"
         if self._int8 and not isinstance(self.cfg, srvgg.SRVGGConfig):
             raise ValueError("int8 turbo mode supports SRVGG models only")
         self._qbody = None
         self._qbody_provisional = False
         self._act_maxima = None
-        #: int8 calibration statistic: "max" (true maxima, default) or
-        #: "p<value>" (|activation| percentile, e.g. "p99.9" — clips the
-        #: outlier tail for a finer bulk grid; measured +7 dB over max on
-        #: the trained-weights proxy, scripts/int8_frontier.py / PERF.md).
+        #: int8 calibration statistic: "p<value>" (|activation|
+        #: percentile; the default p99.9 clips the outlier tail for a
+        #: finer bulk grid — measured best on BOTH frontier seeds, +7/+1
+        #: dB over max, fps-neutral; scripts/int8_frontier.py / PERF.md)
+        #: or "max" (true maxima).
         #: Affects only how fresh calibrations are computed; persisted /
         #: injected scales (set_calibration) are used verbatim either way.
         self._calib_percentile = parse_int8_calib(int8_calib)
@@ -654,6 +658,39 @@ class UpscaleEngine:
             return jax.device_put(frames, self._batch_sharding)
         return jax.device_put(frames, self.device)
 
+    @staticmethod
+    def _calib_crop(frames: np.ndarray) -> np.ndarray:
+        """Bound calibration/certification frames to <=720p windows (the
+        f32 reference path's working set) — with the crop ANCHOR cycling
+        center/corners per frame instead of always center: action living
+        at frame edges (letterboxed bursts, HUDs, credits) must reach the
+        activation statistics and the certification measurement too.
+        Deterministic in the frame's position within the batch, so
+        resumed/sharded runs measure identical crops."""
+        n, h, w, _ = frames.shape
+        ch, cw = min(h, 720), min(w, 1280)
+        if (ch, cw) == (h, w):
+            return frames
+        anchors = ((1, 1), (0, 0), (0, 2), (2, 0), (2, 2))  # halves of 2
+        out = np.empty((n, ch, cw, 3), frames.dtype)
+        for i in range(n):
+            ay, ax = anchors[i % len(anchors)]
+            y0, x0 = (h - ch) * ay // 2, (w - cw) * ax // 2
+            out[i] = frames[i, y0:y0 + ch, x0:x0 + cw]
+        return out
+
+    def calibrate_int8(self, frames: np.ndarray) -> None:
+        """Calibrate the int8 quantization on `frames` ((n, H, W, 3) u8)
+        — the pipeline passes frames SAMPLED evenly across the video
+        (scheduler.ensure_int8_calibrated) so late scenes shape the
+        activation scales too.  Goes through calibration_hook (first-wins
+        workspace persistence) like lazy calibration; no recompile (the
+        quantized pytree is a jit argument)."""
+        if not self._int8:
+            raise ValueError("calibrate_int8 requires an int8 engine")
+        self._calibrate_int8(np.asarray(frames, np.uint8),
+                             provisional=False)
+
     def _calibrate_int8(self, frames: np.ndarray, provisional: bool) -> None:
         """Build/refresh the quantized body from a calibration batch.
 
@@ -663,10 +700,7 @@ class UpscaleEngine:
         batch replaces."""
         from reve_tpu.weights import quantize
 
-        n, h, w, _ = frames.shape
-        ch, cw = min(h, 720), min(w, 1280)  # bound the f32 working set
-        y0, x0 = (h - ch) // 2, (w - cw) // 2
-        frames = frames[:, y0:y0 + ch, x0:x0 + cw]
+        frames = self._calib_crop(frames)
         x = self._place(
             np.ascontiguousarray(frames, np.uint8).astype(np.float32)
             / 255.0)
@@ -731,21 +765,18 @@ class UpscaleEngine:
 
     def certify_int8(self, frames: np.ndarray) -> float:
         """PSNR (dB, 8-bit scale) of the int8 turbo path vs the f32 path
-        on `frames` ((n, H, W, 3) uint8; center-cropped to <=720p like
-        calibration).  Calibrates first if needed — the measurement uses
-        the exact scales the job will run with, so the number certifies
-        THIS job's quantization on THIS content (BASELINE's 50 dB gate is
-        defined vs the reference engine; f32-vs-int8 on the same weights
-        isolates the quantization cost, scripts/compare_reference.py
-        covers the reference side)."""
+        on `frames` ((n, H, W, 3) uint8; cropped to <=720p windows with
+        the same cycling anchors calibration uses).  Calibrates first if
+        needed — the measurement uses the exact scales the job will run
+        with, so the number certifies THIS job's quantization on THIS
+        content (BASELINE's 50 dB gate is defined vs the reference
+        engine; f32-vs-int8 on the same weights isolates the quantization
+        cost, scripts/compare_reference.py covers the reference side)."""
         if not self._int8:
             raise ValueError("certify_int8 requires an int8 engine")
         self._maybe_calibrate(frames, provisional=False)
-        n, h, w, _ = frames.shape
-        ch, cw = min(h, 720), min(w, 1280)
-        y0, x0 = (h - ch) // 2, (w - cw) // 2
         x = self._place(
-            np.ascontiguousarray(frames[:, y0:y0 + ch, x0:x0 + cw],
+            np.ascontiguousarray(self._calib_crop(frames),
                                  np.uint8).astype(np.float32) / 255.0)
         y8 = srvgg.apply_int8(self.params, self._qbody, x, cfg=self.cfg,
                               compute_dtype=self.compute_dtype,

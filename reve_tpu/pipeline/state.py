@@ -155,19 +155,36 @@ class Workspace:
         process (a crashed owner needs no stealing, and there is no
         read-check-delete race between contenders).  The pid inside the
         file is diagnostic only.  Re-acquiring through the same Workspace
-        instance succeeds; a second live process gets False."""
-        import fcntl
+        instance succeeds; a second live process gets False.
 
+        Filesystems where flock is UNSUPPORTED (ENOLCK/EOPNOTSUPP on some
+        network mounts; no fcntl module off-POSIX) degrade to an O_EXCL
+        pid file with dead-pid stealing (_acquire_owner_pidfile) instead
+        of crashing — weaker (pid liveness is per-HOST, and an unclean
+        kill leaves the file until the next contender steals it), which
+        is fine because cross-host coordination is the lease queue's job,
+        not this lock's (docs/ARCHITECTURE.md, "Shared-filesystem
+        requirements")."""
         if self._owner_fd is not None:
             return True
         os.makedirs(self.root, exist_ok=True)
+        try:
+            import fcntl
+        except ImportError:
+            return self._acquire_owner_pidfile()
         while True:
             fd = os.open(self.owner_path, os.O_CREAT | os.O_RDWR, 0o644)
             try:
                 fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            except OSError:
+            except OSError as e:
                 os.close(fd)
-                return False
+                import errno
+
+                if e.errno in (errno.EACCES, errno.EAGAIN):
+                    return False  # held by another live process
+                # flock itself unsupported here (e.g. ENOLCK on an NFS
+                # mount without a lock manager): degrade, don't crash
+                return self._acquire_owner_pidfile()
             # the path may have been unlinked+recreated between our open
             # and the flock (a releasing owner): a lock on an orphaned
             # inode excludes nobody — verify we locked the live file
@@ -183,6 +200,56 @@ class Workspace:
             os.write(fd, json.dumps({"pid": os.getpid()}).encode())
             self._owner_fd = fd
             return True
+
+    def _acquire_owner_pidfile(self) -> bool:
+        """Owner-lock fallback for filesystems without flock: O_EXCL
+        create of a pid file; a contender steals it only when the
+        recorded pid is verifiably dead ON THIS HOST.  One steal attempt
+        per call (no unbounded loops against a hostile/flapping FS)."""
+        for _ in range(2):
+            try:
+                fd = os.open(self.owner_path,
+                             os.O_CREAT | os.O_EXCL | os.O_RDWR, 0o644)
+            except FileExistsError:
+                body = None
+                try:
+                    with open(self.owner_path) as f:
+                        body = f.read()
+                    pid = int(json.loads(body).get("pid", 0))
+                except (OSError, ValueError):
+                    # an EMPTY file is a flock-era artifact (O_CREAT
+                    # before the failed flock) or a contender caught
+                    # mid-create; recheck once — stably empty == stale.
+                    # Torn NON-empty content: assume live, stay safe.
+                    if body != "":
+                        return False
+                    try:
+                        import time
+
+                        time.sleep(0.05)
+                        if os.path.getsize(self.owner_path) != 0:
+                            return False
+                        os.unlink(self.owner_path)
+                    except OSError:
+                        return False
+                    continue
+                if pid > 0:
+                    try:
+                        os.kill(pid, 0)
+                        return False          # owner alive
+                    except ProcessLookupError:
+                        pass                  # owner dead: steal below
+                    except OSError:
+                        return False          # can't verify: stay safe
+                try:
+                    os.unlink(self.owner_path)
+                except OSError:
+                    return False
+                continue  # retry the O_EXCL create once
+            os.write(fd, json.dumps({"pid": os.getpid()}).encode())
+            self._owner_fd = fd
+            return True
+        return False
 
     def release_owner(self) -> None:
         """Drop the owner lock iff this Workspace instance holds it."""
@@ -219,7 +286,13 @@ class Workspace:
 
         Atomicity: write a complete tmp file, then hardlink it into place
         — link() fails with EEXIST exactly once per race, and a reader can
-        never observe a half-written file."""
+        never observe a half-written file.  Filesystems WITHOUT hardlinks
+        (some network/FUSE mounts — exactly where the multi-host lease
+        scenario shares a workspace) raise a non-EEXIST OSError; those
+        degrade to an O_EXCL create-and-write, which keeps first-wins but
+        has a tiny torn-read window (a reader hitting it gets None and
+        falls back to its own maxima — same as a torn pre-existing
+        file)."""
         maxima = [float(v) for v in maxima]
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".calib.tmp")
         try:
@@ -235,9 +308,36 @@ class Workspace:
                 # unreadable existing file (torn by something non-atomic?)
                 # -> fall back to our own maxima rather than crash
                 return saved if saved is not None else maxima
+            except OSError:
+                return self._claim_calibration_excl(maxima)
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+
+    def _claim_calibration_excl(self, maxima):
+        """claim_calibration fallback for hardlink-less filesystems:
+        O_EXCL-create the calibration file and write it directly (the
+        create is the first-wins arbitration; the write is not atomic,
+        so a write failure unlinks the file rather than leaving a torn
+        claim other workers would defer to)."""
+        try:
+            fd = os.open(self.calibration_path,
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            saved = self.load_calibration()
+            return saved if saved is not None else maxima
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump({"act_maxima": maxima}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            return maxima
+        except BaseException:
+            try:
+                os.unlink(self.calibration_path)
+            except OSError:
+                pass
+            raise
 
     # -- part files --------------------------------------------------------
 

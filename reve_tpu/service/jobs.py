@@ -35,16 +35,21 @@ class Job:
     output_path: str
     model: str
     scale: int
-    dtype: str = "bfloat16"   # bfloat16 | float32 | int8 (turbo)
-    #: int8 only: calibration statistic ("max" or "p<percentile>",
+    #: auto (default: certified int8 turbo on TPU, else bfloat16 —
+    #: resolved to a concrete dtype when the job starts) | bfloat16 |
+    #: float32 | int8
+    dtype: str = "auto"
+    #: int8 only: calibration statistic ("p<percentile>" or "max",
     #: engine.int8_calib; PERF.md int8 frontier)
-    int8_calib: str = "max"
+    int8_calib: str = "p99.9"
     #: 8-transform dihedral self-ensemble (the replaced ncnn engine's -x
     #: switch; engine.tta): ~8x compute for a small quality gain
     tta: bool = False
     status: str = "queued"    # queued | running | done | error | cancelled
     cancel_requested: bool = False
     error: str = ""
+    #: --dtype auto resolution note (which path was chosen and why)
+    dtype_note: str = ""
     #: int8 turbo only: measured quantization PSNR (dB) vs f32 on this
     #: video's first frames (engine.certify_int8)
     int8_psnr: Optional[float] = None
@@ -89,6 +94,7 @@ class Job:
             "tta": self.tta,
             "status": self.status,
             "error": self.error,
+            "dtype_note": self.dtype_note,
             "int8_psnr": self.int8_psnr,
             "progress": self.progress.snapshot() if self.progress else None,
             "result": self.result,
@@ -115,7 +121,7 @@ class JobManager:
     @staticmethod
     def _default_engine_factory(model: str, scale: int,
                                 dtype: str = "bfloat16",
-                                int8_calib: str = "max",
+                                int8_calib: str = "p99.9",
                                 tta: bool = False):
         from reve_tpu.pipeline.engine import UpscaleEngine
 
@@ -158,7 +164,11 @@ class JobManager:
                     raise ValueError(
                         f"engine_factory {factory!r} does not accept a "
                         f"tta argument; cannot run a tta job")
-                if len(call) < 4 and int8_calib != "max":
+                # int8_calib only matters when the job actually runs int8;
+                # the engine's own default is p99.9, so a short factory
+                # can still serve default-calibration int8 jobs
+                if len(call) < 4 and dtype == "int8" and \
+                        int8_calib != "p99.9":
                     raise ValueError(
                         f"engine_factory {factory!r} does not accept an "
                         f"int8_calib argument; cannot run an "
@@ -184,7 +194,7 @@ class JobManager:
                tta: bool = False) -> Job:
         scale = scale or self.cfg.default_scale
         model = model or self.cfg.default_upscale_type
-        if dtype not in (None, "bfloat16", "float32", "int8"):
+        if dtype not in (None, "auto", "bfloat16", "float32", "int8"):
             raise ValueError(f"invalid dtype {dtype!r}")
         if int8_calib is not None:
             from reve_tpu.pipeline.engine import parse_int8_calib
@@ -197,8 +207,8 @@ class JobManager:
             job = Job(
                 id=next(self._ids), input_path=input_path,
                 output_path=output_path, model=model, scale=scale,
-                dtype=dtype or "bfloat16",
-                int8_calib=int8_calib or "max",
+                dtype=dtype or "auto",
+                int8_calib=int8_calib or "p99.9",
                 tta=tta,
             )
             self.jobs[job.id] = job
@@ -330,6 +340,21 @@ class JobManager:
                 )
                 ws.create()
             ws.save(st)
+            if job.dtype == "auto":
+                # resolve auto -> certified int8 turbo or bf16 (the same
+                # policy + measurement as the CLI's --dtype auto); the
+                # RESOLVED dtype is persisted so a resubmit/resume runs
+                # the same path as the committed segments
+                dtype, _, db, notes = scheduler.resolve_auto_dtype(
+                    lambda d, c: self._get_engine(job.model, job.scale,
+                                                  d, c, job.tta),
+                    ws, st, io_backend=io_backend)
+                job.dtype = dtype
+                job.dtype_note = "; ".join(notes)
+                if db is not None:
+                    job.int8_psnr = round(db, 2)
+                st.opts["dtype"] = dtype
+                ws.save(st)
             engine = self._get_engine(job.model, job.scale, job.dtype,
                                       job.int8_calib, job.tta)
             # compile-lottery mitigation for fresh resolutions: best-of-2
@@ -354,16 +379,17 @@ class JobManager:
                 st, ws, engine, io_backend=io_backend,
                 part_ext=part_ext, progress=job.progress,
             )
-            if job.dtype == "int8":
+            if job.dtype == "int8" and job.int8_psnr is None:
                 # report the quantization cost on THIS video (the same helper
                 # the CLI's --dtype int8 report/gate uses; measures with the
                 # job's persisted scales, so a resumed job re-certifies
-                # identically)
+                # identically).  auto-resolved jobs measured it already.
                 try:
                     db = scheduler.certify_int8_on_input(
                         engine, ws, st, io_backend=io_backend)
                     if db is not None:
                         job.int8_psnr = round(db, 2)
+                    ws.save(st)  # persist the sampled calib_frames indices
                 except Exception:
                     pass  # certification must never fail the job
             job.pipeline = pipeline

