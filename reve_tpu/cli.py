@@ -435,9 +435,19 @@ def run(argv: Optional[List[str]] = None) -> int:
                             "int8_calib", "tta", "io_backend"):
                     if key in state.opts and \
                             getattr(args, key) != state.opts[key]:
-                        print(f"resume: using saved --{key.replace('_', '-')}"
-                              f"={state.opts[key]!r} (command line said "
-                              f"{getattr(args, key)!r})", file=sys.stderr)
+                        if key == "dtype" and args.dtype == "auto":
+                            # the default: restoring the job's RESOLVED
+                            # dtype is auto working as designed, not a
+                            # command-line conflict worth a warning
+                            print(f"resume: continuing on the saved "
+                                  f"--dtype={state.opts[key]!r} path",
+                                  file=sys.stderr)
+                        else:
+                            print(f"resume: using saved "
+                                  f"--{key.replace('_', '-')}"
+                                  f"={state.opts[key]!r} (command line said "
+                                  f"{getattr(args, key)!r})",
+                                  file=sys.stderr)
                         setattr(args, key, state.opts[key])
                 if args.int8_gate is not None and args.dtype != "int8":
                     # the saved job is not int8, so certification will never

@@ -214,7 +214,16 @@ def resolve_auto_dtype(make_engine, workspace: Workspace, state: JobState,
     full settings (batch/tile/device/...); on int8 selection the already-
     calibrated trial engine is returned for reuse.  Returns
     (dtype, engine_or_None, db_or_None, notes) — notes are user-facing
-    lines explaining the choice."""
+    lines explaining the choice.
+
+    Shard workers racing a fresh workspace resolve independently but
+    deterministically: the sample indices are a pure function of
+    frame_count, the quantization scales are first-wins-persisted
+    (claim_calibration), and the int8 path is integer math — so every
+    worker measures the same dB up to f32 reduction-order noise (~1e-6
+    relative; only content sitting exactly ON the gate could flip, and
+    workers normally inherit the resolved dtype from the saved state
+    anyway)."""
     gate = AUTO_INT8_GATE_DB if gate_db is None else gate_db
     if platform is None:
         import jax

@@ -147,6 +147,7 @@ def test_pipeline_psnr_gate_end_to_end(tmp_path, capsys):
     assert report_bad["pass_50db"] is False, report_bad
 
 
+@pytest.mark.slow
 def test_int8_turbo_acceptance_end_to_end(tmp_path, capsys):
     """The documented int8 certification flow: run the pipeline twice
     (bf16-default vs --dtype int8) on the same clip and certify the turbo

@@ -123,6 +123,7 @@ def test_two_scene_first_batch_miscertifies_sampled_does_not(tmp_path):
         scheduler.sample_frame_indices(st.frame_count)
 
 
+@pytest.mark.slow
 def test_certify_uses_persisted_indices(tmp_path):
     """A state that already carries calib_frames (resume) measures on
     exactly those frames, not a recomputed set."""
@@ -164,6 +165,7 @@ def test_auto_dtype_ineligible_off_tpu(tmp_path, monkeypatch):
     assert "TPU-only" in notes[0]
 
 
+@pytest.mark.slow
 def test_auto_dtype_selects_int8_when_certified(tmp_path, monkeypatch):
     monkeypatch.setenv("REVE_TPU_AUTO_INT8", "1")
     ws, st = _mk_ws_state(tmp_path)
@@ -177,6 +179,7 @@ def test_auto_dtype_selects_int8_when_certified(tmp_path, monkeypatch):
     assert ws.load_calibration() is not None
 
 
+@pytest.mark.slow
 def test_auto_dtype_falls_back_below_gate(tmp_path, monkeypatch):
     monkeypatch.setenv("REVE_TPU_AUTO_INT8", "1")
     ws, st = _mk_ws_state(tmp_path)
@@ -223,6 +226,7 @@ def _small_y4m(tmp_path, frames=10, w=24, h=16):
     return path
 
 
+@pytest.mark.slow
 def test_cli_auto_selects_int8_and_reports(tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(tmp_path)
     monkeypatch.setenv("REVE_TPU_AUTO_INT8", "1")
@@ -255,6 +259,7 @@ def test_cli_auto_falls_back_and_still_succeeds(tmp_path, monkeypatch,
     assert os.path.exists(out)
 
 
+@pytest.mark.slow
 def test_cli_auto_resolved_dtype_persists_across_resume(tmp_path,
                                                         monkeypatch,
                                                         capsys):
@@ -286,7 +291,7 @@ def test_cli_auto_resolved_dtype_persists_across_resume(tmp_path,
                   "y4m", "-S", "4", "--batch", "3"])
     assert rc == 0
     err = capsys.readouterr().err
-    assert "using saved --dtype='int8'" in err
+    assert "continuing on the saved --dtype='int8' path" in err
 
 
 def test_cli_auto_off_tpu_is_bf16(tmp_path, monkeypatch, capsys):

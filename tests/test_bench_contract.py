@@ -8,8 +8,10 @@ import subprocess
 import sys
 
 import jax
+import pytest
 
 
+@pytest.mark.slow
 def test_bench_smoke_offtpu():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)

@@ -206,6 +206,7 @@ def test_non_tty_resume_requires_yes(tmp_path, monkeypatch):
     assert reader.Y4MReader(out).frame_count() == 10
 
 
+@pytest.mark.slow
 def test_ctrl_c_graceful_interrupt(tmp_path):
     """SIGINT mid-job: clean message, exit 130, committed parts + state
     survive, and rerunning the same command resumes to a frame-exact
@@ -301,6 +302,7 @@ def test_y4m_writer_rejects_odd_dims(tmp_path):
                          fractions.Fraction(24))
 
 
+@pytest.mark.slow
 def test_repeated_kill_resume_soak(tmp_path):
     """Kill the job at several different points; every resume must pick up
     from committed parts and the final output must be frame-exact — the
@@ -841,6 +843,7 @@ def test_cli_image_mode_rejects_multi_device(tmp_path, capsys):
     assert "single --device index" in capsys.readouterr().err
 
 
+@pytest.mark.slow
 def test_cli_models_dir(tmp_path, monkeypatch, capsys):
     """--models-dir DIR (the ncnn engine's -m model-path): --model's
     weights resolve from DIR; a directory holding no matching weights is

@@ -300,6 +300,7 @@ def test_compile_reroll_failure_keeps_working_binary(monkeypatch):
     assert e.stats.lottery_rerolls == 0
 
 
+@pytest.mark.slow
 def test_compile_attempts_int8_exact():
     """int8 engines probe with a provisional zero-frame calibration; the
     first REAL batch still owns the job's calibration, so best-of-N output

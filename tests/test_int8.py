@@ -72,6 +72,7 @@ def test_apply_int8_close_to_f32_and_s2d_classic_agree(small):
     np.testing.assert_allclose(outs[True], outs[False], atol=2e-6)
 
 
+@pytest.mark.slow
 def test_engine_int8_end_to_end_and_tiled_exact():
     rs = np.random.RandomState(1)
     frames = rs.randint(0, 256, (3, 33, 40, 3), np.uint8)
@@ -106,6 +107,7 @@ def test_engine_int8_rejects_rrdb():
                       compute_dtype="int8")
 
 
+@pytest.mark.slow
 def test_engine_int8_percentile_calibration():
     """int8_calib="p99.9" (the frontier's best single lever, PERF.md)
     yields tighter scales than max-calibration, still-close output, and
@@ -168,6 +170,7 @@ def test_apply_int8_float_head_variant(small):
     assert psnr(outs[True]) >= psnr(full8) - 0.5  # head-f32 never worse
 
 
+@pytest.mark.slow
 def test_cli_int8_gate_refuses_and_reports(tmp_path, monkeypatch, capsys):
     """--dtype int8 always reports the measured quantization PSNR; an
     unmeetable --int8-gate refuses with exit 3 and leaves no resume
@@ -278,6 +281,7 @@ def _run_job(st, ws, engine):
     scheduler.finalize(final, ws, io_backend="y4m", part_ext=".y4m")
 
 
+@pytest.mark.slow
 def test_int8_crash_resume_byte_identical(tmp_path):
     """An int8 job killed mid-run and resumed must produce output
     byte-identical to an uninterrupted run: the first calibration is
@@ -323,6 +327,7 @@ def test_int8_crash_resume_byte_identical(tmp_path):
         assert f.read() == want
 
 
+@pytest.mark.slow
 def test_int8_shard_workers_share_calibration(tmp_path):
     """Every shard worker of one job must quantize with the SAME scales:
     the first worker's calibration is claimed into the shared workspace
@@ -361,6 +366,7 @@ def test_int8_shard_workers_share_calibration(tmp_path):
         assert f.read() == want
 
 
+@pytest.mark.slow
 def test_int8_engine_reuse_recalibrates_per_job(tmp_path):
     """An engine cached across service jobs must NOT carry job A's
     activation scales into job B (a hotter video would clip beyond the
@@ -394,6 +400,7 @@ def test_int8_engine_reuse_recalibrates_per_job(tmp_path):
     assert not np.array_equal(scales_a, scales_b)
 
 
+@pytest.mark.slow
 def test_engine_int8_sharded_matches_single_device():
     from reve_tpu.parallel import mesh as mesh_lib
 

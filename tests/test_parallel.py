@@ -347,6 +347,7 @@ def test_heartbeat_prevents_steal(tmp_path):
     assert stolen is not None and stolen.index == seg.index
 
 
+@pytest.mark.slow
 def test_cross_process_kill9_takeover(tmp_path):
     """Two OS-process shard workers; one is SIGKILLed mid-job. The survivor
     steals the stale lease, completes every segment, and finalizes exactly

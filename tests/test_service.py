@@ -735,6 +735,7 @@ def test_browse_root_jail(tokened_server, tmp_path):
     assert code == 403
 
 
+@pytest.mark.slow
 def test_job_int8_psnr_reported(tmp_path):
     """An int8 job through the JobManager reports the measured
     quantization PSNR (parity with the CLI's --dtype int8 report)."""

@@ -4,6 +4,7 @@ PERF.md "Paths past the N=64 wall"."""
 
 import numpy as np
 import jax
+import pytest
 
 from reve_tpu.models import srvgg
 from reve_tpu.train.distill import DistillConfig, Distiller, run_distillation
@@ -52,6 +53,7 @@ def test_distillation_hr_blend_and_scale_check():
     assert np.isfinite(loss)
 
 
+@pytest.mark.slow
 def test_distill_script_smoke(tmp_path):
     """The CLI driver end-to-end on synthetic data (tiny student/steps)."""
     import subprocess

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # GAN training steps
+
 from reve_tpu.models import srvgg
 from reve_tpu.parallel import mesh as mesh_lib
 from reve_tpu.train import gan

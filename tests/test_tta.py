@@ -107,6 +107,7 @@ def test_tta_upscale_frames_multi_batch():
     np.testing.assert_array_equal(e.upscale_frames(frames), expected)
 
 
+@pytest.mark.slow
 def test_tta_int8_smoke():
     """TTA composes with the int8 turbo path: calibration runs once on the
     untransformed batch, all 8 transform passes quantize with the same
