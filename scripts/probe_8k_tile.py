@@ -26,7 +26,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
 import json, os, sys, time
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, sys.argv[2])
 import numpy as np
 import jax, jax.numpy as jnp
 from reve_tpu.models import srvgg
@@ -91,7 +91,7 @@ def main():
         t0 = time.time()
         try:
             r = subprocess.run(
-                [sys.executable, "-c", CHILD.format(repo=REPO), spec],
+                [sys.executable, "-c", CHILD, spec, REPO],
                 timeout=args.timeout, capture_output=True, text=True)
         except subprocess.TimeoutExpired:
             print(f"HANG {name} (killed after {args.timeout:.0f}s)",
