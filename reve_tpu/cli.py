@@ -606,8 +606,10 @@ def run(argv: Optional[List[str]] = None) -> int:
         src_fps = state.fps_num / max(state.fps_den, 1)
         if elapsed > 0 and done_frames and src_fps > 0:
             e2e_fps = done_frames / elapsed
-            rate_note = (f", {e2e_fps:.1f} fps end-to-end = "
-                         f"{e2e_fps / src_fps:.2f}x realtime")
+            # 3 significant digits, not fixed-point: a relay-capped run at
+            # 0.0126 fps must not round to a meaningless "0.0 fps"
+            rate_note = (f", {e2e_fps:.3g} fps end-to-end = "
+                         f"{e2e_fps / src_fps:.3g}x realtime")
         # the chosen compute path + its measured quality certificate
         # belong in the done-line: the turbo/exact decision (--dtype
         # auto) must never be invisible in a log
