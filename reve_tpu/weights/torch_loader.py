@@ -80,3 +80,32 @@ def load_srvgg_pth(path: str):
 def load_state_dict_numpy(path: str) -> Dict[str, Any]:
     """Raw access for other archs (RRDBNet loader builds on this)."""
     return _to_numpy_state(path)
+
+
+def save_srvgg_pth(path: str, cfg, params) -> None:
+    """(SRVGGConfig, params pytree) -> realesr-compatible .pth.
+
+    Exact inverse of load_srvgg_pth: convs go back to OIHW under the
+    alternating body.<i> numbering, state dict under 'params'.  This is
+    how locally trained/distilled students (scripts/distill.py,
+    scripts/distill_frontier.py) become product weights the registry and
+    the upstream ecosystem can both load — the reference consumes ncnn
+    conversions of exactly this file format (reve-shared/src/lib.rs:134-147
+    spawns realesrgan-ncnn-vulkan with converted realesr .pth models)."""
+    import torch
+
+    sd = {}
+    convs, prelus = params["convs"], params["prelus"]
+    if len(convs) != cfg.num_conv + 2 or len(prelus) != cfg.num_conv + 1:
+        raise ValueError(
+            f"params shape mismatch: {len(convs)} convs/{len(prelus)} "
+            f"prelus vs cfg num_conv={cfg.num_conv}")
+    for i, c in enumerate(convs):
+        w = np.transpose(np.asarray(c["w"], np.float32), (3, 2, 0, 1))
+        sd[f"body.{2 * i}.weight"] = torch.from_numpy(np.ascontiguousarray(w))
+        sd[f"body.{2 * i}.bias"] = torch.from_numpy(
+            np.asarray(c["b"], np.float32).copy())
+        if i < len(prelus):
+            sd[f"body.{2 * i + 1}.weight"] = torch.from_numpy(
+                np.asarray(prelus[i]["alpha"], np.float32).copy())
+    torch.save({"params": sd}, path)

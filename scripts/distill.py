@@ -111,8 +111,18 @@ def main():
     probe_lr, _ = next(batches)
     print(f"final loss {history[-1]:.5f}; "
           f"student/teacher agreement {dist.agreement_psnr(probe_lr):.2f} dB")
-    checkpoint.save(args.out, dist.trainer, step=args.steps)
-    print(f"saved student checkpoint: {args.out}")
+    if args.out.endswith(".pth"):
+        # product weights: a realesr-compatible .pth the registry (and the
+        # upstream ecosystem) loads directly — drop it in ./models/ under a
+        # registered stem and the CLI/GUI pick it up
+        from reve_tpu.weights.torch_loader import save_srvgg_pth
+
+        save_srvgg_pth(args.out, scfg, jax.device_get(
+            dist.trainer.export_params()))
+        print(f"saved student weights: {args.out}")
+    else:
+        checkpoint.save(args.out, dist.trainer, step=args.steps)
+        print(f"saved student checkpoint: {args.out}")
 
 
 if __name__ == "__main__":

@@ -123,6 +123,45 @@ def test_pth_roundtrip(tmp_path):
     assert float(jnp.abs(y1 - y2).max()) < 1e-7
 
 
+def test_save_srvgg_pth_roundtrip(tmp_path):
+    """save_srvgg_pth is the exact inverse of load_srvgg_pth: a distilled
+    student exported to .pth loads back bit-identical (the path by which
+    locally trained variants become product weights)."""
+    pytest.importorskip("torch")
+    from reve_tpu.weights.torch_loader import load_srvgg_pth, save_srvgg_pth
+
+    cfg = srvgg.SRVGGConfig(num_conv=3, num_feat=8, upscale=4)
+    params = srvgg.init_params(jax.random.key(3), cfg)
+    path = tmp_path / "student.pth"
+    save_srvgg_pth(str(path), cfg, params)
+
+    cfg2, params2 = load_srvgg_pth(str(path))
+    assert cfg2 == cfg
+    for a, b in zip(params["convs"], params2["convs"]):
+        np.testing.assert_array_equal(np.asarray(a["w"]), np.asarray(b["w"]))
+        np.testing.assert_array_equal(np.asarray(a["b"]), np.asarray(b["b"]))
+    for a, b in zip(params["prelus"], params2["prelus"]):
+        np.testing.assert_array_equal(np.asarray(a["alpha"]),
+                                      np.asarray(b["alpha"]))
+
+    # registry picks it up under a models dir like any published weight
+    stem = tmp_path / "realesr-animevideov3-x4.pth"
+    save_srvgg_pth(str(stem), cfg, params)
+    assert registry.resolve_weights(
+        "realesr-animevideov3", 4, dirs=[str(tmp_path)]) == str(stem)
+
+
+def test_save_srvgg_pth_shape_mismatch(tmp_path):
+    pytest.importorskip("torch")
+    from reve_tpu.weights.torch_loader import save_srvgg_pth
+
+    cfg = srvgg.SRVGGConfig(num_conv=3, num_feat=8, upscale=4)
+    params = srvgg.init_params(jax.random.key(3), cfg)
+    bad = srvgg.SRVGGConfig(num_conv=5, num_feat=8, upscale=4)
+    with pytest.raises(ValueError, match="mismatch"):
+        save_srvgg_pth(str(tmp_path / "x.pth"), bad, params)
+
+
 def test_registry_names():
     spec, scale = registry.parse_model_name("realesr-animevideov3-x2")
     assert spec.arch == "srvgg" and scale == 2
