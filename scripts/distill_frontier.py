@@ -116,23 +116,37 @@ def distill_student(tcfg, tparams, depth, frames, steps, seed=0):
     return scfg, dist.trainer.export_params()
 
 
-def agreement_db(tcfg, tparams, scfg, sparams, eval_lr):
-    """Student-vs-teacher PSNR on the u8 output surface (what a user's
-    pixels actually see), held-out frames."""
+def _u8_out(cfg, params, eval_lr):
     import jax.numpy as jnp
 
     from reve_tpu.models import srvgg
 
-    def u8(cfg, params):
-        y = srvgg.apply(params, jnp.asarray(eval_lr), cfg=cfg,
-                        compute_dtype=jnp.float32)
-        return np.asarray(
-            jnp.clip(y * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8))
+    y = srvgg.apply(params, jnp.asarray(eval_lr), cfg=cfg,
+                    compute_dtype=jnp.float32)
+    return np.asarray(jnp.clip(y * 255.0 + 0.5, 0.0, 255.0)
+                      .astype(jnp.uint8))
 
-    yt = u8(tcfg, tparams).astype(np.float64)
-    ys = u8(scfg, sparams).astype(np.float64)
-    mse = max(np.mean((yt - ys) ** 2), 1e-12)
+
+def _psnr_u8(a_u8, b_u8):
+    mse = max(np.mean((a_u8.astype(np.float64)
+                       - b_u8.astype(np.float64)) ** 2), 1e-12)
     return 10.0 * np.log10(255.0 ** 2 / mse)
+
+
+def agreement_db(tcfg, tparams, scfg, sparams, eval_lr):
+    """Student-vs-teacher PSNR on the u8 output surface (what a user's
+    pixels actually see), held-out frames."""
+    return _psnr_u8(_u8_out(tcfg, tparams, eval_lr),
+                    _u8_out(scfg, sparams, eval_lr))
+
+
+def sr_quality_db(cfg, params, eval_lr, eval_hr_u8):
+    """PSNR vs GROUND-TRUTH HR on held-out frames — the product-relevant
+    quality axis: agreement_db measures mimicry of the teacher, this
+    measures how much actual SR quality a depth trades away (a student
+    0.2 dB-vs-HR behind the teacher is a near-free +fps even when the
+    teacher-agreement number looks far from 50 dB)."""
+    return _psnr_u8(_u8_out(cfg, params, eval_lr), eval_hr_u8)
 
 
 def main():
@@ -163,6 +177,8 @@ def main():
     hr = eval_frames[:8, :eh, :ew].astype(np.float32) / 255.0
     eval_lr = hr.reshape(8, eh // s, s, ew // s, s, 3).mean((2, 4))
 
+    eval_hr_u8 = np.clip(hr * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
     tcfg = srvgg.SRVGGConfig(num_feat=64, num_conv=16, upscale=s)
     t0 = time.time()
     tparams = train_teacher(tcfg, train_frames, args.adapt_steps,
@@ -185,8 +201,10 @@ def main():
             db = agreement_db(tcfg, tparams, scfg, sparams, eval_lr)
             print(f"depth {depth}: {db:.2f} dB vs teacher "
                   f"({time.time() - t0:.0f}s)", file=sys.stderr)
+        hr_db = sr_quality_db(scfg, sparams, eval_lr, eval_hr_u8)
         row = {"num_conv": depth,
-               "db_vs_teacher": round(db, 2) if db != float("inf") else None}
+               "db_vs_teacher": round(db, 2) if db != float("inf") else None,
+               "db_vs_hr": round(hr_db, 2)}
         if not args.skip_fps:
             dev_params = jax.device_put(sparams)
             deadline = time.time() + args.budget
@@ -200,11 +218,12 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    print("\n| num_conv | dB vs teacher | int8 fps | bf16 fps |")
-    print("|---|---|---|---|")
+    print("\n| num_conv | dB vs teacher | dB vs HR | int8 fps | bf16 fps |")
+    print("|---|---|---|---|---|")
     for r in sorted(rows, key=lambda r: r["num_conv"]):
         print(f"| {r['num_conv']} | "
               f"{r['db_vs_teacher'] if r['db_vs_teacher'] is not None else 'teacher'} | "
+              f"{r.get('db_vs_hr', '-')} | "
               f"{r.get('fps_int8', '-')} | {r.get('fps_xla', '-')} |")
 
 
