@@ -42,6 +42,13 @@ _SPECS = {
     "realesr-animevideov3": ModelSpec("srvgg", "realesr-animevideov3", 64, 16, None),
     # GUI alias (configuration.rs:28-39) — maps to the same net in reference
     "realesr-realvideo": ModelSpec("srvgg", "realesr-animevideov3", 64, 16, None),
+    # opt-in distilled student (this framework's addition, PERF.md round-4
+    # depth frontier): 8 hidden convs hold 57.9 dB agreement with the
+    # 16-conv teacher at 85.5 fps/chip int8 (1.43x the 60 fps north star).
+    # Weights are produced locally via scripts/distill.py (no published
+    # checkpoint exists); random-init fallback applies like any model.
+    "realesr-animevideov3-fast": ModelSpec(
+        "srvgg", "realesr-animevideov3-fast", 64, 8, None),
     # upstream general model, S-size SRVGG (+ its weak-denoise twin for
     # -dni interpolation, reve_tpu.weights.interpolate.load_dni)
     "realesr-general-x4v3": ModelSpec("srvgg", "realesr-general-x4v3", 64, 32, 4),

@@ -17,6 +17,7 @@ from typing import Optional
 VALID_MODELS = (
     "realesr-animevideov3",
     "realesr-realvideo",          # reference GUI alias (configuration.rs:28-39)
+    "realesr-animevideov3-fast",  # distilled 8-conv student (PERF.md round 4)
     "realesr-general-x4v3",
     "realesrgan-x4plus",
     "realesrgan-x4plus-anime",

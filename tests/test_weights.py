@@ -173,6 +173,39 @@ def test_registry_names():
         registry.parse_model_name("nope")
 
 
+def test_registry_fast_variant():
+    """The distilled opt-in student (PERF.md round-4 depth frontier):
+    8-conv SRVGG, scale from -s, weights via the -fast canonical stem, and
+    the service whitelist accepts it."""
+    spec, scale = registry.parse_model_name("realesr-animevideov3-fast")
+    assert spec.arch == "srvgg" and spec.num_conv == 8 and scale is None
+    spec, scale = registry.parse_model_name("realesr-animevideov3-fast-x4")
+    assert spec.num_conv == 8 and scale == 4
+    cfg, params = registry.load_model("realesr-animevideov3-fast", scale=4)
+    assert cfg.num_conv == 8 and cfg.upscale == 4
+    assert len(params["convs"]) == 10  # first + 8 hidden + last
+
+    from reve_tpu.service.config import VALID_MODELS, ServiceConfig
+
+    assert "realesr-animevideov3-fast" in VALID_MODELS
+    sc = ServiceConfig(default_upscale_type="realesr-animevideov3-fast")
+    assert sc.validate()
+
+
+def test_registry_fast_variant_weight_resolution(tmp_path):
+    """scripts/distill.py --out models/realesr-animevideov3-fast-x4.pth is
+    the documented recipe; prove the registry resolves and loads it."""
+    pytest.importorskip("torch")
+    from reve_tpu.weights.torch_loader import save_srvgg_pth
+
+    cfg = srvgg.SRVGGConfig(num_conv=8, num_feat=8, upscale=4)
+    params = srvgg.init_params(jax.random.key(5), cfg)
+    path = tmp_path / "realesr-animevideov3-fast-x4.pth"
+    save_srvgg_pth(str(path), cfg, params)
+    assert registry.resolve_weights(
+        "realesr-animevideov3-fast", 4, dirs=[str(tmp_path)]) == str(path)
+
+
 def test_registry_random_fallback(caplog):
     import logging
 
