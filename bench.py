@@ -280,7 +280,10 @@ def main():
                 "(--dtype auto selects it when int8-vs-f32 PSNR on frames "
                 "sampled across the input clears 50 dB, with automatic "
                 "bf16 fallback; PERF.md int8 frontier: every trained-proxy "
-                "point >= 50 dB)",
+                "point >= 50 dB). Opt-in realesr-animevideov3-fast "
+                "(distilled 8-conv student, 57.9 dB vs teacher) separately "
+                "measured 85.5 fps/chip int8 on this workload — PERF.md "
+                "round-4 depth frontier",
     }
     print(json.dumps(result))
 
