@@ -349,6 +349,16 @@ def run(argv: Optional[List[str]] = None) -> int:
         print("--int8-calib requires --dtype int8 or auto (it configures "
               "the int8 turbo path only)", file=sys.stderr)
         return 2
+    if args.int8_calib is not None and args.dtype == "auto" and (
+            os.path.isdir(args.inputpath)
+            or args.inputpath.lower().endswith(IMAGE_EXTS)):
+        # image modes resolve auto to the exact path (no certification on
+        # stills), so an explicit calibration knob would configure nothing
+        # — a silently ignored quality option is worse than none
+        print("--int8-calib has no effect in image mode unless --dtype "
+              "int8 forces the turbo path (auto runs the exact path on "
+              "stills)", file=sys.stderr)
+        return 2
     args.int8_calib = args.int8_calib or "p99.9"
     if os.path.isdir(args.inputpath):
         if args.int8_gate is not None:
@@ -449,9 +459,13 @@ def run(argv: Optional[List[str]] = None) -> int:
                                   f"{getattr(args, key)!r})",
                                   file=sys.stderr)
                         setattr(args, key, state.opts[key])
-                if args.int8_gate is not None and args.dtype != "int8":
+                if args.int8_gate is not None and \
+                        args.dtype not in ("int8", "auto"):
                     # the saved job is not int8, so certification will never
-                    # run — refusing beats silently dropping an explicit gate
+                    # run — refusing beats silently dropping an explicit
+                    # gate.  A saved "auto" (interrupted before resolution
+                    # persisted the resolved dtype) is fine: resolution
+                    # reruns on resume and honors the gate.
                     print("--int8-gate was requested but this workspace's "
                           f"saved job runs --dtype {args.dtype}; resume "
                           "without the gate, or start fresh to run int8",

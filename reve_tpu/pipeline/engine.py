@@ -658,6 +658,25 @@ class UpscaleEngine:
             return jax.device_put(frames, self._batch_sharding)
         return jax.device_put(frames, self.device)
 
+    def _dp_pad(self, frames: np.ndarray):
+        """Pad a calibration/certification batch to a multiple of the mesh
+        dp size by repeating frames cyclically — `device_put` with a
+        P('dp') sharding requires a dp-divisible leading dim, and the
+        sampled whole-video batch (scheduler.CALIB_SAMPLE_FRAMES, or fewer
+        on short clips) is not validated against dp the way batch_size is.
+        Returns (padded, n_real); duplicates are excluded from PSNR
+        (certify slices to n_real) and only repeat existing content in the
+        activation statistics.  Deterministic in (n, dp)."""
+        if self._batch_sharding is None:
+            return frames, len(frames)
+        dp = self.mesh.shape["dp"]
+        n = len(frames)
+        pad = (-n) % dp
+        if pad == 0:
+            return frames, n
+        reps = frames[np.arange(n, n + pad) % n]
+        return np.concatenate([frames, reps]), n
+
     @staticmethod
     def _calib_crop(frames: np.ndarray) -> np.ndarray:
         """Bound calibration/certification frames to <=720p windows (the
@@ -700,7 +719,7 @@ class UpscaleEngine:
         batch replaces."""
         from reve_tpu.weights import quantize
 
-        frames = self._calib_crop(frames)
+        frames, _ = self._dp_pad(self._calib_crop(frames))
         x = self._place(
             np.ascontiguousarray(frames, np.uint8).astype(np.float32)
             / 255.0)
@@ -775,16 +794,18 @@ class UpscaleEngine:
         if not self._int8:
             raise ValueError("certify_int8 requires an int8 engine")
         self._maybe_calibrate(frames, provisional=False)
+        padded, n_real = self._dp_pad(self._calib_crop(frames))
         x = self._place(
-            np.ascontiguousarray(self._calib_crop(frames),
-                                 np.uint8).astype(np.float32) / 255.0)
+            np.ascontiguousarray(padded, np.uint8).astype(np.float32)
+            / 255.0)
         y8 = srvgg.apply_int8(self.params, self._qbody, x, cfg=self.cfg,
                               compute_dtype=self.compute_dtype,
                               quantize_u8=True)
         yf = srvgg.apply(self.params, x, cfg=self.cfg,
                          compute_dtype=jnp.float32, quantize_u8=True)
-        mse = jnp.mean(jnp.square(y8.astype(jnp.float32)
-                                  - yf.astype(jnp.float32)))
+        # dp-pad duplicates must not weight the certificate
+        mse = jnp.mean(jnp.square(y8[:n_real].astype(jnp.float32)
+                                  - yf[:n_real].astype(jnp.float32)))
         mse = max(float(mse), 1e-12)
         return float(10.0 * np.log10(255.0 ** 2 / mse))
 

@@ -351,7 +351,10 @@ class JobManager:
                     ws, st, io_backend=io_backend)
                 job.dtype = dtype
                 job.dtype_note = "; ".join(notes)
-                if db is not None:
+                if db is not None and dtype == "int8":
+                    # int8_psnr means "ran the turbo, certified N dB"
+                    # (Job docstring); a bf16 fallback's measured dB lives
+                    # in dtype_note, not in a turbo certificate field
                     job.int8_psnr = round(db, 2)
                 st.opts["dtype"] = dtype
                 ws.save(st)
@@ -370,6 +373,22 @@ class JobManager:
                 platform = dev.platform if dev is not None else "cpu"
                 engine.compile_attempts = auto_compile_attempts(
                     platform, sum(s.size for s in st.pending))
+            if job.dtype == "int8" and job.int8_psnr is None:
+                # report the quantization cost on THIS video (the same helper
+                # the CLI's --dtype int8 report/gate uses; measures with the
+                # job's persisted scales, so a resumed job re-certifies
+                # identically).  auto-resolved jobs measured it already.
+                # Runs BEFORE PipelineJob: certification calibrates as a
+                # side effect, so the job's sampled-calibration pass reuses
+                # it instead of decoding + uploading the same frames twice.
+                try:
+                    db = scheduler.certify_int8_on_input(
+                        engine, ws, st, io_backend=io_backend)
+                    if db is not None:
+                        job.int8_psnr = round(db, 2)
+                    ws.save(st)  # persist the sampled calib_frames indices
+                except Exception:
+                    pass  # certification must never fail the job
             job.progress = ProgressTracker(
                 total_frames=sum(s.size for s in st.pending),
                 total_segments=len(st.pending),
@@ -379,19 +398,6 @@ class JobManager:
                 st, ws, engine, io_backend=io_backend,
                 part_ext=part_ext, progress=job.progress,
             )
-            if job.dtype == "int8" and job.int8_psnr is None:
-                # report the quantization cost on THIS video (the same helper
-                # the CLI's --dtype int8 report/gate uses; measures with the
-                # job's persisted scales, so a resumed job re-certifies
-                # identically).  auto-resolved jobs measured it already.
-                try:
-                    db = scheduler.certify_int8_on_input(
-                        engine, ws, st, io_backend=io_backend)
-                    if db is not None:
-                        job.int8_psnr = round(db, 2)
-                    ws.save(st)  # persist the sampled calib_frames indices
-                except Exception:
-                    pass  # certification must never fail the job
             job.pipeline = pipeline
             if job.cancel_requested:  # cancelled during probe/compile window
                 pipeline.cancel()

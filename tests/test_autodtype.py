@@ -306,6 +306,91 @@ def test_cli_auto_off_tpu_is_bf16(tmp_path, monkeypatch, capsys):
     assert "auto dtype: bfloat16" in err and "TPU-only" in err
 
 
+def test_certify_and_calibrate_pad_to_mesh_dp(tmp_path):
+    """Certification/calibration batches (16 sampled frames, or fewer on
+    short clips) are padded to a dp multiple before device_put: a dp=3
+    mesh must not crash — or worse, silently lose the auto turbo to a
+    'certification failed' fallback — just because dp does not divide the
+    sample count (round-4 review fix)."""
+    import jax
+
+    from reve_tpu.models import srvgg
+    from reve_tpu.parallel import mesh as mesh_lib
+
+    cfg = srvgg.SRVGGConfig(num_feat=16, num_conv=2, upscale=2)
+    params = srvgg.init_params(jax.random.PRNGKey(0), cfg)
+    mesh = mesh_lib.make_mesh(jax.devices()[:3], max_sp=1)  # dp=3
+    kw = dict(preloaded=(cfg, params), compute_dtype="int8",
+              int8_calib="max")
+    e_mesh = UpscaleEngine(mesh=mesh, batch_size=3, **kw)
+    e_one = UpscaleEngine(batch_size=4, **kw)
+    rs = np.random.RandomState(0)
+    frames = rs.randint(0, 256, (16, 16, 24, 3), np.uint8)  # 16 % 3 != 0
+    db_mesh = e_mesh.certify_int8(frames)
+    db_one = e_one.certify_int8(frames)
+    assert np.isfinite(db_mesh)
+    # 'max' maxima are invariant to the cyclic pad duplicates, so the two
+    # engines quantize identically; the certificate agrees to reduction-
+    # order noise and the pad frames are excluded from the PSNR mean
+    assert db_mesh == pytest.approx(db_one, abs=1e-3)
+    np.testing.assert_allclose(e_mesh.get_calibration(),
+                               e_one.get_calibration(), rtol=1e-6)
+    # short clip too: 2 frames on dp=3 pads UP past the frame count
+    db_short = e_mesh.certify_int8(frames[:2])
+    assert np.isfinite(db_short)
+
+
+@pytest.mark.slow
+def test_cli_resume_saved_auto_accepts_gate(tmp_path, monkeypatch, capsys):
+    """A job interrupted DURING auto resolution leaves opts['dtype']='auto'
+    in the workspace; re-running the identical command (including
+    --int8-gate) must resume and resolve, not refuse with exit 2
+    (round-4 review fix — the gate check now exempts the unresolved
+    'auto')."""
+    from reve_tpu.pipeline import scheduler as sched_mod
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("REVE_TPU_AUTO_INT8", "1")
+    inp = _small_y4m(tmp_path)
+    out = str(tmp_path / "ar.y4m")
+
+    real = sched_mod.resolve_auto_dtype
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash during certification")
+
+    monkeypatch.setattr(sched_mod, "resolve_auto_dtype", boom)
+    with pytest.raises(RuntimeError):
+        cli.run(["-i", inp, "-s", "2", out, "--yes", "--io-backend",
+                 "y4m", "-S", "4", "--batch", "3", "--int8-gate", "5"])
+    st = Workspace(out + ".revework").load()
+    assert st.opts["dtype"] == "auto"  # interrupted before resolution
+
+    monkeypatch.setattr(sched_mod, "resolve_auto_dtype", real)
+    rc = cli.run(["-i", inp, "-s", "2", out, "--yes", "--io-backend",
+                  "y4m", "-S", "4", "--batch", "3", "--int8-gate", "5"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "auto dtype:" in err
+
+
+def test_cli_image_mode_rejects_int8_calib_under_auto(tmp_path, monkeypatch,
+                                                      capsys):
+    """Image modes resolve auto to the exact path, so an explicit
+    --int8-calib would configure nothing — refuse instead of silently
+    ignoring a quality option (round-4 review fix)."""
+    import cv2
+
+    monkeypatch.chdir(tmp_path)
+    img = str(tmp_path / "in.png")
+    cv2.imwrite(img, np.zeros((8, 8, 3), np.uint8))
+    rc = cli.run(["-i", img, "-s", "2", str(tmp_path / "out.png"),
+                  "--yes", "--int8-calib", "max"])
+    assert rc == 2
+    assert "--int8-calib has no effect in image mode" in \
+        capsys.readouterr().err
+
+
 def test_cli_int8_calib_requires_turbo_path(tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(tmp_path)
     inp = _small_y4m(tmp_path)

@@ -765,6 +765,85 @@ def test_job_int8_psnr_reported(tmp_path):
         manager.shutdown()
 
 
+@pytest.mark.slow
+def test_job_auto_fallback_has_no_int8_certificate(tmp_path, monkeypatch):
+    """A --dtype auto job that falls back to bf16 must NOT carry
+    int8_psnr: the field means 'ran the turbo, certified N dB' (Job
+    docstring), and a quantization certificate on an exact-path job
+    misleads any consumer keying on its presence (round-4 review fix).
+    The measured dB still surfaces in dtype_note."""
+    from reve_tpu.pipeline import scheduler as sched_mod
+    from reve_tpu.pipeline.engine import UpscaleEngine
+
+    monkeypatch.setenv("REVE_TPU_AUTO_INT8", "1")
+    # an unclearable gate forces the bf16 fallback deterministically
+    monkeypatch.setattr(sched_mod, "AUTO_INT8_GATE_DB", 10000.0)
+    cfg = config_mod.ServiceConfig(segment_size=5)
+    inp = str(tmp_path / "in.y4m")
+    rs = np.random.RandomState(0)
+    with writer.Y4MWriter(inp, 32, 24, fractions.Fraction(24)) as wr:
+        for i in range(5):
+            wr.write((rs.rand(24, 32, 3) * 255).astype(np.uint8))
+    manager = JobManager(
+        cfg,
+        engine_factory=lambda m, s, d, c: UpscaleEngine(
+            model=m, scale=s, batch_size=3, compute_dtype=d, int8_calib=c),
+        io_backend="y4m")
+    try:
+        job = manager.submit(inp, scale=2, dtype="auto",
+                             output_path=str(tmp_path / "out.y4m"))
+        deadline = time.time() + 120
+        while time.time() < deadline and job.status not in ("done", "error"):
+            time.sleep(0.2)
+        assert job.status == "done", job.error
+        assert job.dtype == "bfloat16"
+        assert job.int8_psnr is None
+        assert "below the 10000 dB gate" in (job.dtype_note or "")
+    finally:
+        manager.shutdown()
+
+
+@pytest.mark.slow
+def test_job_int8_decodes_calibration_sample_once(tmp_path, monkeypatch):
+    """An explicit int8 job certifies BEFORE the pipeline is built, so the
+    pipeline's sampled-calibration pass reuses the certification's
+    calibration instead of decoding + uploading the same 16 frames twice
+    (round-4 review fix — double startup cost on the slow relay)."""
+    from reve_tpu.pipeline import scheduler as sched_mod
+    from reve_tpu.pipeline.engine import UpscaleEngine
+
+    calls = []
+    real = sched_mod.read_sampled_frames
+
+    def counting(state, io_backend=None, indices=None):
+        calls.append(indices)
+        return real(state, io_backend, indices)
+
+    monkeypatch.setattr(sched_mod, "read_sampled_frames", counting)
+    cfg = config_mod.ServiceConfig(segment_size=5)
+    inp = str(tmp_path / "in.y4m")
+    rs = np.random.RandomState(0)
+    with writer.Y4MWriter(inp, 32, 24, fractions.Fraction(24)) as wr:
+        for i in range(5):
+            wr.write((rs.rand(24, 32, 3) * 255).astype(np.uint8))
+    manager = JobManager(
+        cfg,
+        engine_factory=lambda m, s, d, c: UpscaleEngine(
+            model=m, scale=s, batch_size=3, compute_dtype=d, int8_calib=c),
+        io_backend="y4m")
+    try:
+        job = manager.submit(inp, scale=2, dtype="int8",
+                             output_path=str(tmp_path / "out.y4m"))
+        deadline = time.time() + 120
+        while time.time() < deadline and job.status not in ("done", "error"):
+            time.sleep(0.2)
+        assert job.status == "done", job.error
+        assert job.int8_psnr is not None
+        assert len(calls) == 1, calls
+    finally:
+        manager.shutdown()
+
+
 def test_resubmit_restores_engine_opts(tmp_path):
     """A resumed service job must run with the dtype/int8_calib the job
     was STARTED with, not the resubmission's settings — one output video
