@@ -187,12 +187,25 @@ def certify_int8_on_input(engine, workspace: Workspace, state: JobState,
     persisted) happens on the same sampled frames, so a video whose hot
     scenes live past the first batch is calibrated AND judged on them.
     Returns None when the input yields no frames; raises on read/measure
-    errors (each caller decides whether that fails open or closed)."""
+    errors (each caller decides whether that fails open or closed).
+
+    The measured dB is published FIRST-WINS in the workspace
+    (claim_int8_cert) and reused by every resume/shard worker of the job:
+    re-measuring would repeat a near-full sequential decode of the input
+    (the last sampled stratum sits at ~97% of the video) plus the f32 and
+    int8 compiles, and on content sitting exactly on a gate the f32
+    reduction-order noise across independent XLA compiles (~1e-6
+    relative) must never flip the decision between workers."""
     wire_int8_calibration(engine, workspace)
+    saved = workspace.load_int8_cert()
+    if saved is not None and engine.get_calibration() is not None:
+        # scales + certificate both persisted: a re-measurement would be
+        # a deterministic repeat costing a near-full decode pass
+        return saved
     frames = _calibration_frames(engine, workspace, state, io_backend)
     if frames is None:
         return None
-    return engine.certify_int8(frames)
+    return workspace.claim_int8_cert(engine.certify_int8(frames))
 
 
 def resolve_auto_dtype(make_engine, workspace: Workspace, state: JobState,
@@ -216,49 +229,85 @@ def resolve_auto_dtype(make_engine, workspace: Workspace, state: JobState,
     (dtype, engine_or_None, db_or_None, notes) — notes are user-facing
     lines explaining the choice.
 
-    Shard workers racing a fresh workspace resolve independently but
-    deterministically: the sample indices are a pure function of
-    frame_count, the quantization scales are first-wins-persisted
-    (claim_calibration), and the int8 path is integer math — so every
-    worker measures the same dB up to f32 reduction-order noise (~1e-6
-    relative; only content sitting exactly ON the gate could flip, and
-    workers normally inherit the resolved dtype from the saved state
-    anyway)."""
+    The DECISION is first-wins-arbitrated through the workspace
+    (claim_resolution), not merely re-derived: shard workers racing a
+    fresh workspace, a resume on different hardware, or a worker whose
+    certification errored would otherwise disagree (the measurement
+    itself is shared via claim_int8_cert, but a per-worker decode error
+    — or gate-edge f32 noise before the cert claim lands — could still
+    flip one worker to bf16) and mix int8- and bf16-upscaled segments in
+    one output.  Every caller follows the claimed decision; the notes say
+    so when this worker's own measurement lost."""
     gate = AUTO_INT8_GATE_DB if gate_db is None else gate_db
+
+    def follow(res, note):
+        """Materialize a previously claimed decision."""
+        if res["dtype"] != "int8":
+            return (res["dtype"], None, res["db"], [note])
+        eng = make_engine("int8", state.opts.get("int8_calib", "p99.9"))
+        wire_int8_calibration(eng, workspace)
+        return ("int8", eng, res["db"], [note])
+
+    saved = workspace.load_resolution()
+    if saved is not None:
+        dbtxt = ("" if saved["db"] is None
+                 else f", certified {saved['db']:.1f} dB vs f32")
+        return follow(saved,
+                      f"auto dtype: {saved['dtype']} (inherited this "
+                      f"workspace's first-wins resolution{dbtxt})")
+
     if platform is None:
         import jax
 
         platform = jax.local_devices()[0].platform
     env = os.environ.get("REVE_TPU_AUTO_INT8")
-    eligible = (env not in ("0", "", "off") if env is not None
-                else platform == "tpu")
+    eligible = (env.strip().lower() not in ("0", "", "off", "false", "no")
+                if env is not None else platform == "tpu")
+
+    def decide(dtype, engine, db, note):
+        """Publish our decision first-wins; follow whoever won."""
+        final = workspace.claim_resolution(dtype, db)
+        if final["dtype"] == dtype:
+            return (dtype, engine if dtype == "int8" else None, db, [note])
+        lose = (f"auto dtype: {final['dtype']} (this worker resolved "
+                f"{dtype}, but the workspace's first-wins resolution is "
+                f"{final['dtype']} — following it so one output never "
+                f"mixes compute paths)")
+        if final["dtype"] == "int8" and engine is not None:
+            wire_int8_calibration(engine, workspace)
+            return ("int8", engine, final["db"], [lose])
+        return follow(final, lose)
+
     if not eligible:
-        return ("bfloat16", None, None,
-                [f"auto dtype: bfloat16 (int8 turbo is TPU-only; "
-                 f"backend is {platform})"])
+        return decide("bfloat16", None, None,
+                      f"auto dtype: bfloat16 (int8 turbo is TPU-only; "
+                      f"backend is {platform})")
     try:
         engine = make_engine("int8", state.opts.get("int8_calib", "p99.9"))
     except ValueError as e:  # e.g. RRDB: no int8 path
-        return ("bfloat16", None, None, [f"auto dtype: bfloat16 ({e})"])
+        return decide("bfloat16", None, None,
+                      f"auto dtype: bfloat16 ({e})")
     try:
         db = certify_int8_on_input(engine, workspace, state,
                                    io_backend=io_backend)
     except Exception as e:
         # an unmeasurable certification must fail SAFE: run the exact path
-        return ("bfloat16", None, None,
-                [f"auto dtype: bfloat16 (int8 certification failed: {e})"])
+        return decide("bfloat16", None, None,
+                      f"auto dtype: bfloat16 (int8 certification "
+                      f"failed: {e})")
     n = len(state.opts.get("calib_frames") or ())
     if db is None:
-        return ("bfloat16", None, None,
-                ["auto dtype: bfloat16 (input yielded no frames to "
-                 "certify int8 on)"])
+        return decide("bfloat16", None, None,
+                      "auto dtype: bfloat16 (input yielded no frames to "
+                      "certify int8 on)")
     if db >= gate:
-        return ("int8", engine, db,
-                [f"auto dtype: int8 turbo (certified {db:.1f} dB vs f32 "
-                 f"on {n} sampled frame(s), gate {gate:g} dB)"])
-    return ("bfloat16", None, db,
-            [f"auto dtype: bfloat16 (int8 measured {db:.1f} dB vs f32 on "
-             f"{n} sampled frame(s), below the {gate:g} dB gate)"])
+        return decide("int8", engine, db,
+                      f"auto dtype: int8 turbo (certified {db:.1f} dB vs "
+                      f"f32 on {n} sampled frame(s), gate {gate:g} dB)")
+    return decide("bfloat16", None, db,
+                  f"auto dtype: bfloat16 (int8 measured {db:.1f} dB vs "
+                  f"f32 on {n} sampled frame(s), below the {gate:g} dB "
+                  f"gate)")
 
 
 class PipelineJob:

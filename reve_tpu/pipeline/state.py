@@ -34,6 +34,8 @@ STATE_VERSION = 1
 STATE_FILE = "state.json"
 PARTS_DIR = "parts"
 CALIBRATION_FILE = "int8_calibration.json"
+CERT_FILE = "int8_cert.json"
+RESOLUTION_FILE = "auto_dtype.json"
 OWNER_FILE = "owner.lock"
 
 
@@ -202,54 +204,150 @@ class Workspace:
             return True
 
     def _acquire_owner_pidfile(self) -> bool:
-        """Owner-lock fallback for filesystems without flock: O_EXCL
-        create of a pid file; a contender steals it only when the
-        recorded pid is verifiably dead ON THIS HOST.  One steal attempt
-        per call (no unbounded loops against a hostile/flapping FS)."""
-        for _ in range(2):
-            try:
-                fd = os.open(self.owner_path,
-                             os.O_CREAT | os.O_EXCL | os.O_RDWR, 0o644)
-            except FileExistsError:
-                body = None
-                try:
-                    with open(self.owner_path) as f:
-                        body = f.read()
-                    pid = int(json.loads(body).get("pid", 0))
-                except (OSError, ValueError):
-                    # an EMPTY file is a flock-era artifact (O_CREAT
-                    # before the failed flock) or a contender caught
-                    # mid-create; recheck once — stably empty == stale.
-                    # Torn NON-empty content: assume live, stay safe.
-                    if body != "":
-                        return False
-                    try:
-                        import time
+        """Owner-lock fallback for filesystems without flock.
 
-                        time.sleep(0.05)
-                        if os.path.getsize(self.owner_path) != 0:
-                            return False
-                        os.unlink(self.owner_path)
-                    except OSError:
-                        return False
-                    continue
-                if pid > 0:
-                    try:
-                        os.kill(pid, 0)
-                        return False          # owner alive
-                    except ProcessLookupError:
-                        pass                  # owner dead: steal below
-                    except OSError:
-                        return False          # can't verify: stay safe
+        Creation is ATOMIC (pid json written to a tmp file, hardlinked
+        into place) so the pid file is never observably empty or torn: an
+        empty `owner.lock` is definitively a flock-path artifact (the
+        O_CREAT that preceded the failed flock — typically our own from
+        this very acquire_owner call), not a contender mid-write.
+
+        Stealing (dead recorded pid, or an empty flock artifact) is
+        SERIALIZED through an atomic `mkdir` mutex and re-verifies the
+        file's content INSIDE the mutex: without this, two contenders
+        that both read a dead pid race read-unlink-create and can BOTH
+        acquire — one unlinking the other's freshly created live lock
+        (the exact double-writer corruption this lock exists to prevent).
+        A contender that loses any race returns False (stay safe); one
+        steal attempt per call (no unbounded loops against a hostile FS).
+
+        Residual windows, accepted for a degraded-FS fallback: pid
+        liveness is per-HOST (cross-host single-writing is the lease
+        queue's job), and on a filesystem ALSO lacking hardlinks creation
+        degrades to O_EXCL-then-write whose µs-scale create-to-write gap
+        an empty-steal could theoretically hit (the 50 ms stability
+        recheck guards it)."""
+        for _ in range(2):
+            if self._pidfile_create():
+                return True
+            if not self._pidfile_try_steal():
+                return False
+            # stole (or the path freed itself): retry the create once;
+            # losing that race means a live contender won — give up
+        return False
+
+    def _pidfile_create(self) -> bool:
+        """Atomically publish {pid: us} at owner_path; False if a file is
+        already there (live or stealable — caller decides)."""
+        payload = json.dumps({"pid": os.getpid()}).encode()
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".owner.tmp")
+        keep_fd = False
+        linkless = False
+        try:
+            os.write(fd, payload)
+            os.fsync(fd)
+            try:
+                os.link(tmp, self.owner_path)
+                # linked into place; keep the tmp fd — same inode
+                self._owner_fd = fd
+                keep_fd = True
+                return True
+            except FileExistsError:
+                return False
+            except OSError:
+                linkless = True  # handled below, outside this finally
+        finally:
+            if not keep_fd:
                 try:
+                    os.close(fd)
+                except OSError:
+                    pass
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+        assert linkless
+        # hardlink-less FS: O_EXCL create + immediate write (the
+        # documented µs create-to-write window)
+        try:
+            fd2 = os.open(self.owner_path,
+                          os.O_CREAT | os.O_EXCL | os.O_RDWR, 0o644)
+        except FileExistsError:
+            return False
+        os.write(fd2, payload)
+        try:
+            os.fsync(fd2)
+        except OSError:
+            pass
+        self._owner_fd = fd2
+        return True
+
+    def _pidfile_try_steal(self) -> bool:
+        """Under the steal mutex: re-verify owner_path is stale (dead pid
+        or stably-empty flock artifact) and unlink it.  True = the path
+        is now free to (re)create; False = live/unverifiable/locked-out.
+        """
+        import time
+
+        mutex = self.owner_path + ".steal"
+        try:
+            st = os.stat(mutex)
+            if time.time() - st.st_mtime > 30.0:
+                # a stealer crashed mid-steal; at most one contender's
+                # rmdir succeeds, and the re-mkdir below re-arbitrates
+                try:
+                    os.rmdir(mutex)
+                except OSError:
+                    pass
+        except OSError:
+            pass
+        try:
+            os.mkdir(mutex)
+        except OSError:
+            return False  # another steal in progress: stay safe
+        try:
+            try:
+                with open(self.owner_path, "rb") as f:
+                    body = f.read()
+            except FileNotFoundError:
+                return True   # freed meanwhile (owner released)
+            except OSError:
+                return False
+            if body == b"":
+                # flock-path artifact (creation here is atomic, so no
+                # pidfile owner is ever empty).  50 ms stability recheck
+                # covers the hardlink-less creator's O_EXCL window.
+                time.sleep(0.05)
+                try:
+                    if os.path.getsize(self.owner_path) != 0:
+                        return False
                     os.unlink(self.owner_path)
                 except OSError:
                     return False
-                continue  # retry the O_EXCL create once
-            os.write(fd, json.dumps({"pid": os.getpid()}).encode())
-            self._owner_fd = fd
+                return True
+            try:
+                pid = int(json.loads(body).get("pid", 0))
+            except ValueError:
+                return False      # torn/foreign content: assume live
+            if pid <= 0:
+                return False
+            try:
+                os.kill(pid, 0)
+                return False      # owner alive
+            except ProcessLookupError:
+                pass              # owner dead: steal
+            except OSError:
+                return False      # can't verify: stay safe
+            try:
+                os.unlink(self.owner_path)
+            except OSError:
+                return False
             return True
-        return False
+        finally:
+            try:
+                os.rmdir(mutex)
+            except OSError:
+                pass
 
     def release_owner(self) -> None:
         """Drop the owner lock iff this Workspace instance holds it."""
@@ -282,7 +380,21 @@ class Workspace:
         atomically publish `maxima` as THE job's calibration; if another
         worker (or a pre-crash run) already published one, return that
         instead.  One output video must never mix segments quantized with
-        different scales, and kill/resume must be reproducible.
+        different scales, and kill/resume must be reproducible."""
+        maxima = [float(v) for v in maxima]
+        won, saved = self._claim_json(self.calibration_path,
+                                      {"act_maxima": maxima},
+                                      self.load_calibration)
+        # unreadable existing file (torn by something non-atomic?) ->
+        # fall back to our own maxima rather than crash
+        return maxima if won or saved is None else saved
+
+    def _claim_json(self, path: str, payload: dict, load):
+        """First-wins atomic publication of a small JSON dict at `path`.
+        Returns (won, saved): won=True when OUR payload got published;
+        otherwise `saved` is load()'s view of the earlier winner (which
+        can be None if that file is torn/unreadable — callers fall back
+        to their own value).
 
         Atomicity: write a complete tmp file, then hardlink it into place
         — link() fails with EEXIST exactly once per race, and a reader can
@@ -291,53 +403,100 @@ class Workspace:
         scenario shares a workspace) raise a non-EEXIST OSError; those
         degrade to an O_EXCL create-and-write, which keeps first-wins but
         has a tiny torn-read window (a reader hitting it gets None and
-        falls back to its own maxima — same as a torn pre-existing
+        falls back to its own value — same as a torn pre-existing
         file)."""
-        maxima = [float(v) for v in maxima]
-        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".calib.tmp")
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".claim.tmp")
         try:
             with os.fdopen(fd, "w") as f:
-                json.dump({"act_maxima": maxima}, f)
+                json.dump(payload, f)
                 f.flush()
                 os.fsync(f.fileno())
             try:
-                os.link(tmp, self.calibration_path)
-                return maxima
+                os.link(tmp, path)
+                return True, None
             except FileExistsError:
-                saved = self.load_calibration()
-                # unreadable existing file (torn by something non-atomic?)
-                # -> fall back to our own maxima rather than crash
-                return saved if saved is not None else maxima
+                return False, load()
             except OSError:
-                return self._claim_calibration_excl(maxima)
+                return self._claim_json_excl(path, payload, load)
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
 
-    def _claim_calibration_excl(self, maxima):
-        """claim_calibration fallback for hardlink-less filesystems:
-        O_EXCL-create the calibration file and write it directly (the
-        create is the first-wins arbitration; the write is not atomic,
-        so a write failure unlinks the file rather than leaving a torn
-        claim other workers would defer to)."""
+    def _claim_json_excl(self, path: str, payload: dict, load):
+        """_claim_json fallback for hardlink-less filesystems: O_EXCL-
+        create the file and write it directly (the create is the
+        first-wins arbitration; the write is not atomic, so a write
+        failure unlinks the file rather than leaving a torn claim other
+        workers would defer to)."""
         try:
-            fd = os.open(self.calibration_path,
-                         os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
         except FileExistsError:
-            saved = self.load_calibration()
-            return saved if saved is not None else maxima
+            return False, load()
         try:
             with os.fdopen(fd, "w") as f:
-                json.dump({"act_maxima": maxima}, f)
+                json.dump(payload, f)
                 f.flush()
                 os.fsync(f.fileno())
-            return maxima
+            return True, None
         except BaseException:
             try:
-                os.unlink(self.calibration_path)
+                os.unlink(path)
             except OSError:
                 pass
             raise
+
+    # -- int8 certificate + auto-dtype resolution (first-wins) --------------
+
+    @property
+    def cert_path(self) -> str:
+        return os.path.join(self.root, CERT_FILE)
+
+    @property
+    def resolution_path(self) -> str:
+        return os.path.join(self.root, RESOLUTION_FILE)
+
+    def load_int8_cert(self) -> Optional[float]:
+        """The job's persisted int8-vs-f32 certificate (dB), or None."""
+        try:
+            with open(self.cert_path) as f:
+                return float(json.load(f)["db"])
+        except (OSError, KeyError, ValueError, TypeError):
+            return None
+
+    def claim_int8_cert(self, db: float) -> float:
+        """First-wins publication of the job's int8-vs-f32 PSNR
+        certificate: every worker/resume of one job reports (and gates
+        on) THE SAME measured dB — the measurement is deterministic up to
+        f32 reduction-order noise across independent XLA compiles, and on
+        content sitting exactly on a gate that noise must not flip the
+        decision between workers."""
+        won, saved = self._claim_json(self.cert_path, {"db": float(db)},
+                                      self.load_int8_cert)
+        return float(db) if won or saved is None else saved
+
+    def load_resolution(self) -> Optional[dict]:
+        """The job's persisted --dtype auto decision
+        ({"dtype": ..., "db": float|None}), or None."""
+        try:
+            with open(self.resolution_path) as f:
+                d = json.load(f)
+            if d.get("dtype") not in ("int8", "bfloat16", "float32"):
+                return None
+            return {"dtype": d["dtype"],
+                    "db": None if d.get("db") is None else float(d["db"])}
+        except (OSError, KeyError, ValueError, TypeError):
+            return None
+
+    def claim_resolution(self, dtype: str, db: Optional[float]) -> dict:
+        """First-wins publication of the --dtype auto decision: shard
+        workers racing a fresh workspace (and resumes racing a crashed
+        resolution) all follow ONE resolved dtype — one output video must
+        never mix int8- and bf16-upscaled segments
+        (scheduler.resolve_auto_dtype)."""
+        mine = {"dtype": dtype, "db": None if db is None else float(db)}
+        won, saved = self._claim_json(self.resolution_path, mine,
+                                      self.load_resolution)
+        return mine if won or saved is None else saved
 
     # -- part files --------------------------------------------------------
 

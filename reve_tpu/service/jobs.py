@@ -129,7 +129,7 @@ class JobManager:
                              int8_calib=int8_calib, tta=tta)
 
     def _get_engine(self, model: str, scale: int, dtype: str = "bfloat16",
-                    int8_calib: str = "max", tta: bool = False):
+                    int8_calib: str = "p99.9", tta: bool = False):
         """Engines (and their compiled executables) are reused across jobs
         of the same (model, scale, dtype, calib) — a fresh engine per job
         would pay the multi-second XLA compile for every batch-queue entry.

@@ -406,3 +406,78 @@ def test_cli_int8_calib_requires_turbo_path(tmp_path, monkeypatch, capsys):
                   "max", "--int8-gate", "5", "--io-backend", "y4m",
                   "-S", "4", "--batch", "3"])
     assert rc == 0
+
+
+# -- first-wins arbitration across workers/resumes ----------------------------
+# (round-4 review findings: the resolved dtype and the measured certificate
+# are claimed through the workspace like the quantization scales — shard
+# workers racing a fresh workspace, resumes, and heterogeneous fleets all
+# follow ONE decision, and re-certification never re-decodes the input.)
+
+def test_auto_dtype_resolution_first_wins(tmp_path, monkeypatch):
+    """A claimed resolution binds every later resolver: worker B follows
+    worker A's decision even when B's own policy (gate-edge noise, a
+    different gate, per-worker errors) would differ — one output must
+    never mix int8- and bf16-upscaled segments."""
+    monkeypatch.setenv("REVE_TPU_AUTO_INT8", "1")
+    ws, st = _mk_ws_state(tmp_path)
+    dtype_a, eng_a, db_a, _ = scheduler.resolve_auto_dtype(
+        _engine_factory, ws, st, io_backend="y4m", gate_db=5.0)
+    assert dtype_a == "int8"
+    # worker B's own (absurd) gate would say bf16 — but it inherits A
+    dtype_b, eng_b, db_b, notes_b = scheduler.resolve_auto_dtype(
+        _engine_factory, ws, st, io_backend="y4m", gate_db=200.0)
+    assert dtype_b == "int8" and eng_b is not None
+    assert db_b == pytest.approx(db_a)
+    assert "inherited" in notes_b[0]
+    # B's engine carries A's persisted scales (never recalibrated)
+    np.testing.assert_allclose(np.asarray(eng_b.get_calibration()),
+                               np.asarray(eng_a.get_calibration()))
+
+
+def test_auto_dtype_ineligible_claims_for_whole_job(tmp_path, monkeypatch):
+    """An off-TPU bf16 resolution CLAIMS the decision: a later worker on
+    eligible hardware (heterogeneous fleet / resumed elsewhere) must not
+    flip the job to int8 mid-output."""
+    monkeypatch.delenv("REVE_TPU_AUTO_INT8", raising=False)
+    ws, st = _mk_ws_state(tmp_path)
+    dtype, _, _, _ = scheduler.resolve_auto_dtype(
+        _engine_factory, ws, st, io_backend="y4m")
+    assert dtype == "bfloat16"
+    monkeypatch.setenv("REVE_TPU_AUTO_INT8", "1")
+    dtype2, eng2, _, notes2 = scheduler.resolve_auto_dtype(
+        _engine_factory, ws, st, io_backend="y4m", gate_db=0.0)
+    assert (dtype2, eng2) == ("bfloat16", None)
+    assert "inherited" in notes2[0]
+
+
+def test_certificate_reused_without_redecoding(tmp_path, monkeypatch):
+    """Resume/shard re-certification returns the persisted certificate
+    without re-reading the video (the sampled strata span ~the whole
+    input, so a re-measurement is a near-full sequential decode)."""
+    ws, st = _mk_ws_state(tmp_path)
+    e = UpscaleEngine(scale=2, batch_size=4, compute_dtype="int8")
+    db1 = scheduler.certify_int8_on_input(e, ws, st, io_backend="y4m")
+    assert db1 is not None
+    assert ws.load_int8_cert() == pytest.approx(db1)
+
+    def boom(*a, **k):
+        raise AssertionError("re-certification decoded the input")
+
+    monkeypatch.setattr(scheduler, "read_sampled_frames", boom)
+    e2 = UpscaleEngine(scale=2, batch_size=4, compute_dtype="int8")
+    db2 = scheduler.certify_int8_on_input(e2, ws, st, io_backend="y4m")
+    assert db2 == pytest.approx(db1)
+
+
+def test_auto_int8_env_falsy_strings_disable(tmp_path, monkeypatch):
+    """REVE_TPU_AUTO_INT8=false/no/off/0 (any case) must DISABLE
+    eligibility — an operator turning the turbo OFF must not force it
+    on."""
+    for v in ("false", "no", "OFF", "0", "False"):
+        ws, st = _mk_ws_state(tmp_path, name=f"v{v}")
+        monkeypatch.setenv("REVE_TPU_AUTO_INT8", v)
+        dtype, engine, db, notes = scheduler.resolve_auto_dtype(
+            _engine_factory, ws, st, io_backend="y4m")
+        assert (dtype, engine, db) == ("bfloat16", None, None), v
+        assert "TPU-only" in notes[0]

@@ -433,3 +433,72 @@ def test_cli_refuses_second_live_writer(tmp_path, capsys):
     rc = cli.run(["-i", inp, "-s", "2", out, "--yes",
                   "--io-backend", "y4m", "--dtype", "float32"])
     assert rc == 0
+
+
+def test_owner_pidfile_steal_single_winner_under_race(tmp_path, monkeypatch):
+    """Round-4 review finding: two contenders that both observe a dead
+    owner pid must not BOTH acquire (the read-unlink-create TOCTOU let
+    one unlink the other's freshly created live lock).  The steal is now
+    mkdir-serialized and re-verified inside the mutex; hammer it with
+    racing threads and assert exactly one winner per round."""
+    import concurrent.futures
+    import errno
+    import fcntl
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from reve_tpu.pipeline.state import Workspace
+
+    def no_flock(fd, op):
+        raise OSError(errno.ENOLCK, "No locks available")
+
+    monkeypatch.setattr(fcntl, "flock", no_flock)
+    root = str(tmp_path / "w")
+    os.makedirs(root, exist_ok=True)
+    dead = subprocess.Popen([sys.executable, "-c", "pass"])
+    dead.wait()
+    for _ in range(5):
+        contenders = [Workspace(root) for _ in range(8)]
+        with open(contenders[0].owner_path, "w") as f:
+            json.dump({"pid": dead.pid}, f)
+        with concurrent.futures.ThreadPoolExecutor(8) as ex:
+            got = list(ex.map(lambda w: w.acquire_owner(), contenders))
+        assert sum(got) == 1, got
+        for w in contenders:
+            w.release_owner()
+
+
+def test_owner_pidfile_steal_mutex_blocks_then_recovers(tmp_path,
+                                                        monkeypatch):
+    """A steal IN PROGRESS (live mutex dir) makes contenders stand down;
+    a CRASHED stealer's mutex (stale mtime) is cleaned up so the lock
+    does not wedge forever."""
+    import errno
+    import fcntl
+    import json
+    import os
+    import subprocess
+    import sys
+    import time
+
+    from reve_tpu.pipeline.state import Workspace
+
+    def no_flock(fd, op):
+        raise OSError(errno.ENOLCK, "No locks available")
+
+    monkeypatch.setattr(fcntl, "flock", no_flock)
+    ws = Workspace(str(tmp_path / "w"))
+    os.makedirs(ws.root, exist_ok=True)
+    dead = subprocess.Popen([sys.executable, "-c", "pass"])
+    dead.wait()
+    with open(ws.owner_path, "w") as f:
+        json.dump({"pid": dead.pid}, f)
+    mutex = ws.owner_path + ".steal"
+    os.mkdir(mutex)
+    assert not ws.acquire_owner()      # live steal in progress: stay safe
+    old = time.time() - 60.0
+    os.utime(mutex, (old, old))        # crashed stealer: stale mutex
+    assert ws.acquire_owner()
+    ws.release_owner()
