@@ -176,7 +176,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "measured on frames sampled across THIS video "
                         "clears 50 dB (or --int8-gate), else bfloat16; "
                         "elsewhere bfloat16.  int8 forces the turbo path "
-                        "(hidden stack quantized)")
+                        "(SRVGG hidden stack / RRDB trunk quantized; "
+                        "auto never picks int8 for RRDB — opt in here)")
     p.add_argument("--int8-calib", type=_int8_calib_validation,
                    default=None, dest="int8_calib", metavar="max|p<PCT>",
                    help="int8 turbo calibration statistic for activation "

@@ -234,6 +234,109 @@ def apply(params: Params, x: jax.Array, *, cfg: RRDBConfig,
     return out.astype(jnp.float32)
 
 
+# -- int8 turbo mode ----------------------------------------------------------
+
+
+def _dq(y32, sw, b, tile_n):
+    """s32 conv output -> f32: per-output-channel dequant + bias."""
+    if tile_n > 1:
+        sw, b = jnp.tile(sw, tile_n), jnp.tile(b, tile_n)
+    return y32.astype(jnp.float32) * sw + b
+
+
+def _rdb_int8(x_f, qrdb, scales, conv_s8, quant, nf, gc, tile_n):
+    """One RDB with the 5 dense convs in int8.
+
+    x_f: float RDB input; scales: (5,) quant scales [x, h1..h4] (the
+    per-part dequant side is already folded into qrdb's weights —
+    weights/quantize.py).  Residual add stays float."""
+    feats8 = [quant(x_f, scales[0])]
+    h = None
+    for i in range(5):
+        y32 = conv_s8(jnp.concatenate(feats8, axis=-1), qrdb["w8"][i],
+                      [nf] + [gc] * i)
+        h = _dq(y32, qrdb["sw"][i], qrdb["b"][i], tile_n)
+        if i < 4:
+            h = _lrelu(h)
+            feats8.append(quant(h, scales[i + 1]))
+    return h * 0.2 + x_f.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "compute_dtype", "quantize_u8", "s2d"),
+)
+def apply_int8(params: Params, qbody, x: jax.Array, *, cfg: RRDBConfig,
+               compute_dtype=jnp.bfloat16, quantize_u8: bool = False,
+               s2d: bool = True) -> jax.Array:
+    """Forward pass with the RRDB trunk quantized to int8 (turbo mode).
+
+    `qbody`: weights/quantize.quantize_rrdb output (classic-domain int8
+    trunk kernels with folded per-part activation scales; the s2d kernel
+    transform is applied here, mirroring `apply`).  The 23x3x5 dense convs
+    + conv_body run as s8 x s8 -> s32 on the MXU; conv_first, the residual
+    adds, lrelu and the 4 head convs run float exactly like `apply`.
+    Dequant + bias + lrelu + requant chains are f32 elementwise XLA fuses
+    into the conv epilogues.
+
+    Costs PSNR vs `apply`; opt-in via `--dtype int8` (auto mode keeps
+    RRDB on the exact path — pipeline/scheduler.resolve_auto_dtype).
+    """
+    from reve_tpu.models.srvgg import _conv3x3_s8, _quant_s8
+
+    dtype = compute_dtype
+    h = x
+    if cfg.upscale == 2:
+        h = pixel_unshuffle(h, 2)
+    elif cfg.upscale == 1:
+        h = pixel_unshuffle(h, 4)
+    h = h.astype(dtype)
+    use_s2d = s2d and h.shape[1] % 2 == 0 and h.shape[2] % 2 == 0
+    nf, gc = cfg.num_feat, cfg.num_grow_ch
+    act = qbody["act_scale"]
+
+    if use_s2d:
+        def conv_s8(v8, w8, parts):
+            return _conv3x3_s8(v8, s2d_mod.s2d2_kernel_concat(w8, parts))
+
+        def quant(v, s):
+            return _quant_s8(v, s)
+
+        tile_n = 4
+        hs = s2d_mod.s2d2(h)
+        feat = _conv_s2d(hs, params["conv_first"], dtype)
+    else:
+        def conv_s8(v8, w8, parts):
+            return _conv3x3_s8(v8, w8)
+
+        quant, tile_n = _quant_s8, 1
+        feat = _conv(h, params["conv_first"], dtype)
+
+    body = feat.astype(jnp.float32)
+    si = 0
+    for qblock in qbody["body"]:
+        b_in = body
+        out = b_in
+        for qrdb in qblock:
+            out = _rdb_int8(out, qrdb, act[si:si + 5], conv_s8, quant,
+                            nf, gc, tile_n)
+            si += 5
+        body = out * 0.2 + b_in
+    y32 = conv_s8(quant(body, act[si]), qbody["conv_body"]["w8"], [nf])
+    feat = feat.astype(jnp.float32) + _dq(y32, qbody["conv_body"]["sw"],
+                                          qbody["conv_body"]["b"], tile_n)
+    feat = feat.astype(dtype)
+    if use_s2d:
+        feat = s2d_mod.d2s2(feat)
+    feat = _lrelu(_conv(upsample_nearest(feat, 2), params["conv_up1"], dtype))
+    feat = _lrelu(_conv(upsample_nearest(feat, 2), params["conv_up2"], dtype))
+    out = _conv(_lrelu(_conv(feat, params["conv_hr"], dtype)),
+                params["conv_last"], dtype)
+    if quantize_u8:
+        return jnp.clip(out.astype(jnp.float32) * 255.0 + 0.5,
+                        0.0, 255.0).astype(jnp.uint8)
+    return out.astype(jnp.float32)
+
+
 # -- weight loading ----------------------------------------------------------
 
 def load_pth(path: str):

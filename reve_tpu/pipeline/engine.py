@@ -304,16 +304,16 @@ class UpscaleEngine:
         self.scale = self.cfg.upscale
         self.batch_size = batch_size
         self.tile = tile
-        #: int8 turbo mode: hidden stack quantized (weights/quantize.py),
-        #: first/last conv + epilogue in bf16.  ~1.6x the bf16 body rate on
-        #: the MXU (PERF.md); costs PSNR — SRVGG only; the product
-        #: auto-selects it on TPU when on-content certification clears
-        #: 50 dB (scheduler.resolve_auto_dtype).  Activation scales come
-        #: from calibrate_int8 (pipeline: frames sampled across the whole
-        #: video) or, lazily, the first real batch submitted.
+        #: int8 turbo mode: SRVGG hidden stack / RRDB trunk quantized
+        #: (weights/quantize.py), first/last (head) convs + epilogue in
+        #: bf16.  ~1.6x the bf16 conv rate on the MXU (PERF.md); costs
+        #: PSNR — for SRVGG the product auto-selects it on TPU when
+        #: on-content certification clears 50 dB
+        #: (scheduler.resolve_auto_dtype); for RRDB it is opt-in
+        #: (--dtype int8).  Activation scales come from calibrate_int8
+        #: (pipeline: frames sampled across the whole video) or, lazily,
+        #: the first real batch submitted.
         self._int8 = compute_dtype == "int8"
-        if self._int8 and not isinstance(self.cfg, srvgg.SRVGGConfig):
-            raise ValueError("int8 turbo mode supports SRVGG models only")
         self._qbody = None
         self._qbody_provisional = False
         self._act_maxima = None
@@ -379,21 +379,26 @@ class UpscaleEngine:
     # -- jitted core -------------------------------------------------------
 
     def _arch_apply(self, params, x, quantize_u8=False, s2d=True,
-                    qbody=None, pre_shuffle=False):
+                    qbody=None, pre_shuffle=False, compute_dtype=None):
         from reve_tpu.models import rrdb
 
+        dtype = compute_dtype or self.compute_dtype
         if isinstance(self.cfg, srvgg.SRVGGConfig):
             if qbody is not None:
                 return srvgg.apply_int8(params, qbody, x, cfg=self.cfg,
-                                        compute_dtype=self.compute_dtype,
+                                        compute_dtype=dtype,
                                         quantize_u8=quantize_u8, s2d=s2d,
                                         pre_shuffle=pre_shuffle)
             return srvgg.apply(params, x, cfg=self.cfg,
-                               compute_dtype=self.compute_dtype,
+                               compute_dtype=dtype,
                                quantize_u8=quantize_u8, s2d=s2d,
                                pre_shuffle=pre_shuffle)
-        y = rrdb.apply(params, x, cfg=self.cfg,
-                       compute_dtype=self.compute_dtype)
+        if qbody is not None:
+            return rrdb.apply_int8(params, qbody, x, cfg=self.cfg,
+                                   compute_dtype=dtype,
+                                   quantize_u8=quantize_u8, s2d=s2d)
+        y = rrdb.apply(params, x, cfg=self.cfg, compute_dtype=dtype,
+                       s2d=s2d)
         if quantize_u8:
             y = jnp.clip(y * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
         return y
@@ -405,7 +410,13 @@ class UpscaleEngine:
     def _act_bytes(self, h: int, w: int) -> int:
         feat = getattr(self.cfg, "num_feat", 64)
         bpe = 2 if self.compute_dtype == jnp.bfloat16 else 4
-        per_elem = _INT8_BYTES_PER_ELEM if self._int8 \
+        # int8 shrinks the live SRVGG hidden buffers to 1 byte; RRDB's
+        # int8 trunk keeps FLOAT feature copies alive across the dense
+        # concats (dequant -> lrelu -> residual chains), so its fit
+        # accounting stays the calibrated bf16 formula (never smaller —
+        # OOM-safe)
+        per_elem = _INT8_BYTES_PER_ELEM \
+            if self._int8 and isinstance(self.cfg, srvgg.SRVGGConfig) \
             else bpe * _ACT_BUFFERS
         return h * w * feat * per_elem
 
@@ -723,7 +734,7 @@ class UpscaleEngine:
         x = self._place(
             np.ascontiguousarray(frames, np.uint8).astype(np.float32)
             / 255.0)
-        maxima = np.asarray(quantize.collect_act_maxima(
+        maxima = np.asarray(quantize.collect_maxima(
             self.params, x, cfg=self.cfg, compute_dtype=jnp.float32,
             percentile=self._calib_percentile))
         if self.calibration_hook is not None and not provisional:
@@ -734,8 +745,8 @@ class UpscaleEngine:
         from reve_tpu.weights import quantize
 
         # margin absorbs content hotter than the calibration batch
-        qbody = quantize.quantize_hidden(self.params, self.cfg,
-                                         np.asarray(maxima), margin=1.25)
+        qbody = quantize.build_qbody(self.params, self.cfg,
+                                     np.asarray(maxima), margin=1.25)
         if self._batch_sharding is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -798,11 +809,10 @@ class UpscaleEngine:
         x = self._place(
             np.ascontiguousarray(padded, np.uint8).astype(np.float32)
             / 255.0)
-        y8 = srvgg.apply_int8(self.params, self._qbody, x, cfg=self.cfg,
-                              compute_dtype=self.compute_dtype,
-                              quantize_u8=True)
-        yf = srvgg.apply(self.params, x, cfg=self.cfg,
-                         compute_dtype=jnp.float32, quantize_u8=True)
+        y8 = self._arch_apply(self.params, x, quantize_u8=True,
+                              qbody=self._qbody)
+        yf = self._arch_apply(self.params, x, quantize_u8=True,
+                              compute_dtype=jnp.float32)
         # dp-pad duplicates must not weight the certificate
         mse = jnp.mean(jnp.square(y8[:n_real].astype(jnp.float32)
                                   - yf[:n_real].astype(jnp.float32)))

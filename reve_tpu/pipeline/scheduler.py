@@ -284,9 +284,20 @@ def resolve_auto_dtype(make_engine, workspace: Workspace, state: JobState,
                       f"backend is {platform})")
     try:
         engine = make_engine("int8", state.opts.get("int8_calib", "p99.9"))
-    except ValueError as e:  # e.g. RRDB: no int8 path
+    except ValueError as e:  # an architecture without an int8 path
         return decide("bfloat16", None, None,
                       f"auto dtype: bfloat16 ({e})")
+    from reve_tpu.models import srvgg as _srvgg
+
+    if not isinstance(engine.cfg, _srvgg.SRVGGConfig):
+        # RRDB int8 exists but stays OPT-IN (--dtype int8): auto mode's
+        # certification would pay RRDB-scale f32+int8 whole-model compiles
+        # (minutes on this stack) before every job, and the int8 frontier
+        # is only measured for SRVGG (PERF.md) — auto keeps the exact path
+        return decide("bfloat16", None, None,
+                      "auto dtype: bfloat16 (int8 for this architecture "
+                      "is opt-in via --dtype int8; auto keeps the exact "
+                      "path)")
     try:
         db = certify_int8_on_input(engine, workspace, state,
                                    io_backend=io_backend)

@@ -1,4 +1,5 @@
-"""Post-training int8 quantization of the SRVGG hidden body (turbo mode).
+"""Post-training int8 quantization (turbo mode): the SRVGG hidden body,
+and the RRDB trunk in its own section below.
 
 The hidden stack (16 of the 18 convs, ~92% of FLOPs) runs as s8 x s8 -> s32
 convs on the MXU at ~2x the bf16 rate (measured 197 vs 122 TF/s for the
@@ -43,6 +44,14 @@ import jax
 import jax.numpy as jnp
 
 from reve_tpu.models import srvgg
+
+#: percentile statistics sort the whole tensor; at RRDB calibration scale
+#: (346 stats x up-to-720p batches) that is minutes of sort time for a
+#: statistic whose tail only needs ~thousands of samples.  Tensors larger
+#: than this are deterministically strided down to ~this many elements
+#: before the percentile (p99.9 of a 4M-sample still rests on ~4k tail
+#: points; max-statistics are never subsampled).
+_PCT_SAMPLE_CAP = 1 << 22
 
 
 @dataclasses.dataclass
@@ -149,3 +158,161 @@ def quantize_hidden(params: Dict[str, Any], cfg: srvgg.SRVGGConfig,
                          sw_last=sw_last,
                          b_last=jnp.asarray(params["convs"][-1]["b"],
                                             jnp.float32))
+
+
+# -- RRDB (dense-block) quantization -----------------------------------------
+#
+# RRDB's trunk (23 blocks x 3 RDBs x 5 convs + conv_body = 346 convs, ~92%
+# of the FLOPs — the head convs upsample at 2x/4x resolution but are only 4
+# convs) quantizes like the SRVGG hidden stack, with one structural twist:
+# every dense conv's input is a CHANNEL CONCAT of tensors with different
+# dynamic ranges (the RDB input plus the growth features).  A single
+# per-tensor scale over the concat would squeeze the quietest part onto a
+# few int8 codes, so each concatenated PART keeps its own symmetric scale
+# and the per-part scales are FOLDED into the weight slices before the
+# per-output-channel weight quantization:
+#
+#     y[o] = sum_ci x8[ci] * s_part(ci) * w[ci, o]
+#          = (x8 conv w8')[o] * sw[o],   w' = w * s_part(ci)
+#
+# (This differs from srvgg's measured-worse per-CHANNEL fold: here it is
+# 2-6 per-part scales per conv, not 64 per-channel ones, and the concat
+# structure makes it the only correct scalar-dequant scheme.)
+#
+# Stats layout (one |activation| stat per quantized tensor, classic
+# domain — s2d is a permutation so the scales transfer exactly):
+#   per block k, per rdb j: [rdb input, h1, h2, h3, h4]  (5 stats)
+#   final: conv_body input (the trunk output)            (1 stat)
+# Total: num_block * 15 + 1.  Residual adds, lrelu and the head run float.
+
+
+def rrdb_num_stats(cfg) -> int:
+    return cfg.num_block * 15 + 1
+
+
+def _stat(h, percentile):
+    a = jnp.abs(h.astype(jnp.float32))
+    if percentile is None:
+        return jnp.max(a)
+    flat = a.reshape(-1)
+    stride = max(1, flat.shape[0] // _PCT_SAMPLE_CAP)
+    return jnp.percentile(flat[::stride], percentile)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype",
+                                             "percentile"))
+def collect_act_maxima_rrdb(params: Dict[str, Any], x: jax.Array, *,
+                            cfg, compute_dtype=jnp.float32,
+                            percentile: float = None) -> jax.Array:
+    """Calibration forward over the RRDB trunk: (num_block * 15 + 1,)
+    |activation| stats in the layout documented above.  `x`: (B, H, W, C)
+    float in [0, 1] — representative frames (classic domain)."""
+    from reve_tpu.models import rrdb as rrdb_mod
+    from reve_tpu.ops.pixel_shuffle import pixel_unshuffle
+
+    h = x
+    if cfg.upscale == 2:
+        h = pixel_unshuffle(h, 2)
+    elif cfg.upscale == 1:
+        h = pixel_unshuffle(h, 4)
+    h = h.astype(compute_dtype)
+    feat = rrdb_mod._conv(h, params["conv_first"], compute_dtype)
+    stats = []
+    body = feat
+    for block in params["body"]:
+        b_in = body
+        out = b_in
+        for rdb_p in block["rdbs"]:
+            xin = out
+            stats.append(_stat(xin, percentile))
+            feats = [xin]
+            for i, conv in enumerate(rdb_p["convs"]):
+                g = rrdb_mod._conv(jnp.concatenate(feats, axis=-1), conv,
+                                   compute_dtype)
+                if i < 4:
+                    g = rrdb_mod._lrelu(g)
+                    stats.append(_stat(g, percentile))
+                feats.append(g)
+            out = feats[-1] * jnp.asarray(0.2, compute_dtype) + xin
+        body = out * jnp.asarray(0.2, compute_dtype) + b_in
+    stats.append(_stat(body, percentile))
+    return jnp.stack(stats)
+
+
+def quantize_rrdb(params: Dict[str, Any], cfg, act_maxima,
+                  margin: float = 1.0) -> Dict[str, Any]:
+    """Build the int8 RRDB trunk from f32 params + calibration stats.
+
+    Returns a plain-pytree dict:
+      body: per block, per rdb: {"w8": [5], "sw": [5], "b": [5]}
+        (classic-domain HWIO int8 kernels with the per-part activation
+        scales already folded; sw = per-output-channel dequant scale)
+      conv_body: {"w8", "sw", "b"}
+      act_scale: (num_block * 15 + 1,) f32 — quant scale per tensor in
+        the collect_act_maxima_rrdb layout.
+    """
+    n = rrdb_num_stats(cfg)
+    act_maxima = jnp.asarray(act_maxima, jnp.float32)
+    if act_maxima.shape != (n,):
+        raise ValueError(f"act_maxima must be ({n},), got "
+                         f"{act_maxima.shape}")
+    act_scale = jnp.maximum(act_maxima * float(margin), 1e-8) / 127.0
+    nf, gc = cfg.num_feat, cfg.num_grow_ch
+
+    def _qw_folded(w, part_scales, part_channels):
+        w = jnp.asarray(w, jnp.float32)
+        sc = jnp.concatenate([
+            jnp.full((c,), s, jnp.float32)
+            for s, c in zip(part_scales, part_channels)
+        ])
+        wf = w * sc[None, None, :, None]
+        s = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)), 1e-12) / 127.0
+        return (jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8), s)
+
+    body = []
+    si = 0
+    for block in params["body"]:
+        rdbs = []
+        for rdb_p in block["rdbs"]:
+            scales = act_scale[si:si + 5]  # [x, h1, h2, h3, h4]
+            si += 5
+            w8, sw, b = [], [], []
+            for i, conv in enumerate(rdb_p["convs"]):
+                q, s = _qw_folded(conv["w"], [scales[k] for k in range(i + 1)],
+                                  [nf] + [gc] * i)
+                w8.append(q)
+                sw.append(s)
+                b.append(jnp.asarray(conv["b"], jnp.float32))
+            rdbs.append({"w8": w8, "sw": sw, "b": b})
+        body.append(rdbs)
+    q, s = _qw_folded(params["conv_body"]["w"], [act_scale[si]], [nf])
+    assert si == n - 1, (si, n)
+    return {
+        "body": body,
+        "conv_body": {"w8": q, "sw": s,
+                      "b": jnp.asarray(params["conv_body"]["b"],
+                                       jnp.float32)},
+        "act_scale": act_scale,
+    }
+
+
+# -- model dispatch (the engine is model-agnostic) ----------------------------
+
+
+def collect_maxima(params, x, *, cfg, compute_dtype=jnp.float32,
+                   percentile: float = None):
+    """Calibration stats for any supported architecture."""
+    if isinstance(cfg, srvgg.SRVGGConfig):
+        return collect_act_maxima(params, x, cfg=cfg,
+                                  compute_dtype=compute_dtype,
+                                  percentile=percentile)
+    return collect_act_maxima_rrdb(params, x, cfg=cfg,
+                                   compute_dtype=compute_dtype,
+                                   percentile=percentile)
+
+
+def build_qbody(params, cfg, act_maxima, margin: float = 1.0):
+    """Quantized-body pytree for any supported architecture."""
+    if isinstance(cfg, srvgg.SRVGGConfig):
+        return quantize_hidden(params, cfg, act_maxima, margin=margin)
+    return quantize_rrdb(params, cfg, act_maxima, margin=margin)

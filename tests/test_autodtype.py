@@ -201,7 +201,9 @@ def test_auto_dtype_falls_back_on_non_srvgg(tmp_path, monkeypatch):
     dtype, engine, db, notes = scheduler.resolve_auto_dtype(
         rrdb_factory, ws, st, io_backend="y4m")
     assert (dtype, engine, db) == ("bfloat16", None, None)
-    assert "SRVGG" in notes[0]
+    # RRDB has an int8 path since round-4 session 3, but auto never picks
+    # it (opt-in via --dtype int8; see resolve_auto_dtype)
+    assert "opt-in" in notes[0]
 
 
 def test_auto_dtype_fails_safe_on_cert_error(tmp_path, monkeypatch):

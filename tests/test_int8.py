@@ -101,10 +101,126 @@ def test_engine_int8_warmup_recalibrates_on_real_frames():
     np.testing.assert_array_equal(out, ref)
 
 
-def test_engine_int8_rejects_rrdb():
-    with pytest.raises(ValueError, match="SRVGG"):
-        UpscaleEngine(model="realesrgan-x4plus", scale=4,
-                      compute_dtype="int8")
+# -- RRDB int8 (round-4 extension: every model family has a turbo path) ------
+
+
+@pytest.fixture(scope="module")
+def small_rrdb():
+    from reve_tpu.models import rrdb
+
+    cfg = rrdb.RRDBConfig(num_feat=16, num_block=2, num_grow_ch=8,
+                          upscale=4)
+    params = rrdb.init_params(jax.random.key(0), cfg)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(2, 18, 24, 3).astype(np.float32))
+    return cfg, params, x
+
+
+def test_rrdb_quantization_layout(small_rrdb):
+    """Stats count = num_block * 15 + 1; per-part activation scales are
+    folded into int8 kernels quantized per output channel."""
+    from reve_tpu.models import rrdb
+
+    cfg, params, x = small_rrdb
+    maxima = quantize.collect_act_maxima_rrdb(params, x, cfg=cfg)
+    assert maxima.shape == (quantize.rrdb_num_stats(cfg),) == (31,)
+    qb = quantize.quantize_rrdb(params, cfg, maxima)
+    assert np.asarray(qb["act_scale"]).shape == (31,)
+    rdb0 = qb["body"][0][0]
+    for i in range(5):
+        q = np.asarray(rdb0["w8"][i])
+        assert q.dtype == np.int8 and q.min() >= -127
+        cin = cfg.num_feat + i * cfg.num_grow_ch
+        cout = cfg.num_grow_ch if i < 4 else cfg.num_feat
+        assert q.shape == (3, 3, cin, cout)
+        # symmetric per-out-channel max scaling saturates every channel
+        assert np.abs(q).max(axis=(0, 1, 2)).min() == 127
+    assert np.asarray(qb["conv_body"]["w8"]).dtype == np.int8
+    with pytest.raises(ValueError, match="act_maxima"):
+        quantize.quantize_rrdb(params, cfg, np.ones(7))
+
+
+def test_rrdb_apply_int8_close_to_f32_and_s2d_classic_agree(small_rrdb):
+    from reve_tpu.models import rrdb
+
+    cfg, params, x = small_rrdb
+    qb = quantize.quantize_rrdb(
+        params, cfg, quantize.collect_act_maxima_rrdb(params, x, cfg=cfg))
+    ref = np.asarray(rrdb.apply(params, x, cfg=cfg,
+                                compute_dtype=jnp.float32))
+    outs = {}
+    for s2d in (True, False):
+        got = np.asarray(rrdb.apply_int8(params, qb, x, cfg=cfg,
+                                         compute_dtype=jnp.float32,
+                                         s2d=s2d))
+        assert got.shape == ref.shape
+        mse = float(np.mean((ref - got) ** 2))
+        psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+        assert psnr > 45.0, f"s2d={s2d}: {psnr:.1f} dB"
+        outs[s2d] = got
+    # trunk convs are exact integer math in both domains; only the float
+    # conv_first / head convs can differ (reduction order)
+    np.testing.assert_allclose(outs[True], outs[False], atol=2e-5)
+
+
+@pytest.mark.slow
+def test_engine_int8_rrdb_end_to_end_certify_and_persistence(tmp_path):
+    """The full engine contract SRVGG's turbo mode has, on RRDB: close to
+    f32, certifiable, and calibration scales persist/inject verbatim."""
+    from reve_tpu.models import rrdb
+
+    cfg = rrdb.RRDBConfig(num_feat=16, num_block=2, num_grow_ch=8,
+                          upscale=4)
+    params = rrdb.init_params(jax.random.key(1), cfg)
+    rs = np.random.RandomState(1)
+    frames = rs.randint(0, 256, (2, 18, 24, 3), np.uint8)
+    e8 = UpscaleEngine(scale=4, batch_size=2, compute_dtype="int8",
+                       preloaded=(cfg, params))
+    ef = UpscaleEngine(scale=4, batch_size=2, compute_dtype="float32",
+                       preloaded=(cfg, params))
+    o8 = e8.upscale_frames(frames)
+    of = ef.upscale_frames(frames)
+    assert o8.shape == of.shape == (2, 72, 96, 3)
+    mse = np.mean((o8.astype(np.float64) - of.astype(np.float64)) ** 2)
+    assert 10 * np.log10(255.0 ** 2 / mse) > 45.0
+    db = e8.certify_int8(frames)
+    assert db > 45.0
+    cal = e8.get_calibration()
+    assert cal is not None and len(cal) == 31
+    # injected scales reproduce the output byte-for-byte (resume contract)
+    e2 = UpscaleEngine(scale=4, batch_size=2, compute_dtype="int8",
+                       preloaded=(cfg, params))
+    e2.set_calibration(cal)
+    np.testing.assert_array_equal(e2.upscale_frames(frames), o8)
+
+
+def test_auto_dtype_rrdb_stays_exact(tmp_path):
+    """Auto mode never turns RRDB jobs int8 (the turbo path is opt-in for
+    this family): the resolver decides bfloat16 with an explanatory note
+    even on an eligible TPU-like platform."""
+    from reve_tpu.models import rrdb
+    from reve_tpu.pipeline import scheduler, state as state_mod
+    from reve_tpu.pipeline.planner import plan_segments
+
+    cfg = rrdb.RRDBConfig(num_feat=16, num_block=1, num_grow_ch=8,
+                          upscale=4)
+    params = rrdb.init_params(jax.random.key(0), cfg)
+
+    def make_engine(dtype, calib):
+        return UpscaleEngine(scale=4, batch_size=2, compute_dtype=dtype,
+                             int8_calib=calib, preloaded=(cfg, params))
+
+    ws = state_mod.Workspace(str(tmp_path / "ws"))
+    ws.create()
+    st = state_mod.JobState(
+        input_path="unused.y4m", output_path=str(tmp_path / "o.y4m"),
+        scale=4, segment_size=8, frame_count=8, fps_num=24, fps_den=1,
+        width=24, height=18, pending=plan_segments(8, 8),
+    )
+    dtype, engine, db, notes = scheduler.resolve_auto_dtype(
+        make_engine, ws, st, platform="tpu")
+    assert dtype == "bfloat16" and engine is None and db is None
+    assert any("opt-in" in n for n in notes)
 
 
 @pytest.mark.slow
