@@ -34,6 +34,14 @@ Usage: python bench.py [--report] [--paths xla,int8] [--budget SECONDS]
        [--4k]   (measure the 4K-input corner instead: whole-frame b2/b1)
 """
 
+import os as _os
+
+# benchmarks/dry runs measure FLOPs, not trained quality: opt into the
+# deterministic random-init fallback (the product itself refuses to run
+# without weights; see reve_tpu.models.registry.MissingWeightsError)
+_os.environ.setdefault("REVE_TPU_ALLOW_RANDOM_INIT", "1")
+
+
 import json
 import sys
 import time

@@ -19,6 +19,29 @@ import os
 from typing import Optional
 
 
+def _random_init_allowed(explicit_flag: bool) -> bool:
+    from reve_tpu.models import registry
+
+    return registry.random_init_allowed(True if explicit_flag else None)
+
+
+def _check_weights(model, scale, weights, allow_random_init) -> None:
+    """Raise registry.MissingWeightsError before any workspace/decode work
+    when a job has no weights and random init was not opted into (the
+    CLI's _require_weights pre-flight, as a library contract)."""
+    from reve_tpu.models import registry
+
+    if weights or registry.random_init_allowed(
+            True if allow_random_init else None):
+        return
+    if registry.resolve_weights(model, scale) is None:
+        spec, _ = registry.parse_model_name(model)
+        stem = spec.canonical if spec.upscale is not None else \
+            f"{spec.canonical}-x{scale}"
+        raise registry.MissingWeightsError(
+            registry.missing_weights_message(model, scale, stem))
+
+
 def _resolve_device_index(device):
     """int -> jax.devices()[i] with a contextual range check (negative
     indices would silently wrap to a different accelerator)."""
@@ -58,6 +81,7 @@ def upscale_video(
     device=None,
     mesh=None,
     compile_attempts: Optional[int] = None,
+    allow_random_init: bool = False,
 ) -> dict:
     """Upscale a video through the full segmented, resumable pipeline.
 
@@ -84,6 +108,14 @@ def upscale_video(
     `compile_attempts`: best-of-N fresh compiles per resolution (the
     compile-lottery mitigation, PERF.md).  None = auto: 2 on TPU for jobs
     >= 200 frames, else 1; REVE_TPU_COMPILE_ATTEMPTS overrides.
+
+    `allow_random_init`: run with deterministic random weights when no
+    trained weights resolve (tests/benchmarks only — the output is NOT a
+    trained upscale).  Default False: missing weights raise
+    registry.MissingWeightsError BEFORE any workspace or decode, matching
+    the replaced engine's hard failure on absent model files
+    (reve-shared/src/lib.rs:140-143).  REVE_TPU_ALLOW_RANDOM_INIT=1 is the
+    env-var equivalent.
     """
     from fractions import Fraction
 
@@ -106,8 +138,11 @@ def upscale_video(
     if input_path.lower().endswith(".mkv") and \
             not output_path.lower().endswith(".mkv"):
         raise ValueError("mkv input requires mkv output")
-
     ws = Workspace(workspace or output_path + ".revework")
+    if not (resume and ws.has_state()):
+        # an interrupted workspace defers to the resume path, whose saved
+        # opts restore the original weights / random-init opt-in
+        _check_weights(model, scale, weights, allow_random_init)
     if not ws.acquire_owner():
         raise RuntimeError(
             f"another live process is already working on this "
@@ -134,6 +169,10 @@ def upscale_video(
                     f"(interpolated weights); resume it via the CLI with the "
                     f"original flags, or remove the workspace to start fresh")
             weights = state.opts.get("weights", weights)
+            # pre-requirement state files ran under the implicit fallback
+            allow_random_init = state.opts.get(
+                "allow_random_init",
+                allow_random_init or not state.opts.get("weights"))
             dtype = state.opts.get("dtype", dtype)
             int8_calib = state.opts.get("int8_calib", int8_calib)
             tta = state.opts.get("tta", False)
@@ -176,7 +215,11 @@ def upscale_video(
                 model=model,
                 opts={"weights": weights, "dtype": dtype,
                       "int8_calib": int8_calib, "tta": tta,
-                      "io_backend": io_backend},
+                      "io_backend": io_backend,
+                      # persist the opt-in (env or kwarg) so a resumed call
+                      # continues the decision the job was started with
+                      "allow_random_init": _random_init_allowed(
+                          allow_random_init)},
             )
         ws.save(state)
 
@@ -186,7 +229,8 @@ def upscale_video(
                                  tile=tile, compute_dtype=d,
                                  int8_calib=calib, tta=tta, device=device,
                                  mesh=mesh,
-                                 compile_attempts=compile_attempts)
+                                 compile_attempts=compile_attempts,
+                                 allow_random_init=allow_random_init or None)
 
         engine = None
         if dtype == "auto":
@@ -246,6 +290,7 @@ def upscale_image(
     dtype: str = "bfloat16",
     tta: bool = False,
     device=None,
+    allow_random_init: bool = False,
 ) -> tuple:
     """Upscale one image file; returns the output (width, height).
 
@@ -253,12 +298,16 @@ def upscale_image(
     keep their layout/bit depth (io/image.py — the replaced ncnn engine's
     still-image channel semantics); alpha requires a png/webp output.
     `device`: a jax.Device or jax.devices() index to pin to.
+    `allow_random_init`: as in upscale_video — without it (or
+    REVE_TPU_ALLOW_RANDOM_INIT=1), missing weights raise
+    registry.MissingWeightsError.
     """
     import cv2
 
     from reve_tpu.io import image as image_mod
     from reve_tpu.pipeline.engine import UpscaleEngine
 
+    _check_weights(model, scale, weights, allow_random_init)
     img = cv2.imread(input_path, cv2.IMREAD_UNCHANGED)
     if img is None:
         raise ValueError(f"cannot decode image {input_path!r}")
@@ -271,7 +320,8 @@ def upscale_image(
     device = _resolve_device_index(device)
     engine = UpscaleEngine(model=model, scale=scale, weights=weights,
                            batch_size=1, tile=tile, compute_dtype=dtype,
-                           tta=tta, device=device)
+                           tta=tta, device=device,
+                           allow_random_init=allow_random_init or None)
     err, dims = image_mod.upscale_image_file(engine, input_path,
                                              output_path, img=img)
     if err is not None:

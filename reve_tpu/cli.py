@@ -215,6 +215,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "ncnn engine's -m model-path switch).  Replaces "
                         "the default search path ($REVE_TPU_MODELS_DIR, "
                         "then ./models); an explicit --weights wins")
+    p.add_argument("--allow-random-init", action="store_true",
+                   dest="allow_random_init",
+                   help="run with deterministic RANDOM weights when no "
+                        "trained weights resolve for --model (tests/"
+                        "benchmarks only: the output will NOT be a trained "
+                        "upscale).  Without this flag (or "
+                        "REVE_TPU_ALLOW_RANDOM_INIT=1) a job with no "
+                        "weights refuses to start — the engine this "
+                        "framework replaces fails hard when its model "
+                        "files are absent")
     p.add_argument("--compile-attempts", type=_positive_int(
                    "compile-attempts"), default=None, metavar="N",
                    help="best-of-N fresh compiles per resolution, keeping "
@@ -271,6 +281,12 @@ def _confirm(prompt: str, assume_yes: bool) -> bool:
     return answer in ("", "y", "yes")
 
 
+def _random_init_allowed() -> bool:
+    from reve_tpu.models import registry
+
+    return registry.random_init_allowed()
+
+
 def _fresh_state(args) -> JobState:
     from reve_tpu.io import probe
 
@@ -314,6 +330,10 @@ def _fresh_state(args) -> JobState:
             "int8_calib": args.int8_calib,
             "tta": args.tta,
             "io_backend": args.io_backend,
+            # persist the random-init opt-in: a resume continues the
+            # decision the job was STARTED with (like every other opt)
+            "allow_random_init": bool(
+                args.allow_random_init or _random_init_allowed()),
         },
     )
 
@@ -337,13 +357,17 @@ def run(argv: Optional[List[str]] = None) -> int:
                                  else (2, 3, 4))
                      if registry.resolve_weights(name, s, dirs)]
             w = (f"weights: x{'/x'.join(map(str, found))}" if found
-                 else "weights: none (random-init fallback)")
+                 else "weights: none (jobs refuse to start; "
+                      "--allow-random-init to override)")
             print(f"{name}  [{spec.arch}, x{scales}]  {w}")
         return 0
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(message)s")
 
     err = _apply_models_dir(args)
+    if err is not None:
+        return err
+    err = _require_weights(args)
     if err is not None:
         return err
     if args.dtype not in ("int8", "auto") and args.int8_calib is not None:
@@ -442,8 +466,14 @@ def run(argv: Optional[List[str]] = None) -> int:
                 # XLA - PERF.md round 3)
                 # jobs started before the --tta flag existed ran without it
                 state.opts.setdefault("tta", False)
+                # jobs started before weights became a product requirement
+                # predate the opt-in flag; they ran under the old implicit
+                # fallback, so a resume honors that
+                state.opts.setdefault("allow_random_init",
+                                      not state.opts.get("weights"))
                 for key in ("weights", "weights_wdn", "denoise", "dtype",
-                            "int8_calib", "tta", "io_backend"):
+                            "int8_calib", "tta", "io_backend",
+                            "allow_random_init"):
                     if key in state.opts and \
                             getattr(args, key) != state.opts[key]:
                         if key == "dtype" and args.dtype == "auto":
@@ -482,6 +512,11 @@ def run(argv: Optional[List[str]] = None) -> int:
                 if not _confirm("discard previous progress and start over?",
                                 args.yes):
                     return 1
+                # starting fresh: the weights pre-flight deferred to the
+                # saved opts, which are being discarded — re-check now
+                err = _require_weights(args, skip_if_resumable=False)
+                if err is not None:
+                    return err
                 ws.create(keep_parts=False)
                 state = _fresh_state(args)
         else:
@@ -509,10 +544,19 @@ def run(argv: Optional[List[str]] = None) -> int:
                 int8_calib=int8_calib, tta=args.tta, device=device,
                 mesh=mesh, preloaded=preloaded,
                 compile_attempts=args.compile_attempts,
+                allow_random_init=args.allow_random_init or None,
             )
+
+        import time as _time
+
+        from reve_tpu.utils import trace as trace_mod
+
+        tracer = trace_mod.Tracer(args.trace) if args.trace else \
+            trace_mod.from_env()
 
         engine = None
         int8_db = None
+        resolve_s = None
         if args.dtype == "auto":
             # pick the certified int8 turbo when it clears the on-content
             # quality gate, else bf16 (scheduler.resolve_auto_dtype); the
@@ -520,10 +564,14 @@ def run(argv: Optional[List[str]] = None) -> int:
             platform = (mesh.devices.flat[0].platform if mesh is not None
                         else device.platform if device is not None
                         else None)
+            resolve_t0 = _time.monotonic()
             args.dtype, engine, int8_db, notes = \
                 scheduler.resolve_auto_dtype(
                     make_engine, ws, state, io_backend=args.io_backend,
-                    gate_db=args.int8_gate, platform=platform)
+                    gate_db=args.int8_gate, platform=platform,
+                    on_note=lambda m: print(m, file=sys.stderr, flush=True),
+                    tracer=tracer)
+            resolve_s = _time.monotonic() - resolve_t0
             for msg in notes:
                 print(msg, file=sys.stderr)
             state.opts["dtype"] = args.dtype
@@ -552,15 +600,9 @@ def run(argv: Optional[List[str]] = None) -> int:
             on_update=TeeRenderer(renderer, jsonl),
             source_fps=state.fps_num / max(state.fps_den, 1),
         )
-        from reve_tpu.utils import trace as trace_mod
-
-        tracer = trace_mod.Tracer(args.trace) if args.trace else \
-            trace_mod.from_env()
         profile_ctx = trace_mod.device_profile(args.profile_dir)
 
         encoder_desc = None
-        import time as _time
-
         run_t0 = _time.monotonic()
         if args.shard_worker:
             from reve_tpu.pipeline import leases
@@ -631,6 +673,10 @@ def run(argv: Optional[List[str]] = None) -> int:
         path_note = f", path: {args.dtype}"
         if args.dtype == "int8" and int8_db is not None:
             path_note = f", path: int8 turbo ({int8_db:.1f} dB certified)"
+        if resolve_s is not None:
+            # the auto-resolution pre-pass ran before the progress tracker
+            # existed; its wall time belongs in the job's accounting
+            path_note += f", auto-resolve {resolve_s:.1f} s"
         print(f"\ndone: {state.output_path} (concat backend: "
               f"{report['backend']}{enc_note}{path_note}{rate_note})",
               file=sys.stderr)
@@ -742,6 +788,41 @@ def _resolve_device(args):
     return None, Mesh(np.array([devs[i] for i in idxs]), ("dp",)), None
 
 
+def _require_weights(args, skip_if_resumable: bool = True) -> Optional[int]:
+    """Weights are a product requirement: the engine this framework
+    replaces cannot run without its model files (realesrgan-ncnn-vulkan
+    errors out when models/<name>.{param,bin} are absent; the hardcoded
+    model the reference loads is reve-shared/src/lib.rs:140-143).  A
+    random-init 'upscale' is hours of compute emitting plausible-looking
+    garbage, so it is an explicit opt-in (--allow-random-init /
+    REVE_TPU_ALLOW_RANDOM_INIT=1), never a fallback.  Runs BEFORE any
+    workspace/probe/decode so a weightless invocation fails immediately.
+
+    `skip_if_resumable`: an existing interrupted workspace defers the check
+    to the resume path — the saved opts are the contract (they restore the
+    original --weights / opt-in like the reference's args.temp,
+    main.rs:92-101); a 'start fresh' answer re-runs this check."""
+    from reve_tpu.models import registry
+
+    if args.weights or registry.random_init_allowed(
+            True if args.allow_random_init else None):
+        return None
+    if skip_if_resumable and \
+            not args.inputpath.lower().endswith(IMAGE_EXTS) and \
+            not os.path.isdir(args.inputpath) and \
+            Workspace(args.workspace or
+                      args.outputpath + ".revework").has_state():
+        return None
+    if registry.resolve_weights(args.model, args.scale) is not None:
+        return None
+    spec, _ = registry.parse_model_name(args.model)
+    stem = spec.canonical if spec.upscale is not None else \
+        f"{spec.canonical}-x{args.scale}"
+    print(registry.missing_weights_message(args.model, args.scale, stem),
+          file=sys.stderr)
+    return 2
+
+
 def _apply_models_dir(args) -> Optional[int]:
     """--models-dir DIR: resolve --model's weights from DIR into
     args.weights (the ncnn engine's `-m model-path`).  An explicitly
@@ -791,6 +872,7 @@ def _image_engine(args):
         int8_calib=args.int8_calib, tta=args.tta,
         device=device,
         preloaded=preloaded,
+        allow_random_init=args.allow_random_init or None,
     ), None
 
 

@@ -10,8 +10,14 @@ Weight resolution order:
   1. explicit `weights=` path (.pth, or .param with sibling .bin)
   2. `<models_dir>/<canonical-name>.{pth,param+bin}` for each dir in
      REVE_TPU_MODELS_DIR / ./models
-  3. deterministic random init (seed 0) with a loud warning — correctness
-     and perf paths still run; output is not a trained upscale.
+  3. no weights -> MissingWeightsError.  The reference cannot run without
+     its model files (realesrgan-ncnn-vulkan loads
+     models/realesr-animevideov3-x2.{param,bin} and errors out when they
+     are absent; reve-shared/src/lib.rs:140-143 names the model the binary
+     must load), and a random-init "upscale" is hours of compute emitting
+     plausible-looking garbage.  Deterministic random init (seed 0) is an
+     explicit OPT-IN for tests/benchmarks/dry runs: pass
+     allow_random_init=True or set REVE_TPU_ALLOW_RANDOM_INIT=1.
 """
 
 from __future__ import annotations
@@ -26,6 +32,44 @@ import jax
 from reve_tpu.models.srvgg import SRVGGConfig, init_params
 
 log = logging.getLogger(__name__)
+
+
+class MissingWeightsError(FileNotFoundError):
+    """No weights resolve for a requested model and random init was not
+    explicitly allowed.  Product entry points (CLI/service/API) surface
+    this message verbatim; it names the model, the searched path, and how
+    to supply weights."""
+
+
+def random_init_allowed(explicit=None) -> bool:
+    """Is the random-init fallback permitted?  `explicit` (a caller's
+    allow_random_init argument) wins when not None; otherwise the
+    REVE_TPU_ALLOW_RANDOM_INIT env var decides (unset/falsy -> False)."""
+    if explicit is not None:
+        return bool(explicit)
+    env = os.environ.get("REVE_TPU_ALLOW_RANDOM_INIT")
+    if env is None:
+        return False
+    return env.strip().lower() not in ("0", "", "off", "false", "no")
+
+
+def missing_weights_message(name: str, scale, stem: str,
+                            dirs=None) -> str:
+    """The one user-facing explanation for 'no weights' — shared by the
+    CLI's pre-flight refusal and MissingWeightsError so the two surfaces
+    can never drift."""
+    searched = list(dirs) if dirs is not None else _search_dirs()
+    return (
+        f"no weights found for model {name!r}: searched "
+        f"{searched} for {stem + '.pth'!r} or "
+        f"{stem + '.param'!r}+'.bin'.  Supply weights with "
+        f"--weights FILE or -m/--models-dir DIR (CLI), weights=/"
+        f"models_dir (API/service), or $REVE_TPU_MODELS_DIR.  To run "
+        f"with deterministic RANDOM weights instead (output will NOT "
+        f"be a trained upscale — tests/benchmarks only), pass "
+        f"--allow-random-init / allow_random_init=True or set "
+        f"REVE_TPU_ALLOW_RANDOM_INIT=1"
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -124,18 +168,25 @@ def resolve_weights(name: str, scale: Optional[int] = None,
 
 
 def load_model(name: str, scale: Optional[int] = None,
-               weights: Optional[str] = None):
+               weights: Optional[str] = None,
+               allow_random_init: Optional[bool] = None):
     """Resolve a model name (+ requested scale) to (cfg, params).
 
     Returns (SRVGGConfig, params) for srvgg archs; ("rrdb" specs resolve via
     reve_tpu.models.rrdb once weights are provided).
+
+    Raises MissingWeightsError when no weights resolve, unless random init
+    is explicitly allowed (`allow_random_init=True` or
+    REVE_TPU_ALLOW_RANDOM_INIT=1) — the reference fails hard without its
+    model files (reve-shared/src/lib.rs:140-143).
     """
     spec, name_scale = parse_model_name(name)
     scale = scale or name_scale or 2
     if spec.arch != "srvgg":
         from reve_tpu.models import rrdb
 
-        return rrdb.load_model(spec, scale, weights)
+        return rrdb.load_model(spec, scale, weights,
+                               allow_random_init=allow_random_init)
 
     stem = spec.canonical
     if spec.upscale is None:
@@ -152,6 +203,9 @@ def load_model(name: str, scale: Optional[int] = None,
         found = _find_weight_files(stem) or _find_weight_files(spec.canonical)
 
     if found is None:
+        if not random_init_allowed(allow_random_init):
+            raise MissingWeightsError(
+                missing_weights_message(name, scale, stem))
         log.warning(
             "no weights found for %s (searched %s); using deterministic "
             "random init — output will not be a trained upscale",

@@ -394,8 +394,13 @@ def load_pth(path: str):
     return cfg, params
 
 
-def load_model(spec, scale: int, weights=None):
-    """Registry hook (reve_tpu.models.registry.load_model for rrdb arch)."""
+def load_model(spec, scale: int, weights=None, allow_random_init=None):
+    """Registry hook (reve_tpu.models.registry.load_model for rrdb arch).
+
+    Same missing-weights contract as the srvgg path: no resolvable weights
+    is an error unless random init is explicitly allowed (the reference
+    engine fails hard without model files, reve-shared/src/lib.rs:140-143).
+    """
     import logging
     import os
 
@@ -420,6 +425,13 @@ def load_model(spec, scale: int, weights=None):
                 f"requested x{scale}"
             )
         return cfg, params
+    from reve_tpu.models.registry import (MissingWeightsError,
+                                          missing_weights_message,
+                                          random_init_allowed)
+
+    if not random_init_allowed(allow_random_init):
+        raise MissingWeightsError(
+            missing_weights_message(spec.canonical, scale, spec.canonical))
     log.warning(
         "no weights for %s; using deterministic random init", spec.canonical
     )

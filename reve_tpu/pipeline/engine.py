@@ -280,6 +280,7 @@ class UpscaleEngine:
         preloaded=None,
         compiler_options="auto",
         compile_attempts: Optional[int] = None,
+        allow_random_init: Optional[bool] = None,
     ):
         """`mesh`: a jax.sharding.Mesh with a 'dp' axis to shard each batch
         of frames across devices (frames are independent — pure data
@@ -296,11 +297,18 @@ class UpscaleEngine:
         `compile_attempts`: best-of-N fresh compiles per resolution to
         dodge the compile lottery (see auto_compile_attempts).  None =
         REVE_TPU_COMPILE_ATTEMPTS env var, else 1.  Callers that know the
-        job length (cli/api) set this via auto_compile_attempts()."""
+        job length (cli/api) set this via auto_compile_attempts().
+
+        `allow_random_init`: permit the deterministic random-init fallback
+        when no weights resolve (tests/benchmarks).  None (default) defers
+        to REVE_TPU_ALLOW_RANDOM_INIT; without either, missing weights
+        raise registry.MissingWeightsError — the product never silently
+        upscales with untrained weights."""
         if preloaded is not None:  # (cfg, params), e.g. dni-interpolated
             self.cfg, self.params = preloaded
         else:
-            self.cfg, self.params = registry.load_model(model, scale, weights)
+            self.cfg, self.params = registry.load_model(
+                model, scale, weights, allow_random_init=allow_random_init)
         self.scale = self.cfg.upscale
         self.batch_size = batch_size
         self.tile = tile
@@ -410,14 +418,19 @@ class UpscaleEngine:
     def _act_bytes(self, h: int, w: int) -> int:
         feat = getattr(self.cfg, "num_feat", 64)
         bpe = 2 if self.compute_dtype == jnp.bfloat16 else 4
-        # int8 shrinks the live SRVGG hidden buffers to 1 byte; RRDB's
-        # int8 trunk keeps FLOAT feature copies alive across the dense
-        # concats (dequant -> lrelu -> residual chains), so its fit
-        # accounting stays the calibrated bf16 formula (never smaller —
-        # OOM-safe)
-        per_elem = _INT8_BYTES_PER_ELEM \
-            if self._int8 and isinstance(self.cfg, srvgg.SRVGGConfig) \
-            else bpe * _ACT_BUFFERS
+        # int8 shrinks the live SRVGG hidden buffers to 1 byte.  RRDB's
+        # int8 trunk keeps FLOAT32 feature copies alive across the dense
+        # concats (rrdb.apply_int8: dequant -> lrelu -> residual chains
+        # stay f32), so its trunk term is billed at the f32 bpe — larger
+        # than the bf16 formula, never smaller (round-4 ADVICE #4; the
+        # RRDB fit boundary itself was calibrated on bf16 runs where
+        # _epi_bytes dominates, so the f32 trunk term only adds margin)
+        if self._int8:
+            per_elem = (_INT8_BYTES_PER_ELEM
+                        if isinstance(self.cfg, srvgg.SRVGGConfig)
+                        else 4 * _ACT_BUFFERS)
+        else:
+            per_elem = bpe * _ACT_BUFFERS
         return h * w * feat * per_elem
 
     def _epi_bytes(self, h: int, w: int) -> int:

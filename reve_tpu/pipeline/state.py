@@ -292,7 +292,24 @@ class Workspace:
         mutex = self.owner_path + ".steal"
         try:
             st = os.stat(mutex)
-            if time.time() - st.st_mtime > 30.0:
+            # Same-clock staleness (round-4 ADVICE #2): stamp a probe file
+            # on the SAME mount and compare its server-assigned mtime to
+            # the mutex's — this fallback runs exactly where client/server
+            # clocks can skew (network mounts), and a local-clock
+            # comparison could reap a LIVE stealer's mutex.  The probe
+            # only exists for the stat; local time.time() is the fallback
+            # when the mount refuses the write, with a threshold far above
+            # any plausible skew + the sub-second steal critical section.
+            probe = f"{mutex}.probe.{os.getpid()}"
+            try:
+                with open(probe, "w"):
+                    pass
+                now = os.stat(probe).st_mtime
+                os.unlink(probe)
+                stale = now - st.st_mtime > 30.0
+            except OSError:
+                stale = time.time() - st.st_mtime > 300.0
+            if stale:
                 # a stealer crashed mid-steal; at most one contender's
                 # rmdir succeeds, and the re-mkdir below re-arbitrates
                 try:

@@ -345,10 +345,14 @@ class JobManager:
                 # policy + measurement as the CLI's --dtype auto); the
                 # RESOLVED dtype is persisted so a resubmit/resume runs
                 # the same path as the committed segments
+                # live visibility while the (possibly minutes-long)
+                # certification runs: the pre-note shows in the job's
+                # dtype_note until the final notes replace it
                 dtype, _, db, notes = scheduler.resolve_auto_dtype(
                     lambda d, c: self._get_engine(job.model, job.scale,
                                                   d, c, job.tta),
-                    ws, st, io_backend=io_backend)
+                    ws, st, io_backend=io_backend,
+                    on_note=lambda m: setattr(job, "dtype_note", m))
                 job.dtype = dtype
                 job.dtype_note = "; ".join(notes)
                 if db is not None and dtype == "int8":

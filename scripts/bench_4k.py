@@ -12,6 +12,14 @@ Usage: python scripts/bench_4k.py [--dtypes bf16,int8] [--tiles 0,512,768,1024]
            [--iters N] [--scale 4]
 """
 
+import os as _os
+
+# benchmarks/dry runs measure FLOPs, not trained quality: opt into the
+# deterministic random-init fallback (the product itself refuses to run
+# without weights; see reve_tpu.models.registry.MissingWeightsError)
+_os.environ.setdefault("REVE_TPU_ALLOW_RANDOM_INIT", "1")
+
+
 import json
 import os
 import sys

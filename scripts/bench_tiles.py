@@ -7,6 +7,14 @@ Run on TPU: `python scripts/bench_tiles.py [--int8]` (--int8 adds the
 turbo-mode rows; see PERF.md).
 """
 
+import os as _os
+
+# benchmarks/dry runs measure FLOPs, not trained quality: opt into the
+# deterministic random-init fallback (the product itself refuses to run
+# without weights; see reve_tpu.models.registry.MissingWeightsError)
+_os.environ.setdefault("REVE_TPU_ALLOW_RANDOM_INIT", "1")
+
+
 import os
 import sys
 import time

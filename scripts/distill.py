@@ -10,6 +10,14 @@ With --data absent, synthetic textured patches are used (pipeline
 smoke-run; real distillation needs real frames).
 """
 
+import os as _os
+
+# benchmarks/dry runs measure FLOPs, not trained quality: opt into the
+# deterministic random-init fallback (the product itself refuses to run
+# without weights; see reve_tpu.models.registry.MissingWeightsError)
+_os.environ.setdefault("REVE_TPU_ALLOW_RANDOM_INIT", "1")
+
+
 import argparse
 import os
 import sys

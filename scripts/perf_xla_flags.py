@@ -16,6 +16,14 @@ under each candidate option set with bench.py's compile-retry hygiene
 Usage: python scripts/perf_xla_flags.py [--budget-per-config S] [--batch N]
 """
 
+import os as _os
+
+# benchmarks/dry runs measure FLOPs, not trained quality: opt into the
+# deterministic random-init fallback (the product itself refuses to run
+# without weights; see reve_tpu.models.registry.MissingWeightsError)
+_os.environ.setdefault("REVE_TPU_ALLOW_RANDOM_INIT", "1")
+
+
 import json
 import sys
 import time

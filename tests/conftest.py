@@ -11,6 +11,11 @@ because XLA backends initialize lazily (on first device query).
 
 import os
 
+# tests run hermetically with no model weights on disk: opt into the
+# deterministic random-init fallback (the product default REFUSES to run
+# without weights — tests of that refusal unset this via monkeypatch)
+os.environ.setdefault("REVE_TPU_ALLOW_RANDOM_INIT", "1")
+
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

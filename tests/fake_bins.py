@@ -91,6 +91,18 @@ def _pipe_decode_mode(argv):
                 if k == "end_frame":
                     stop = int(v)
     rd = Y4MReader(path)
+    # input seeking (`-ss <t> -i path`) + `-frames:v N`: the stratum-
+    # sampling protocol (reve_tpu.io.reader._ffmpeg_seek_frames) — the
+    # real binary seeks to the keyframe before t, then decodes forward to
+    # the first frame with pts >= t; for the fake's y4m inputs every
+    # frame is a "keyframe", so that is frame round(t * fps).
+    ss = _arg(argv, "-ss")
+    if ss is not None:
+        num, den = rd.fps
+        start = int(round(float(ss) * num / den))
+    nframes = _arg(argv, "-frames:v") or _arg(argv, "-vframes")
+    if nframes is not None:
+        stop = start + int(nframes)
     stop = min(stop, rd.frame_count())
     outb = sys.stdout.buffer
     for frame in rd.read_range(start, stop):

@@ -483,3 +483,51 @@ def test_auto_int8_env_falsy_strings_disable(tmp_path, monkeypatch):
             _engine_factory, ws, st, io_backend="y4m")
         assert (dtype, engine, db) == ("bfloat16", None, None), v
         assert "TPU-only" in notes[0]
+
+
+# -- resolution visibility (round-4 VERDICT #6) + inherit audit (ADVICE #1)
+
+def test_auto_resolution_visibility(tmp_path, monkeypatch, capsys):
+    """The auto-resolution pre-pass must be visible: a note BEFORE the
+    certification starts, an `auto_resolve` trace span with a duration,
+    and the resolution wall time in the done-line accounting."""
+    import json
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("REVE_TPU_AUTO_INT8", "1")
+    inp = _small_y4m(tmp_path)
+    out = str(tmp_path / "vis_out.y4m")
+    trace_path = str(tmp_path / "trace.jsonl")
+    rc = cli.run(["-i", inp, "-s", "2", out, "--yes", "--io-backend",
+                  "y4m", "-S", "4", "--batch", "3", "--int8-gate", "5",
+                  "--trace", trace_path])
+    assert rc == 0
+    err = capsys.readouterr().err
+    # the "this is running" note precedes the decision note
+    i_pre = err.index("certifying int8 turbo vs f32 on")
+    i_dec = err.index("auto dtype: int8 turbo (certified")
+    assert i_pre < i_dec
+    assert "resolved in" in err          # decision note carries wall time
+    assert ", auto-resolve " in err      # done-line accounting
+    recs = [json.loads(line) for line in open(trace_path)]
+    spans = [r for r in recs if r["ev"] == "auto_resolve"]
+    assert spans and spans[0]["dur"] >= 0 and spans[0]["frames"] > 0
+
+
+def test_inherited_cert_still_records_calib_frames(tmp_path):
+    """Round-4 ADVICE #1: a worker that INHERITS a persisted certificate
+    (resume with a state whose opts were not carried over) still
+    populates state.opts['calib_frames'], so the audit contract and the
+    'on N sampled frame(s)' reporting hold on the inherit path."""
+    ws, st = _mk_ws_state(tmp_path)
+    e = UpscaleEngine(scale=2, batch_size=4, compute_dtype="int8")
+    db1 = scheduler.certify_int8_on_input(e, ws, st, io_backend="y4m")
+    assert db1 is not None
+
+    st2 = _job_state(st.input_path, st.output_path)
+    st2.opts = {"int8_calib": "p99.9"}  # fresh view: no calib_frames
+    e2 = UpscaleEngine(scale=2, batch_size=4, compute_dtype="int8")
+    db2 = scheduler.certify_int8_on_input(e2, ws, st2, io_backend="y4m")
+    assert db2 == pytest.approx(db1)
+    assert st2.opts["calib_frames"] == \
+        scheduler.sample_frame_indices(st2.frame_count)

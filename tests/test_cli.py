@@ -80,6 +80,95 @@ def test_mkv_to_mp4_refused(tmp_path):
     assert rc == 2
 
 
+# -- weights are a product requirement (round-4 VERDICT #1) ----------------
+
+def test_cli_refuses_video_job_without_weights(tmp_path, monkeypatch,
+                                               capsys):
+    """A default run with no resolvable weights exits non-zero BEFORE any
+    decode or workspace creation, naming the model, the search path, and
+    how to supply weights (the reference cannot run without model files,
+    reve-shared/src/lib.rs:140-143)."""
+    monkeypatch.delenv("REVE_TPU_ALLOW_RANDOM_INIT", raising=False)
+    monkeypatch.chdir(tmp_path)
+    inp = tmp_path / "in.mp4"
+    inp.write_text("")  # never decoded: the refusal comes first
+    out = tmp_path / "out.mp4"
+    rc = cli.run(["-i", str(inp), "-s", "2", str(out), "--yes"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "no weights found for model 'realesr-animevideov3'" in err
+    assert "realesr-animevideov3-x2.pth" in err
+    assert "--allow-random-init" in err
+    assert "REVE_TPU_ALLOW_RANDOM_INIT" in err
+    assert not os.path.exists(str(out) + ".revework")  # no workspace made
+
+
+def test_cli_refuses_image_job_without_weights(tmp_path, monkeypatch,
+                                               capsys):
+    monkeypatch.delenv("REVE_TPU_ALLOW_RANDOM_INIT", raising=False)
+    monkeypatch.chdir(tmp_path)
+    inp = tmp_path / "in.png"
+    inp.write_bytes(b"")
+    rc = cli.run(["-i", str(inp), "-s", "4", str(tmp_path / "out.png")])
+    assert rc == 2
+    assert "no weights found" in capsys.readouterr().err
+
+
+def test_cli_allow_random_init_flag(tmp_path, monkeypatch):
+    """--allow-random-init restores the hermetic-test behavior: the full
+    pipeline runs on deterministic random weights."""
+    monkeypatch.delenv("REVE_TPU_ALLOW_RANDOM_INIT", raising=False)
+    monkeypatch.chdir(tmp_path)
+    inp = _small_y4m(tmp_path)
+    out = str(tmp_path / "out.y4m")
+    rc = cli.run(["-i", inp, "-s", "2", out, "--yes", "--allow-random-init",
+                  "--io-backend", "y4m", "-S", "4", "--batch", "3",
+                  "--dtype", "float32"])
+    assert rc == 0
+    assert reader.Y4MReader(out).frame_count() == 10
+
+
+def test_cli_real_weights_need_no_optin(tmp_path, monkeypatch):
+    """With actual weights on disk (-m DIR), no opt-in is needed — the
+    product flow users run."""
+    pytest.importorskip("torch")
+    import jax
+
+    from reve_tpu.models import srvgg
+    from reve_tpu.weights.torch_loader import save_srvgg_pth
+
+    monkeypatch.delenv("REVE_TPU_ALLOW_RANDOM_INIT", raising=False)
+    monkeypatch.chdir(tmp_path)
+    mdir = tmp_path / "models"
+    mdir.mkdir()
+    cfg = srvgg.SRVGGConfig(num_conv=2, num_feat=8, upscale=2)
+    save_srvgg_pth(str(mdir / "realesr-animevideov3-x2.pth"), cfg,
+                   srvgg.init_params(jax.random.key(3), cfg))
+    inp = _small_y4m(tmp_path)
+    out = str(tmp_path / "out.y4m")
+    rc = cli.run(["-i", inp, "-s", "2", out, "--yes", "-m", str(mdir),
+                  "--io-backend", "y4m", "-S", "4", "--batch", "3",
+                  "--dtype", "float32"])
+    assert rc == 0
+    assert reader.Y4MReader(out).frame_count() == 10
+
+
+def test_api_refuses_without_weights(tmp_path, monkeypatch):
+    import reve_tpu
+    from reve_tpu.models import registry
+
+    monkeypatch.delenv("REVE_TPU_ALLOW_RANDOM_INIT", raising=False)
+    monkeypatch.chdir(tmp_path)
+    inp = _small_y4m(tmp_path)
+    out = str(tmp_path / "out.y4m")
+    with pytest.raises(registry.MissingWeightsError):
+        reve_tpu.upscale_video(inp, out, scale=2, io_backend="y4m")
+    assert not os.path.exists(out + ".revework")  # raised before workspace
+    with pytest.raises(registry.MissingWeightsError):
+        reve_tpu.upscale_image(str(tmp_path / "in.png"),
+                               str(tmp_path / "out.png"), scale=2)
+
+
 # -- end-to-end with the real engine (random-init weights, CPU) ------------
 
 def _small_y4m(tmp_path, frames=10, w=24, h=16):
@@ -588,7 +677,7 @@ def test_api_resume_restores_saved_opts(tmp_path, monkeypatch):
     st = Workspace(out + ".revework").load()
     assert st.opts == {"weights": None, "dtype": "float32",
                        "int8_calib": "p99.9", "tta": False,
-                       "io_backend": "y4m"}
+                       "io_backend": "y4m", "allow_random_init": True}
 
     monkeypatch.setattr(sched_mod.PipelineJob, "run", real_run)
     with pytest.raises(ValueError, match="holds progress"):

@@ -222,3 +222,101 @@ def test_cli_threads_encode_knobs_to_ffmpeg(fakebin, tmp_path, monkeypatch):
     # the stub's concat stitched all frames (output is y4m-in-.mp4)
     rd = reader_mod.Y4MReader(out)
     assert rd.frame_count() == 9 and rd.width == 64
+
+
+# -- seek-based stratum sampling (round-4 VERDICT #2) -----------------------
+
+def _y4m_as_mp4(tmp_path, frames, h=24, w=32, fps=24):
+    """A y4m stream under an .mp4 name: the fake ffmpeg decodes by content,
+    and the non-.y4m suffix routes read_frames_at through the ffmpeg seek
+    protocol (a real deployment's production backend)."""
+    import shutil
+
+    src = str(tmp_path / "in.y4m")
+    with writer_mod.Y4MWriter(src, w, h, fractions.Fraction(fps)) as wr:
+        for f in frames:
+            wr.write(f)
+    dst = str(tmp_path / "in.mp4")
+    shutil.copy(src, dst)
+    return src, dst
+
+
+def test_seek_sampler_is_o_strata_not_o_video(fakebin, tmp_path,
+                                              monkeypatch):
+    """read_frames_at on the ffmpeg backend spawns ONE single-frame
+    `-ss`-seeked decode per stratum — it never decodes the sequential
+    prefix (the old sampler cost ~a full decode: the last stratum sits at
+    ~97% of the video)."""
+    n = 200
+    frames = [np.full((24, 32, 3), (i * 7) % 256, np.uint8)
+              for i in range(n)]
+    src, dst = _y4m_as_mp4(tmp_path, frames)
+
+    calls = []
+    orig_run = reader_mod.subprocess.run
+
+    def counting_run(cmd, **kw):
+        calls.append(list(cmd))
+        return orig_run(cmd, **kw)
+
+    monkeypatch.setattr(reader_mod.subprocess, "run", counting_run)
+    idx = [10, 100, 190]
+    got = reader_mod.read_frames_at(dst, idx, width=32, height=24,
+                                    fps=fractions.Fraction(24))
+    # one subprocess per stratum, each seeked (-ss) and bounded to ONE
+    # output frame — 3 decoded frames for a 200-frame input
+    assert len(calls) == len(idx)
+    for c in calls:
+        assert "-ss" in c and c[c.index("-frames:v") + 1] == "1"
+    want = list(reader_mod.Y4MReader(src).read_range(0, n))
+    assert len(got) == 3
+    for k, i in enumerate(idx):
+        np.testing.assert_array_equal(got[k], want[i])
+
+
+def test_seek_sampler_matches_sequential_reader(fakebin, tmp_path):
+    """Seeked sampling and the sequential reader agree frame-for-frame on
+    CFR input (t = index/fps round-trips exactly)."""
+    n = 60
+    frames = [np.full((24, 32, 3), (5 + 11 * i) % 256, np.uint8)
+              for i in range(n)]
+    src, dst = _y4m_as_mp4(tmp_path, frames, fps=30)
+    idx = [0, 7, 29, 59]
+    got = reader_mod.read_frames_at(dst, idx, width=32, height=24,
+                                    fps=fractions.Fraction(30))
+    seq = []
+    with reader_mod.FfmpegPipeReader(dst, 32, 24) as rd:
+        for i in idx:
+            seq.extend(rd.read_range(i, i + 1))
+    for a, b in zip(got, seq):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_scheduler_sampling_uses_seeks(fakebin, tmp_path, monkeypatch):
+    """scheduler.read_sampled_frames (the calibration/certification
+    sampler) goes through the seek path: decoded work is O(strata), and
+    the frames are the persisted indices' frames."""
+    from reve_tpu.pipeline import scheduler
+    from reve_tpu.pipeline.state import JobState
+
+    n = 300
+    frames = [np.full((24, 32, 3), (3 * i) % 256, np.uint8)
+              for i in range(n)]
+    src, dst = _y4m_as_mp4(tmp_path, frames)
+    state = JobState(
+        input_path=dst, output_path=str(tmp_path / "o.mp4"), scale=2,
+        segment_size=100, frame_count=n, fps_num=24, fps_den=1,
+        width=32, height=24, pending=[],
+    )
+    calls = []
+    orig_run = reader_mod.subprocess.run
+    monkeypatch.setattr(
+        reader_mod.subprocess, "run",
+        lambda cmd, **kw: (calls.append(list(cmd)), orig_run(cmd, **kw))[1])
+    idx = scheduler.sample_frame_indices(n)
+    got = scheduler.read_sampled_frames(state, indices=idx)
+    assert len(calls) == len(idx) <= scheduler.CALIB_SAMPLE_FRAMES
+    assert idx[-1] >= int(0.9 * n)  # the sample really spans the video
+    want = list(reader_mod.Y4MReader(src).read_range(0, n))
+    for k, i in enumerate(idx):
+        np.testing.assert_array_equal(got[k], want[i])

@@ -502,3 +502,156 @@ def test_owner_pidfile_steal_mutex_blocks_then_recovers(tmp_path,
     os.utime(mutex, (old, old))        # crashed stealer: stale mutex
     assert ws.acquire_owner()
     ws.release_owner()
+
+
+# -- pacing property: the TPU sets the pace (SURVEY.md §3.3) ----------------
+#
+# The reference's hot loop blocks its main thread on the GPU stage, so GPU
+# throughput sets the pace (reve-cli/src/main.rs:262-273); the rebuild's
+# claim is the same property through bounded queues.  These tests prove it
+# QUANTITATIVELY with a synthetic serial device of known per-batch latency
+# and throttled host stages (round-4 VERDICT #5): (a) end-to-end throughput
+# ~= the slowest stage, (b) device idle ~= 0 when host stages are faster.
+
+class PacedEngine:
+    """Serial-device model: each submitted batch occupies the device for
+    exactly `latency` seconds, back-to-back (like an async-dispatch XLA
+    queue); result() blocks until that batch's completion time.  Device
+    idle = span between first submit and last completion minus busy time —
+    exactly the starvation the pipeline must avoid."""
+
+    def __init__(self, batch_size, latency):
+        import threading
+
+        self.batch_size = batch_size
+        self.scale = 2
+        self.latency = latency
+        self._free_at = None
+        self.busy = 0.0
+        self.first_submit = None
+        self.last_done = None
+        self._lock = threading.Lock()
+
+    def submit(self, frames):
+        import time
+
+        now = time.monotonic()
+        with self._lock:
+            if self.first_submit is None:
+                self.first_submit = now
+            start = now if self._free_at is None else max(now, self._free_at)
+            done_at = start + self.latency
+            self._free_at = done_at
+            self.busy += self.latency
+            self.last_done = done_at
+        out = np.repeat(np.repeat(frames, 2, axis=1), 2, axis=2)
+
+        class _P:
+            def result(_s):
+                import time as _t
+
+                while _t.monotonic() < done_at:
+                    _t.sleep(0.001)
+                return out
+
+        return _P()
+
+    @property
+    def idle_fraction(self):
+        span = self.last_done - self.first_submit
+        return max(0.0, span - self.busy) / span if span > 0 else 0.0
+
+
+def _run_paced(tmp_path, monkeypatch, n_frames, batch, device_latency,
+               decode_per_frame, encode_per_frame):
+    """One pipeline run with a paced device + throttled host stages;
+    returns (wall_seconds, engine)."""
+    import time
+
+    from reve_tpu.io import reader as reader_io
+    from reve_tpu.io import writer as writer_io
+
+    inp = _make_input(tmp_path, num_frames=n_frames)
+    ws, st = _make_state(tmp_path, inp, num_frames=n_frames,
+                         seg=n_frames // 2)
+    orig_open_reader = reader_io.open_reader
+    orig_open_writer = writer_io.open_writer
+
+    class ThrottledReader:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def read_range(self, a, b):
+            for f in self.inner.read_range(a, b):
+                time.sleep(decode_per_frame)
+                yield f
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            self.inner.close()
+
+        def close(self):
+            self.inner.close()
+
+    def slow_reader(path, **kw):
+        return ThrottledReader(orig_open_reader(path, **kw))
+
+    def slow_writer(path, *a, **kw):
+        wr = orig_open_writer(path, *a, **kw)
+        orig_write = wr.write
+
+        def write(frame):
+            time.sleep(encode_per_frame)
+            orig_write(frame)
+
+        wr.write = write
+        return wr
+
+    monkeypatch.setattr(scheduler.reader_mod, "open_reader", slow_reader)
+    monkeypatch.setattr(scheduler.writer_mod, "open_writer", slow_writer)
+    eng = PacedEngine(batch_size=batch, latency=device_latency)
+    job = scheduler.PipelineJob(st, ws, eng, io_backend="y4m",
+                                part_ext=".y4m")
+    t0 = time.monotonic()
+    final = job.run()
+    wall = time.monotonic() - t0
+    assert final.pending == []
+    return wall, eng
+
+
+def test_pacing_device_sets_the_pace(tmp_path, monkeypatch):
+    """Host stages faster than the device: (a) e2e wall ~= device-only
+    time, (b) device idle fraction ~= 0.  Tolerances: +50% wall slack and
+    a 15% idle bound absorb sleep() granularity (~1-15 ms per wake on a
+    loaded CI box) and the one-batch pipeline fill; an UNpipelined loop
+    (decode+infer+encode serialized) would cost 2.1x device-only time
+    here, far outside both bounds."""
+    n, batch, lat = 48, 4, 0.05
+    wall, eng = _run_paced(tmp_path, monkeypatch, n, batch,
+                           device_latency=lat,
+                           decode_per_frame=0.002,   # 0.008/batch << 0.05
+                           encode_per_frame=0.002)
+    device_only = (n // batch) * lat                  # 0.6 s
+    serialized = device_only + n * (0.002 + 0.002)    # what no-overlap costs
+    assert wall < min(device_only * 1.5, serialized), (wall, device_only)
+    assert eng.idle_fraction < 0.15, eng.idle_fraction
+
+
+def test_pacing_slowest_host_stage_sets_the_pace(tmp_path, monkeypatch):
+    """Decode slower than the device: e2e wall ~= decode-only time (the
+    device starves, visibly: idle fraction is LARGE) — the other half of
+    'throughput ~= min(stage)'.  Bounds as above; the serialized
+    alternative would cost decode+device = 1.25x decode-only."""
+    n, batch = 48, 4
+    decode_pf = 0.02                                  # 0.08/batch
+    wall, eng = _run_paced(tmp_path, monkeypatch, n, batch,
+                           device_latency=0.02,       # 0.02/batch << 0.08
+                           decode_per_frame=decode_pf,
+                           encode_per_frame=0.001)
+    decode_only = n * decode_pf                       # 0.96 s
+    assert decode_only * 0.95 <= wall < decode_only * 1.4, \
+        (wall, decode_only)
+    # the starvation is real and measured: the device waits on decode
+    assert eng.idle_fraction > 0.5, eng.idle_fraction

@@ -215,6 +215,44 @@ def test_registry_random_fallback(caplog):
     assert any("random init" in r.message for r in caplog.records)
 
 
+def test_registry_refuses_missing_weights_without_optin(monkeypatch,
+                                                        tmp_path):
+    """Weights are a product requirement (round-4 VERDICT #1): without the
+    explicit opt-in, a model with no resolvable weights raises
+    MissingWeightsError (the reference fails hard when its model files
+    are absent, reve-shared/src/lib.rs:140-143) — for BOTH architectures."""
+    monkeypatch.delenv("REVE_TPU_ALLOW_RANDOM_INIT", raising=False)
+    monkeypatch.chdir(tmp_path)  # no stray ./models dir can resolve
+    with pytest.raises(registry.MissingWeightsError) as ei:
+        registry.load_model("realesr-animevideov3", scale=2)
+    msg = str(ei.value)
+    assert "realesr-animevideov3" in msg
+    assert "realesr-animevideov3-x2.pth" in msg      # what was searched for
+    assert "--allow-random-init" in msg              # how to opt in
+    assert "REVE_TPU_ALLOW_RANDOM_INIT" in msg
+    with pytest.raises(registry.MissingWeightsError):
+        registry.load_model("realesrgan-x4plus", scale=4)  # rrdb arch
+    # MissingWeightsError is a FileNotFoundError so generic handlers work
+    assert issubclass(registry.MissingWeightsError, FileNotFoundError)
+    # the explicit per-call opt-in overrides the missing env var
+    cfg, _ = registry.load_model("realesr-animevideov3", scale=2,
+                                 allow_random_init=True)
+    assert cfg.upscale == 2
+
+
+def test_registry_optin_env_values(monkeypatch):
+    """Falsy spellings of the env var do NOT opt in."""
+    for v in ("0", "", "off", "false", "no"):
+        monkeypatch.setenv("REVE_TPU_ALLOW_RANDOM_INIT", v)
+        assert not registry.random_init_allowed()
+    monkeypatch.setenv("REVE_TPU_ALLOW_RANDOM_INIT", "1")
+    assert registry.random_init_allowed()
+    # an explicit argument always wins over the env var
+    assert not registry.random_init_allowed(False)
+    monkeypatch.delenv("REVE_TPU_ALLOW_RANDOM_INIT")
+    assert registry.random_init_allowed(True)
+
+
 def test_registry_loads_ncnn_from_models_dir(tmp_path, monkeypatch):
     cfg = srvgg.SRVGGConfig(num_conv=2, num_feat=8, upscale=2)
     params = srvgg.init_params(jax.random.key(3), cfg)
