@@ -677,6 +677,15 @@ def run(argv: Optional[List[str]] = None) -> int:
             # the auto-resolution pre-pass ran before the progress tracker
             # existed; its wall time belongs in the job's accounting
             path_note += f", auto-resolve {resolve_s:.1f} s"
+        dev_fps = getattr(engine.stats, "device_fps", None)
+        if dev_fps:
+            # the compile-lottery probe's checksum-synced rate of the
+            # binary this job ran — the chip's sustained throughput, which
+            # e2e wall time cannot show when host<->device transfers are
+            # the bottleneck (PERF.md); keyed by the job's input resolution
+            key = (state.height, state.width)
+            fps = dev_fps.get(key) or max(dev_fps.values())
+            path_note += f", device {fps:.1f} fps/chip (compile-probe)"
         print(f"\ndone: {state.output_path} (concat backend: "
               f"{report['backend']}{enc_note}{path_note}{rate_note})",
               file=sys.stderr)

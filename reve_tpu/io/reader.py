@@ -335,12 +335,23 @@ class SyntheticReader(FrameReader):
             yield self.frame(i, self.height, self.width)
 
 
+#: minimum AVERAGE stratum spacing (frames) before per-stratum `-ss`
+#: seeking beats one sequential decode: an ffmpeg input seek still decodes
+#: keyframe->target internally (common max keyframe interval is 250
+#: frames, the x264/x265 default), plus one process spawn per stratum —
+#: so for closely spaced samples the sequential pass is cheaper.  400 =
+#: 1.6x that common GOP: below it the seek path could decode MORE frames
+#: than the sequential one it replaces.
+SEEK_MIN_STRIDE = 400
+
+
 def read_frames_at(path: str, indices, *, backend: Optional[str] = None,
-                   width: int = 0, height: int = 0, fps=None) -> np.ndarray:
+                   width: int = 0, height: int = 0, fps=None,
+                   seek_stride: Optional[int] = None) -> np.ndarray:
     """Decode the frames at ascending `indices` with O(len(indices)) seek
-    work — NOT a sequential decode of the whole prefix.  Returns
-    (n, H, W, 3) uint8 (possibly fewer rows than indices if the input ends
-    early).
+    work on long inputs — NOT a sequential decode of the whole prefix.
+    Returns (n, H, W, 3) uint8 (possibly fewer rows than indices if the
+    input ends early).
 
     This is the sampling primitive for int8 calibration/certification
     (scheduler.read_sampled_frames): the sample's last stratum sits at
@@ -352,11 +363,14 @@ def read_frames_at(path: str, indices, *, backend: Optional[str] = None,
 
       * ffmpeg: one `-ss <t> -i <path> -frames:v 1` subprocess per
         stratum (input seeking: keyframe seek + decode-to-timestamp,
-        deterministic).  t = index/fps; on VFR input the landed frame can
-        differ from the nominal index — fine for sampling, and identical
-        for every worker since t is derived from the persisted index.
-        Needs `fps` (a Fraction) + width/height; falls back to the
-        sequential reader without them.
+        deterministic) — used only when the average stratum spacing
+        exceeds `seek_stride` (default SEEK_MIN_STRIDE; a seek still
+        decodes keyframe->target, so densely spaced samples on short
+        inputs are CHEAPER sequentially).  t = index/fps; on VFR input
+        the landed frame can differ from the nominal index — fine for
+        sampling, and identical for every worker since t is derived from
+        the persisted index.  Needs `fps` (a Fraction) + width/height;
+        falls back to the sequential reader without them.
       * cv2: one reader, ascending read_range calls — Cv2Reader already
         container-seeks forward jumps > SEEK_THRESHOLD (verified, with
         skip-decode fallback).
@@ -365,9 +379,13 @@ def read_frames_at(path: str, indices, *, backend: Optional[str] = None,
     indices = sorted(int(i) for i in indices)
     if not indices:
         return np.zeros((0, max(height, 1), max(width, 1), 3), np.uint8)
+    if seek_stride is None:
+        seek_stride = SEEK_MIN_STRIDE
+    spread_ok = (indices[-1] - indices[0]) >= \
+        seek_stride * max(len(indices) - 1, 1)
     is_y4m = path.lower().endswith(".y4m") or backend == "y4m"
-    if not is_y4m and backend in (None, "ffmpeg") and shutil.which("ffmpeg") \
-            and width and height and fps:
+    if not is_y4m and spread_ok and backend in (None, "ffmpeg") \
+            and shutil.which("ffmpeg") and width and height and fps:
         try:
             frames = _ffmpeg_seek_frames(path, indices, width, height, fps)
             if len(frames) == len(indices):

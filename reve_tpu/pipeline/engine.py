@@ -116,6 +116,13 @@ class EngineStats:
     compile_count: int = 0
     #: times a fresh-compile reroll replaced a lottery-bad binary (>2x)
     lottery_rerolls: int = 0
+    #: {(h, w): fps} — device-sustained rate of the binary the job actually
+    #: runs, measured by the compile-lottery probe (checksum-synced, no
+    #: host transfers in the timed region; populated when
+    #: compile_attempts > 1).  This is the product's own on-device
+    #: throughput evidence — e2e wall time on a tunneled host measures the
+    #: tunnel, not the chip (PERF.md)
+    device_fps: dict = dataclasses.field(default_factory=dict)
 
 
 class PendingBatch:
@@ -673,6 +680,7 @@ class UpscaleEngine:
                         "faster than attempt 0 (%.1f vs %.1f fps); using it",
                         attempt, fps / max(best_fps, 1e-9), fps, best_fps)
                 best_fps, best = fps, cand
+        self.stats.device_fps[(h, w)] = best_fps
         return best
 
     # -- public API --------------------------------------------------------
@@ -734,22 +742,47 @@ class UpscaleEngine:
         self._calibrate_int8(np.asarray(frames, np.uint8),
                              provisional=False)
 
+    #: activation elements (h*w*feat) per calibration chunk: the unfused
+    #: f32 calibration forward materializes per-layer activation buffers
+    #: of n*h*w*feat*4 bytes, and the full 16-frame 720p-crop sample
+    #: (~9.4e8 elements -> 3.8 GB/buffer, several live at once) OOM'd a
+    #: 16 GB v5e on hardware (round 5) — which silently failed every
+    #: on-hardware certification.  2e8 caps the chunk at ~0.8 GB/buffer.
+    _CALIB_CHUNK_ELEMS = int(2e8)
+
     def _calibrate_int8(self, frames: np.ndarray, provisional: bool) -> None:
         """Build/refresh the quantized body from a calibration batch.
 
         The quantized pytree is a jit ARGUMENT (same shapes/dtypes every
         time), so re-calibration never recompiles.  A warmup on dummy
         frames produces a provisional calibration that the first real
-        batch replaces."""
+        batch replaces.
+
+        The sample is processed in frame CHUNKS with per-layer stats
+        max-combined across chunks (see _CALIB_CHUNK_ELEMS): exact for
+        max-calibration, and for percentile calibration the statistic is
+        max-of-chunk-percentiles — deterministic in (frames, chunking),
+        so every worker/resume still derives identical scales before the
+        first-wins hook arbitrates."""
         from reve_tpu.weights import quantize
 
         frames, _ = self._dp_pad(self._calib_crop(frames))
-        x = self._place(
-            np.ascontiguousarray(frames, np.uint8).astype(np.float32)
-            / 255.0)
-        maxima = np.asarray(quantize.collect_maxima(
-            self.params, x, cfg=self.cfg, compute_dtype=jnp.float32,
-            percentile=self._calib_percentile))
+        n, h, w, _c = frames.shape
+        feat = getattr(self.cfg, "num_feat", 64)
+        chunk = max(1, self._CALIB_CHUNK_ELEMS // max(h * w * feat, 1))
+        if self._batch_sharding is not None:
+            # a dp mesh already divides the batch across devices (and a
+            # non-divisible chunk would break the sharded placement)
+            chunk = n
+        maxima = None
+        for i in range(0, n, chunk):
+            x = self._place(
+                np.ascontiguousarray(frames[i:i + chunk], np.uint8)
+                .astype(np.float32) / 255.0)
+            m = np.asarray(quantize.collect_maxima(
+                self.params, x, cfg=self.cfg, compute_dtype=jnp.float32,
+                percentile=self._calib_percentile))
+            maxima = m if maxima is None else np.maximum(maxima, m)
         if self.calibration_hook is not None and not provisional:
             maxima = np.asarray(self.calibration_hook(maxima), np.float32)
         self._install_qbody(maxima, provisional)
@@ -806,31 +839,80 @@ class UpscaleEngine:
                                    and not provisional):
             self._calibrate_int8(frames, provisional)
 
-    def certify_int8(self, frames: np.ndarray) -> float:
+    def certify_int8(self, frames: np.ndarray, crop: bool = True,
+                     chunk: "Optional[int]" = None) -> float:
         """PSNR (dB, 8-bit scale) of the int8 turbo path vs the f32 path
-        on `frames` ((n, H, W, 3) uint8; cropped to <=720p windows with
-        the same cycling anchors calibration uses).  Calibrates first if
-        needed — the measurement uses the exact scales the job will run
-        with, so the number certifies THIS job's quantization on THIS
-        content (BASELINE's 50 dB gate is defined vs the reference
+        on `frames` ((n, H, W, 3) uint8; by default cropped to <=720p
+        windows with the same cycling anchors calibration uses — the
+        measured crop-vs-full-frame delta is <0.2 dB at 1080p on trained
+        proxies, PERF.md round 5 "certificate crop bound").  Calibrates
+        first if needed — the measurement uses the exact scales the job
+        will run with, so the number certifies THIS job's quantization on
+        THIS content (BASELINE's 50 dB gate is defined vs the reference
         engine; f32-vs-int8 on the same weights isolates the quantization
-        cost, scripts/compare_reference.py covers the reference side)."""
+        cost, scripts/compare_reference.py covers the reference side).
+
+        `crop=False` measures on the FULL frames (the crop-delta probe,
+        scripts/cert_crop_delta.py); `chunk` = frames per device dispatch
+        so the measurement's f32 activations fit HBM — None (default)
+        auto-derives from _CALIB_CHUNK_ELEMS (the same budget that kept
+        calibration from OOMing a 16 GB v5e at 16x720p), an int
+        overrides.  Ignored under a dp mesh, whose sharding already
+        divides the batch.
+
+        Both model passes run inside ONE jitted function (one compile per
+        chunk shape): the previous eager form paid a remote per-op
+        compile for every op of the 16-layer f32 stack on this image's
+        compile-service stack — minutes of certification latency."""
         if not self._int8:
             raise ValueError("certify_int8 requires an int8 engine")
         self._maybe_calibrate(frames, provisional=False)
-        padded, n_real = self._dp_pad(self._calib_crop(frames))
-        x = self._place(
-            np.ascontiguousarray(padded, np.uint8).astype(np.float32)
-            / 255.0)
-        y8 = self._arch_apply(self.params, x, quantize_u8=True,
-                              qbody=self._qbody)
-        yf = self._arch_apply(self.params, x, quantize_u8=True,
-                              compute_dtype=jnp.float32)
-        # dp-pad duplicates must not weight the certificate
-        mse = jnp.mean(jnp.square(y8[:n_real].astype(jnp.float32)
-                                  - yf[:n_real].astype(jnp.float32)))
-        mse = max(float(mse), 1e-12)
+        measured = self._calib_crop(frames) if crop else \
+            np.asarray(frames, np.uint8)
+        padded, n_real = self._dp_pad(measured)
+        if chunk is None:
+            _n, ch, cw, _c = padded.shape
+            feat = getattr(self.cfg, "num_feat", 64)
+            chunk = max(1, self._CALIB_CHUNK_ELEMS // max(ch * cw * feat, 1))
+        fn = self._certify_fn()
+        if self._batch_sharding is not None or not chunk or \
+                chunk >= n_real == len(padded):
+            # single dispatch (dp-pad duplicates masked out by n_real)
+            x = self._place(
+                np.ascontiguousarray(padded, np.uint8).astype(np.float32)
+                / 255.0)
+            sse = float(fn(self.params, self._qbody, x, n_real))
+        else:
+            sse = 0.0
+            for i in range(0, n_real, chunk):
+                part = measured[i:min(i + chunk, n_real)]
+                x = self._place(
+                    np.ascontiguousarray(part, np.uint8).astype(np.float32)
+                    / 255.0)
+                sse += float(fn(self.params, self._qbody, x, len(part)))
+        cnt = n_real * (padded.shape[1] * self.scale) * \
+            (padded.shape[2] * self.scale) * 3
+        mse = max(sse / max(cnt, 1), 1e-12)
         return float(10.0 * np.log10(255.0 ** 2 / mse))
+
+    def _certify_fn(self):
+        """Cached jit of the int8-vs-f32 certification pass: both model
+        applies + the masked squared-error reduction in one compile per
+        (chunk shape, n_real)."""
+        if getattr(self, "_certify_jitted", None) is None:
+            def fn(params, qbody, x, n_real):
+                y8 = self._arch_apply(params, x, quantize_u8=True,
+                                      qbody=qbody)
+                yf = self._arch_apply(params, x, quantize_u8=True,
+                                      compute_dtype=jnp.float32)
+                d = y8.astype(jnp.float32) - yf.astype(jnp.float32)
+                mask = (jnp.arange(x.shape[0]) < n_real)
+                return jnp.sum(jnp.square(d)
+                               * mask.astype(jnp.float32)[:, None, None,
+                                                          None])
+
+            self._certify_jitted = jax.jit(fn, static_argnums=(3,))
+        return self._certify_jitted
 
     def warmup(self, h: int, w: int) -> None:
         """Pre-compile for a resolution (first XLA compile is ~20-40 s).

@@ -103,11 +103,15 @@ def collect_act_maxima(params: Dict[str, Any], x: jax.Array, *,
     `x`: (B, H, W, C) float in [0, 1] — representative frames."""
     convs, prelus = params["convs"], params["prelus"]
 
-    def stat(h):
-        a = jnp.abs(h.astype(jnp.float32))
-        if percentile is None:
-            return jnp.max(a)
-        return jnp.percentile(a, percentile)
+    # the shared capped-subsample stat (_stat), NOT a full-tensor
+    # jnp.percentile: the flagship calibration batch (16 sampled frames
+    # cropped to 720p) is ~9.4e8 activations per layer, and percentile's
+    # sort temps ((f32+s32 keys) x n) OOM'd a 16 GB v5e on hardware in
+    # round 5 — which silently failed every on-hardware certification
+    # and forced --dtype auto to its bf16 fallback (the round-4 weak #6
+    # root cause).  RRDB's collector always subsampled; SRVGG now does
+    # too (p99.9 of a 4M-sample still rests on ~4k tail points).
+    stat = functools.partial(_stat, percentile=percentile)
 
     h = srvgg._prelu(
         srvgg._conv3x3(x.astype(compute_dtype),

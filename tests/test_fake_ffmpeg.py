@@ -243,11 +243,12 @@ def _y4m_as_mp4(tmp_path, frames, h=24, w=32, fps=24):
 
 def test_seek_sampler_is_o_strata_not_o_video(fakebin, tmp_path,
                                               monkeypatch):
-    """read_frames_at on the ffmpeg backend spawns ONE single-frame
+    """On a LONG input (stratum spacing past SEEK_MIN_STRIDE),
+    read_frames_at on the ffmpeg backend spawns ONE single-frame
     `-ss`-seeked decode per stratum — it never decodes the sequential
     prefix (the old sampler cost ~a full decode: the last stratum sits at
     ~97% of the video)."""
-    n = 200
+    n = 10000
     frames = [np.full((24, 32, 3), (i * 7) % 256, np.uint8)
               for i in range(n)]
     src, dst = _y4m_as_mp4(tmp_path, frames)
@@ -260,18 +261,44 @@ def test_seek_sampler_is_o_strata_not_o_video(fakebin, tmp_path,
         return orig_run(cmd, **kw)
 
     monkeypatch.setattr(reader_mod.subprocess, "run", counting_run)
-    idx = [10, 100, 190]
+    idx = [10, 5000, 9990]  # avg spacing 4990 >= SEEK_MIN_STRIDE
     got = reader_mod.read_frames_at(dst, idx, width=32, height=24,
                                     fps=fractions.Fraction(24))
     # one subprocess per stratum, each seeked (-ss) and bounded to ONE
-    # output frame — 3 decoded frames for a 200-frame input
+    # output frame — 3 decoded frames for a 10000-frame input
     assert len(calls) == len(idx)
     for c in calls:
         assert "-ss" in c and c[c.index("-frames:v") + 1] == "1"
-    want = list(reader_mod.Y4MReader(src).read_range(0, n))
+    rd = reader_mod.Y4MReader(src)
     assert len(got) == 3
     for k, i in enumerate(idx):
-        np.testing.assert_array_equal(got[k], want[i])
+        want = next(iter(rd.read_range(i, i + 1)))
+        np.testing.assert_array_equal(got[k], want)
+
+
+def test_seek_policy_dense_samples_stay_sequential(fakebin, tmp_path,
+                                                   monkeypatch):
+    """Densely spaced samples (short input) must NOT seek: an ffmpeg
+    input seek still decodes keyframe->target internally, so below
+    SEEK_MIN_STRIDE the one sequential pass is cheaper.  The fallback
+    still yields the right frames."""
+    n = 300
+    frames = [np.full((24, 32, 3), (3 * i) % 256, np.uint8)
+              for i in range(n)]
+    src, dst = _y4m_as_mp4(tmp_path, frames)
+    seeks = []
+    orig_run = reader_mod.subprocess.run
+    monkeypatch.setattr(
+        reader_mod.subprocess, "run",
+        lambda cmd, **kw: (seeks.append(cmd), orig_run(cmd, **kw))[1])
+    idx = [10, 100, 290]  # avg spacing 140 < 400
+    got = reader_mod.read_frames_at(dst, idx, width=32, height=24,
+                                    fps=fractions.Fraction(24))
+    assert seeks == []  # sequential reader, no -ss subprocesses
+    rd = reader_mod.Y4MReader(src)
+    for k, i in enumerate(idx):
+        want = next(iter(rd.read_range(i, i + 1)))
+        np.testing.assert_array_equal(got[k], want)
 
 
 def test_seek_sampler_matches_sequential_reader(fakebin, tmp_path):
@@ -282,8 +309,11 @@ def test_seek_sampler_matches_sequential_reader(fakebin, tmp_path):
               for i in range(n)]
     src, dst = _y4m_as_mp4(tmp_path, frames, fps=30)
     idx = [0, 7, 29, 59]
+    # seek_stride=0: force the seek path on this tiny input so the
+    # equality contract is tested without a 10k-frame fixture
     got = reader_mod.read_frames_at(dst, idx, width=32, height=24,
-                                    fps=fractions.Fraction(30))
+                                    fps=fractions.Fraction(30),
+                                    seek_stride=0)
     seq = []
     with reader_mod.FfmpegPipeReader(dst, 32, 24) as rd:
         for i in idx:
@@ -294,11 +324,14 @@ def test_seek_sampler_matches_sequential_reader(fakebin, tmp_path):
 
 def test_scheduler_sampling_uses_seeks(fakebin, tmp_path, monkeypatch):
     """scheduler.read_sampled_frames (the calibration/certification
-    sampler) goes through the seek path: decoded work is O(strata), and
-    the frames are the persisted indices' frames."""
+    sampler) goes through the seek path on long inputs: decoded work is
+    O(strata), and the frames are the persisted indices' frames.
+    SEEK_MIN_STRIDE is lowered so a 300-frame fixture counts as 'long'
+    (the real threshold is policy, tested separately)."""
     from reve_tpu.pipeline import scheduler
     from reve_tpu.pipeline.state import JobState
 
+    monkeypatch.setattr(reader_mod, "SEEK_MIN_STRIDE", 0)
     n = 300
     frames = [np.full((24, 32, 3), (3 * i) % 256, np.uint8)
               for i in range(n)]
