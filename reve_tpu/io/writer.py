@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import fractions
 import logging
+import os
 import shutil
 import subprocess
 from typing import Optional, Sequence
@@ -253,4 +254,11 @@ def open_writer(path: str, width: int, height: int, fps: fractions.Fraction,
         return FfmpegX265Writer(path, width, height, fps, settings)
     if backend == "ffmpeg":
         raise RuntimeError("ffmpeg backend requested but binary not found")
-    return Cv2Writer(path, width, height, fps, settings=settings)
+    # REVE_TPU_CV2_CODEC picks the fallback's fourcc explicitly: the
+    # default preference lands on VP9 when H.264 is unavailable, which is
+    # high-quality but slow at 4K (~2.5 s/frame + a ~25-frame lookahead
+    # flushed inside close(), measured on the round-5 hardware run) —
+    # mp4v trades quality for ~50x encode speed when that matters more
+    codec = os.environ.get("REVE_TPU_CV2_CODEC") or None
+    return Cv2Writer(path, width, height, fps, codec=codec,
+                     settings=settings)

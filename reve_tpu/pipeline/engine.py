@@ -44,6 +44,11 @@ log = logging.getLogger(__name__)
 #: a 16 GB v5e: bf16 1080p b8 fits / b12 does not; int8 1080p b16 fits /
 #: b24 does not; bf16+int8 4K b2 fit / b4 does not.
 _HBM_BUDGET_BYTES = 13 << 30
+#: async batches whose device buffers (u8 in + u8 out) coexist with the
+#: executing dispatch: the scheduler's device queue (3) + the batch being
+#: submitted.  Reserved out of the SRVGG whole-frame budget (round 5 —
+#: the flagship int8 1080p b16 product run OOM'd without it)
+_INFLIGHT_BATCHES = 4
 _ACT_BUFFERS = 3
 #: int8 hidden activations are 1 byte (2 live buffers) and the bf16
 #: first-conv transient amortizes — 3 bytes/elem reproduces the measured
@@ -422,6 +427,17 @@ class UpscaleEngine:
         """Rough peak HBM for ONE frame of un-tiled inference at (h, w)."""
         return self._act_bytes(h, w) + self._epi_bytes(h, w)
 
+    def _out_bytes(self, h: int, w: int) -> int:
+        """The u8 OUTPUT buffer per frame — alive beyond the graph (the
+        pipeline holds completed batches while the encoder drains, and
+        the lottery probe's next dispatch overlaps the previous output).
+        Omitting it left zero headroom at the flagship boundary: 1080p
+        int8 b16 single-shot measured 'fits' standalone in round 4, but
+        the round-5 PRODUCT run (same graph + in-flight outputs + a
+        second lottery binary) hit a real RESOURCE_EXHAUSTED; with this
+        term the plan chunks that boundary instead."""
+        return h * w * self.scale ** 2 * 3
+
     def _act_bytes(self, h: int, w: int) -> int:
         feat = getattr(self.cfg, "num_feat", 64)
         bpe = 2 if self.compute_dtype == jnp.bfloat16 else 4
@@ -486,7 +502,19 @@ class UpscaleEngine:
                                     _HBM_BUDGET_BYTES // per_win))
             return tile, 0, tile_chunk
         # whole-frame; HBM accounting is PER DEVICE (`batch` above is the
-        # per-device share on a dp mesh)
+        # per-device share on a dp mesh).
+        # In-flight reserve (round 5, measured on hardware): the pipeline
+        # dispatches asynchronously with bounded queues, so up to
+        # ~_INFLIGHT_BATCHES batches of device buffers (u8 inputs +
+        # outputs) are ALLOCATED at once on top of the executing
+        # dispatch's working set.  Without this reserve the flagship
+        # int8 1080p b16 job RESOURCE_EXHAUSTED mid-run even after its
+        # own dispatch was chunked to fit.  Floor at budget/4 so huge
+        # frames (4K+) still get a plan (their in-flight depth is then
+        # the binding constraint — the pipeline's queue bounds it).
+        inflight = _INFLIGHT_BATCHES * batch * (
+            h * w * 3 + self._out_bytes(h, w))
+        budget = max(_HBM_BUDGET_BYTES - inflight, _HBM_BUDGET_BYTES // 4)
         if self._has_pre_shuffle:
             # the chunked (pre_shuffle) path carries an extra
             # epilogue-res f32 temp (measured: 4K int8 chunk 4 OOMs
@@ -494,7 +522,8 @@ class UpscaleEngine:
             # chunks with epi counted twice, while the full-batch
             # whole-frame check keeps the calibrated single-count
             # formula.
-            per_frame = self._frame_bytes(h, w) + self._epi_bytes(h, w)
+            per_frame = self._frame_bytes(h, w) + self._epi_bytes(h, w) \
+                + self._out_bytes(h, w)
             # 4K-class frames pay the epilogue-res scratch in the
             # UNCHUNKED graph too: int8 4K b4 (12.7 GB single-count,
             # "fits") was measured RESOURCE_EXHAUSTED while 1080p int8
@@ -502,15 +531,24 @@ class UpscaleEngine:
             # is per-large-frame, not linear in pixels; gate big
             # frames on the epi-double-counted formula (matches all
             # four measured boundaries: 1080p b8/b16 unchunked, 4K b2
-            # unchunked, 4K b4 chunked to 2)
+            # unchunked, 4K b4 chunked to 2).  The output-buffer term
+            # (round 5, _out_bytes) is added everywhere: in production
+            # the outputs outlive the graph.
             gate = (per_frame if h * w > _BIG_FRAME_PIXELS
-                    else self._frame_bytes(h, w))
+                    else self._frame_bytes(h, w) + self._out_bytes(h, w))
         else:
             # RRDB chunks as-is (no pre-shuffle scratch): peak is
-            # chunk x the calibrated per-frame bytes, single-counted
+            # chunk x the calibrated per-frame bytes, single-counted.
+            # No _out_bytes/in-flight terms here: RRDB's epi formula (3.5
+            # output-res feat buffers) already over-covers the u8 output
+            # ~75x, its ~2 fps device rate keeps the pipeline from ever
+            # stacking batches, and the extra terms would push the
+            # MEASURED 720p-b2 whole-frame fit (scripts/perf_rrdb_fit.py)
+            # out of plan
             per_frame = gate = self._frame_bytes(h, w)
-        if gate * batch > _HBM_BUDGET_BYTES:
-            fits = max(1, _HBM_BUDGET_BYTES // per_frame)
+            budget = _HBM_BUDGET_BYTES
+        if gate * batch > budget:
+            fits = max(1, budget // per_frame)
             fits = int(min(fits, batch))
             if self.mesh is None:
                 return 0, fits, 0
@@ -618,12 +656,37 @@ class UpscaleEngine:
         self.stats.compile_count += 1
         return jitted, wf_chunk, shuffle
 
+    def release_measurement_caches(self) -> None:
+        """Drop certification/calibration jit executables: device program
+        memory + cached buffers.  The auto-resolve trial engine is reused
+        as the production engine, and at flagship batch (16x1080p int8
+        whole-frame) the production graph needs ~the whole HBM — the
+        measurement leftovers caused a real RESOURCE_EXHAUSTED during the
+        round-5 hardware product run.  Scales (the installed qbody) are
+        kept; a later re-certification simply recompiles."""
+        self._certify_jitted = None
+        from reve_tpu.weights import quantize
+
+        for fn in (quantize.collect_act_maxima,
+                   quantize.collect_act_maxima_rrdb):
+            try:
+                fn.clear_cache()
+            except Exception:  # cache API is version-dependent; best-effort
+                pass
+        import gc
+
+        gc.collect()
+
     def _get_compiled(self, h: int, w: int):
         """Returns (jitted_fn, wf_chunk, shuffle_fn); wf_chunk > 0 means
         the fn is compiled for wf_chunk-frame sub-batches (submit splits)
         and emits pre-shuffle u8 that `shuffle_fn` finishes."""
         key = (h, w)
         if key not in self._compiled:
+            if not self._compiled:
+                # first production compile: measurement-time executables
+                # must not share the HBM with the production program
+                self.release_measurement_caches()
             built = self._build(h, w)
             if self.compile_attempts > 1:
                 built = self._best_of_compiles(built, h, w)
@@ -646,8 +709,12 @@ class UpscaleEngine:
         t0 = time.perf_counter()
         n = 0
         for _ in range(2):
-            out = fn(self.params, self._qbody, x)
-            float(jnp.sum(out, dtype=jnp.int32))
+            # never BIND the output: the on-device sum consumes it and the
+            # ~100 MB/frame u8 buffer frees immediately — a probe holding
+            # an extra full-batch output next to two candidate binaries
+            # contributed to the round-5 flagship RESOURCE_EXHAUSTED
+            float(jnp.sum(fn(self.params, self._qbody, x),
+                          dtype=jnp.int32))
             n += 1
             if time.perf_counter() - t0 > _LOTTERY_PROBE_CAP_S:
                 break
@@ -659,7 +726,14 @@ class UpscaleEngine:
         computes bit-identical output (the bust adds +0.0f), so the choice
         affects only throughput.  A failed reroll never breaks a working
         engine."""
-        best_fps = self._probe_fps(built[0], built[1], h, w)
+        try:
+            best_fps = self._probe_fps(built[0], built[1], h, w)
+        except Exception as e:
+            # a probe-time failure (e.g. transient HBM pressure) must not
+            # kill the job: keep attempt 0 unprobed, skip the lottery
+            log.warning("compile probe failed (%s); skipping the lottery "
+                        "reroll for this resolution", str(e)[:200])
+            return built
         log.info("compile attempt 0 (%dx%d): %.1f fps probe", h, w, best_fps)
         best = built
         for attempt in range(1, self.compile_attempts):
@@ -763,7 +837,10 @@ class UpscaleEngine:
         max-calibration, and for percentile calibration the statistic is
         max-of-chunk-percentiles — deterministic in (frames, chunking),
         so every worker/resume still derives identical scales before the
-        first-wins hook arbitrates."""
+        first-wins hook arbitrates.  The sample is padded (cyclic frame
+        repeats, like _dp_pad) to a chunk multiple so EVERY chunk shares
+        one compiled shape: this stack's remote per-compile latency
+        dominates the resolution pre-pass."""
         from reve_tpu.weights import quantize
 
         frames, _ = self._dp_pad(self._calib_crop(frames))
@@ -774,11 +851,19 @@ class UpscaleEngine:
             # a dp mesh already divides the batch across devices (and a
             # non-divisible chunk would break the sharded placement)
             chunk = n
+        pad = (-n) % chunk
+        if pad:
+            # repeated frames only re-observe existing content — they can
+            # never raise a max, and only (deterministically) re-weight
+            # the last chunk's percentile
+            frames = np.concatenate([frames, frames[np.arange(pad) % n]])
         maxima = None
-        for i in range(0, n, chunk):
+        for i in range(0, len(frames), chunk):
+            # ship u8, convert on device: host<->device links (this
+            # image's relay especially) should carry 1 byte/px, not 4
             x = self._place(
-                np.ascontiguousarray(frames[i:i + chunk], np.uint8)
-                .astype(np.float32) / 255.0)
+                np.ascontiguousarray(frames[i:i + chunk], np.uint8))
+            x = x.astype(jnp.float32) / 255.0
             m = np.asarray(quantize.collect_maxima(
                 self.params, x, cfg=self.cfg, compute_dtype=jnp.float32,
                 percentile=self._calib_percentile))
@@ -878,18 +963,22 @@ class UpscaleEngine:
         if self._batch_sharding is not None or not chunk or \
                 chunk >= n_real == len(padded):
             # single dispatch (dp-pad duplicates masked out by n_real)
-            x = self._place(
-                np.ascontiguousarray(padded, np.uint8).astype(np.float32)
-                / 255.0)
-            sse = float(fn(self.params, self._qbody, x, n_real))
+            x = self._place(np.ascontiguousarray(padded, np.uint8))
+            sse = float(fn(self.params, self._qbody, x,
+                           jnp.int32(n_real)))
         else:
+            # pad to a chunk multiple so every dispatch shares ONE
+            # compiled shape (n_real is a traced scalar, so the masked
+            # tail chunk reuses the same executable)
+            pad = (-n_real) % chunk
+            seq = measured if not pad else np.concatenate(
+                [measured, measured[np.arange(pad) % n_real]])
             sse = 0.0
-            for i in range(0, n_real, chunk):
-                part = measured[i:min(i + chunk, n_real)]
+            for i in range(0, len(seq), chunk):
                 x = self._place(
-                    np.ascontiguousarray(part, np.uint8).astype(np.float32)
-                    / 255.0)
-                sse += float(fn(self.params, self._qbody, x, len(part)))
+                    np.ascontiguousarray(seq[i:i + chunk], np.uint8))
+                sse += float(fn(self.params, self._qbody, x,
+                                jnp.int32(min(chunk, n_real - i))))
         cnt = n_real * (padded.shape[1] * self.scale) * \
             (padded.shape[2] * self.scale) * 3
         mse = max(sse / max(cnt, 1), 1e-12)
@@ -897,10 +986,12 @@ class UpscaleEngine:
 
     def _certify_fn(self):
         """Cached jit of the int8-vs-f32 certification pass: both model
-        applies + the masked squared-error reduction in one compile per
-        (chunk shape, n_real)."""
+        applies + the masked squared-error reduction, ONE compile per
+        chunk shape (the valid-frame count is a traced scalar)."""
         if getattr(self, "_certify_jitted", None) is None:
-            def fn(params, qbody, x, n_real):
+            def fn(params, qbody, x_u8, n_real):
+                # u8 over the link; normalize on device
+                x = x_u8.astype(jnp.float32) / 255.0
                 y8 = self._arch_apply(params, x, quantize_u8=True,
                                       qbody=qbody)
                 yf = self._arch_apply(params, x, quantize_u8=True,
@@ -911,7 +1002,7 @@ class UpscaleEngine:
                                * mask.astype(jnp.float32)[:, None, None,
                                                           None])
 
-            self._certify_jitted = jax.jit(fn, static_argnums=(3,))
+            self._certify_jitted = jax.jit(fn)
         return self._certify_jitted
 
     def warmup(self, h: int, w: int) -> None:

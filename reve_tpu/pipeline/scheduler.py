@@ -581,6 +581,44 @@ class PipelineJob:
         self.errors.append(PipelineError("cancelled"))
         self._stop.set()
 
+    #: seconds of NO encode progress (no frame encoded, no segment
+    #: committed) before the drain declares the encoder hung.  This is a
+    #: stall window, not a total budget: a relay-walled device_wait or a
+    #: slow-codec writer legitimately runs long (the round-5 hardware run
+    #: measured cv2/VP9 spending 216 s flushing its ~25-frame lookahead
+    #: inside writer.close() on one 4K segment — under a fixed total
+    #: budget that honest slowness aborted a job that was finishing).
+    ENCODE_STALL_S = 600.0
+
+    def _drain_encode(self, encode_t: threading.Thread) -> None:
+        """Wait for the encode stage to finish, failing only on a STALL
+        (ENCODE_STALL_S without any counter movement) — a hung/glacial
+        encoder must not look like success (the last segment would be
+        truncated, finalize would concat it and destroy the workspace),
+        but a slow one that is visibly progressing must be allowed to
+        finish."""
+        import time
+
+        snap = self.progress.snapshot()
+        last = (snap["encode"]["done"], snap["total"]["done"])
+        stall_t0 = time.monotonic()
+        while encode_t.is_alive():
+            encode_t.join(timeout=15)
+            if not encode_t.is_alive():
+                return
+            snap = self.progress.snapshot()
+            cur = (snap["encode"]["done"], snap["total"]["done"])
+            now = time.monotonic()
+            if cur != last:
+                last, stall_t0 = cur, now
+            elif now - stall_t0 > self.ENCODE_STALL_S:
+                if not self.errors:
+                    self.errors.append(PipelineError(
+                        f"encode stage made no progress for "
+                        f"{self.ENCODE_STALL_S:.0f} s during drain"))
+                self._stop.set()
+                return
+
     def run(self) -> JobState:
         """Process all pending segments; returns the final (empty-pending)
         state. Raises the first stage error if any stage failed."""
@@ -613,13 +651,7 @@ class PipelineJob:
         finally:
             self._put_sentinel(self.encode_q, encode_t)
             decode_t.join(timeout=30)
-            encode_t.join(timeout=600)
-            if encode_t.is_alive() and not self.errors:
-                # a hung/glacial encoder must NOT look like success: the
-                # last segment is still in flight and finalize would concat
-                # a truncated output (then destroy the live workspace)
-                self.errors.append(PipelineError(
-                    "encode stage still running after 600 s drain timeout"))
+            self._drain_encode(encode_t)
         if self.errors:
             raise self.errors[0]
         if self.state.pending:

@@ -33,8 +33,15 @@ def test_chunked_execution_exact(monkeypatch):
 
     # budget below one batch but above one frame -> whole-frame chunked
     e = _engine(tile=0, batch_size=5)
-    per = e._frame_bytes(40, 56) + e._epi_bytes(40, 56)  # chunk cost model
-    monkeypatch.setattr(engine_mod, "_HBM_BUDGET_BYTES", 2 * per)
+    # the chunk cost model: epi double-counted + the u8 output buffer +
+    # the in-flight batch reserve (round-5 terms — outputs outlive the
+    # graph in production and async batches stack)
+    per = e._frame_bytes(40, 56) + e._epi_bytes(40, 56) \
+        + e._out_bytes(40, 56)
+    inflight = engine_mod._INFLIGHT_BATCHES * 5 * (
+        40 * 56 * 3 + e._out_bytes(40, 56))
+    monkeypatch.setattr(engine_mod, "_HBM_BUDGET_BYTES",
+                        2 * per + inflight)
     tile, wf_chunk, _ = e._plan_execution(40, 56)
     assert tile == 0 and wf_chunk == 2  # 5 frames -> chunks of 2 (padded)
     np.testing.assert_array_equal(e.upscale_frames(frames), ref)
@@ -114,12 +121,21 @@ def test_auto_execution_plan():
     assert b8._plan_execution(1080, 1920) == (0, 0, 0)  # the bench config
     # int8 4K x4 b4: the single-count formula says 12.7 GB "fits", but it
     # was measured RESOURCE_EXHAUSTED — the big-frame epi-double-counted
-    # gate must chunk it to 2 (the measured boundary), while 1080p int8
-    # b16 (identical total bytes, measured fitting) stays unchunked
+    # gate chunks it; with the round-5 in-flight reserve the chunk is 1
+    # (stricter than the measured-safe 2 — safe side only)
     i4 = _engine(tile=0, batch_size=4, scale=4, compute_dtype="int8")
-    assert i4._plan_execution(2160, 3840) == (0, 2, 0)
+    assert i4._plan_execution(2160, 3840) == (0, 1, 0)
+    # 1080p int8 b16 at x2 still fits whole-batch (small outputs)
     i16 = _engine(tile=0, batch_size=16, compute_dtype="int8")
     assert i16._plan_execution(1080, 1920) == (0, 0, 0)
+    # ... but the x4 FLAGSHIP config no longer does: unchunked was
+    # measured fitting STANDALONE (round 4), while the round-5 PRODUCT
+    # run hit a real RESOURCE_EXHAUSTED once ~4 async batches of
+    # in-flight 4K outputs stacked on the graph — the in-flight reserve
+    # chunks this boundary now
+    i16x4 = _engine(tile=0, batch_size=16, scale=4, compute_dtype="int8")
+    tile, wf_chunk, _ = i16x4._plan_execution(1080, 1920)
+    assert tile == 0 and 1 <= wf_chunk < 16
     # 8K: a single bf16 frame blows the budget -> tiled, chunked windows
     tile, _, tile_chunk = b8._plan_execution(4320, 7680)
     assert tile > 0 and tile_chunk >= 1

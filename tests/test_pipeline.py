@@ -655,3 +655,68 @@ def test_pacing_slowest_host_stage_sets_the_pace(tmp_path, monkeypatch):
         (wall, decode_only)
     # the starvation is real and measured: the device waits on decode
     assert eng.idle_fraction > 0.5, eng.idle_fraction
+
+
+# -- progress-aware encode drain (round-5 hardware finding) -----------------
+
+def test_slow_but_progressing_encoder_finishes(tmp_path, monkeypatch):
+    """A legitimately slow encoder (relay-walled writes, VP9 lookahead
+    flush in close()) must be allowed to finish: the drain fails on a
+    STALL, not on a total budget.  Here every write outlasts repeated
+    15s-sliced joins scaled down: stall window 1.2 s, writes 0.4 s apart
+    -> the job completes even though the drain takes > the stall window
+    in total."""
+    import time
+
+    from reve_tpu.io import writer as writer_io
+
+    inp = _make_input(tmp_path, num_frames=6)
+    ws, st = _make_state(tmp_path, inp, num_frames=6, seg=6)
+    orig_open_writer = writer_io.open_writer
+
+    def slow_writer(path, *a, **kw):
+        wr = orig_open_writer(path, *a, **kw)
+        orig_write = wr.write
+
+        def write(frame):
+            time.sleep(0.4)
+            orig_write(frame)
+
+        wr.write = write
+        return wr
+
+    monkeypatch.setattr(scheduler.writer_mod, "open_writer", slow_writer)
+    job = scheduler.PipelineJob(st, ws, FakeEngine(batch_size=2),
+                                io_backend="y4m", part_ext=".y4m")
+    job.ENCODE_STALL_S = 1.2
+    final = job.run()
+    assert final.pending == []
+    assert ws.completed_parts(".y4m") == [0]
+
+
+def test_hung_encoder_still_hard_fails(tmp_path, monkeypatch):
+    """An encoder making NO progress past the stall window is an error —
+    the invariant the fixed drain keeps from the old total-budget form
+    (a truncated last segment must never finalize)."""
+    import threading
+
+    from reve_tpu.io import writer as writer_io
+
+    inp = _make_input(tmp_path, num_frames=6)
+    ws, st = _make_state(tmp_path, inp, num_frames=6, seg=6)
+    orig_open_writer = writer_io.open_writer
+    release = threading.Event()
+
+    def hung_writer(path, *a, **kw):
+        wr = orig_open_writer(path, *a, **kw)
+        wr.write = lambda frame: release.wait()  # blocks forever
+        return wr
+
+    monkeypatch.setattr(scheduler.writer_mod, "open_writer", hung_writer)
+    job = scheduler.PipelineJob(st, ws, FakeEngine(batch_size=2),
+                                io_backend="y4m", part_ext=".y4m")
+    job.ENCODE_STALL_S = 0.8
+    with pytest.raises(scheduler.PipelineError,
+                       match="no progress|stopping"):
+        job.run()
+    release.set()  # unblock the daemon thread for teardown
