@@ -44,11 +44,17 @@ log = logging.getLogger(__name__)
 #: a 16 GB v5e: bf16 1080p b8 fits / b12 does not; int8 1080p b16 fits /
 #: b24 does not; bf16+int8 4K b2 fit / b4 does not.
 _HBM_BUDGET_BYTES = 13 << 30
-#: async batches whose device buffers (u8 in + u8 out) coexist with the
-#: executing dispatch: the scheduler's device queue (3) + the batch being
-#: submitted.  Reserved out of the SRVGG whole-frame budget (round 5 —
-#: the flagship int8 1080p b16 product run OOM'd without it)
-_INFLIGHT_BATCHES = 4
+#: in-flight batch IO sets (u8 inputs + u8 outputs) the whole-frame plan
+#: reserves HBM for, so the pipeline can hold completed batches while the
+#: encoder drains and still dispatch the next one.  Measured round 5 on a
+#: real v5e (flagship 1080p x4 int8 b16): the UNCHUNKED graph + even ONE
+#: extra IO set is RESOURCE_EXHAUSTED, while the 8-frame-chunked graph
+#: runs with 3-4 sets alive — so the plan chunks until >= this many sets
+#: fit, and recommended_queue_depth() hands the scheduler the depth the
+#: leftover headroom affords.  Big frames (> _BIG_FRAME_PIXELS) reserve 1
+#: set: their chunked working set dominates and their device rate keeps
+#: the queue shallow.
+_PLAN_INFLIGHT_SETS = 2
 _ACT_BUFFERS = 3
 #: int8 hidden activations are 1 byte (2 live buffers) and the bf16
 #: first-conv transient amortizes — 3 bytes/elem reproduces the measured
@@ -502,62 +508,83 @@ class UpscaleEngine:
                                     _HBM_BUDGET_BYTES // per_win))
             return tile, 0, tile_chunk
         # whole-frame; HBM accounting is PER DEVICE (`batch` above is the
-        # per-device share on a dp mesh).
-        # In-flight reserve (round 5, measured on hardware): the pipeline
-        # dispatches asynchronously with bounded queues, so up to
-        # ~_INFLIGHT_BATCHES batches of device buffers (u8 inputs +
-        # outputs) are ALLOCATED at once on top of the executing
-        # dispatch's working set.  Without this reserve the flagship
-        # int8 1080p b16 job RESOURCE_EXHAUSTED mid-run even after its
-        # own dispatch was chunked to fit.  Floor at budget/4 so huge
-        # frames (4K+) still get a plan (their in-flight depth is then
-        # the binding constraint — the pipeline's queue bounds it).
-        inflight = _INFLIGHT_BATCHES * batch * (
-            h * w * 3 + self._out_bytes(h, w))
-        budget = max(_HBM_BUDGET_BYTES - inflight, _HBM_BUDGET_BYTES // 4)
+        # per-device share on a dp mesh).  The plan sizes the chunk so the
+        # chunked working set PLUS an in-flight IO reserve fit: the
+        # pipeline dispatches asynchronously with bounded queues, so
+        # batches of device buffers (u8 inputs + outputs) stay allocated
+        # on top of the executing dispatch while the encoder drains.
+        # Measured round 5 (real v5e, flagship 1080p x4 int8 b16): the
+        # unchunked graph + ONE extra IO set is RESOURCE_EXHAUSTED; the
+        # 8-frame chunk + 3-4 sets runs, and its piece graph benches at
+        # 88% of the unchunked rate (raw-b8 75.2 vs raw-b16 85.6 fps on
+        # the depth-8 student) — chunking is the cheap side of the trade.
+        big = h * w > _BIG_FRAME_PIXELS
+        io_batch = batch * (h * w * 3 + self._out_bytes(h, w))
         if self._has_pre_shuffle:
-            # the chunked (pre_shuffle) path carries an extra
-            # epilogue-res f32 temp (measured: 4K int8 chunk 4 OOMs
-            # while the formula said it fits; chunk 2 runs) — size
-            # chunks with epi counted twice, while the full-batch
-            # whole-frame check keeps the calibrated single-count
-            # formula.
-            per_frame = self._frame_bytes(h, w) + self._epi_bytes(h, w) \
-                + self._out_bytes(h, w)
-            # 4K-class frames pay the epilogue-res scratch in the
-            # UNCHUNKED graph too: int8 4K b4 (12.7 GB single-count,
-            # "fits") was measured RESOURCE_EXHAUSTED while 1080p int8
-            # b16 — the identical total bytes — runs, so the overhead
-            # is per-large-frame, not linear in pixels; gate big
-            # frames on the epi-double-counted formula (matches all
-            # four measured boundaries: 1080p b8/b16 unchunked, 4K b2
-            # unchunked, 4K b4 chunked to 2).  The output-buffer term
-            # (round 5, _out_bytes) is added everywhere: in production
-            # the outputs outlive the graph.
-            gate = (per_frame if h * w > _BIG_FRAME_PIXELS
-                    else self._frame_bytes(h, w) + self._out_bytes(h, w))
+            per_frame = self._frame_bytes(h, w) + self._out_bytes(h, w)
+            if big:
+                # 4K-class frames pay an extra epilogue-res scratch
+                # (measured: int8 4K b4 at 12.7 GB single-count "fits"
+                # was RESOURCE_EXHAUSTED while 1080p int8 b16 — the
+                # identical total bytes — runs; epi-double-counting
+                # matches all four measured fit boundaries)
+                per_frame += self._epi_bytes(h, w)
+            reserve = (1 if big else _PLAN_INFLIGHT_SETS) * io_batch
         else:
             # RRDB chunks as-is (no pre-shuffle scratch): peak is
             # chunk x the calibrated per-frame bytes, single-counted.
-            # No _out_bytes/in-flight terms here: RRDB's epi formula (3.5
+            # No _out_bytes/in-flight terms: RRDB's epi formula (3.5
             # output-res feat buffers) already over-covers the u8 output
             # ~75x, its ~2 fps device rate keeps the pipeline from ever
             # stacking batches, and the extra terms would push the
             # MEASURED 720p-b2 whole-frame fit (scripts/perf_rrdb_fit.py)
             # out of plan
-            per_frame = gate = self._frame_bytes(h, w)
-            budget = _HBM_BUDGET_BYTES
-        if gate * batch > budget:
-            fits = max(1, budget // per_frame)
-            fits = int(min(fits, batch))
-            if self.mesh is None:
-                return 0, fits, 0
-            # dp mesh: submit() slices the GLOBAL batch into wf_chunk
-            # pieces; each piece keeps the P('dp') sharding iff its
-            # length is a dp multiple, so the chunk is the per-device
-            # fit x dp (every device runs `fits` frames per call)
-            return 0, fits * self.mesh.shape["dp"], 0
-        return 0, 0, 0
+            per_frame = self._frame_bytes(h, w)
+            reserve = 0
+        fits = int(min(max(1, (_HBM_BUDGET_BYTES - reserve) // per_frame),
+                       batch))
+        if fits >= batch:
+            return 0, 0, 0
+        # chunk choice: first minimize dispatch count, then padded waste
+        # (a non-divisor chunk repeat-pads the tail INSIDE the same
+        # compiled piece graph — no extra compile, but wasted compute:
+        # wf=5 on b16 burns 20 padded frames per 16 useful; wf=4 burns 0)
+        dispatches = -(-batch // fits)
+        chunk = -(-batch // dispatches)
+        if self.mesh is None:
+            return 0, chunk, 0
+        # dp mesh: submit() slices the GLOBAL batch into wf_chunk
+        # pieces; each piece keeps the P('dp') sharding iff its
+        # length is a dp multiple, so the chunk is the per-device
+        # fit x dp (every device runs `chunk` frames per call)
+        return 0, chunk * self.mesh.shape["dp"], 0
+
+    def recommended_queue_depth(self, h: int, w: int) -> int:
+        """Device-queue depth (completed batches the scheduler may hold
+        beyond the executing dispatch) the HBM plan's leftover headroom
+        affords at this resolution.  PipelineJob sizes its encode queue
+        with this so backpressure engages BEFORE the allocator runs out:
+        queue depth + the executing dispatch must keep
+        working_set + sets * io_bytes inside the budget (the round-5
+        flagship OOM was exactly this product, unbounded)."""
+        tile, wf, tile_chunk = self._plan_execution(h, w)
+        batch = self._per_device_batch()
+        io_batch = batch * (h * w * 3 + self._out_bytes(h, w))
+        if tile:
+            wh = min(h, tile + 2 * self.halo)
+            ww = min(w, tile + 2 * self.halo)
+            ws = self._frame_bytes(wh, ww) * max(tile_chunk, 1)
+        else:
+            per_frame = self._frame_bytes(h, w) + self._out_bytes(h, w)
+            if not self._has_pre_shuffle:
+                per_frame = self._frame_bytes(h, w)
+            elif h * w > _BIG_FRAME_PIXELS:
+                per_frame += self._epi_bytes(h, w)
+            per_dev_chunk = max(1, wf // (self.mesh.shape["dp"]
+                                          if self.mesh is not None else 1))
+            ws = per_frame * (per_dev_chunk if wf else batch)
+        headroom = (_HBM_BUDGET_BYTES - ws) // max(io_batch, 1)
+        return int(min(3, max(1, headroom - 1)))
 
     @property
     def _has_pre_shuffle(self) -> bool:
@@ -611,22 +638,28 @@ class UpscaleEngine:
                 return y.astype(jnp.uint8)
 
             # whole-frame.  When the full batch exceeds HBM (wf_chunk > 0,
-            # e.g. 4K), this fn is compiled for wf_chunk-frame sub-batches
-            # and submit() dispatches it several times per batch —
-            # measured 2.5x faster than tiling at 4K (PERF.md round 3).
+            # e.g. 4K, or the flagship with its in-flight IO reserve),
+            # this fn is compiled for wf_chunk-frame sub-batches and
+            # submit() dispatches it several times per batch — measured
+            # 2.5x faster than tiling at 4K (PERF.md round 3).
             x = bust(u8.astype(jnp.float32) * (1.0 / 255.0))
             # quantize before the pixel-shuffle inside the model epilogue
-            # (exact; 4x less HBM traffic at output res).  wf_chunk
-            # (4K-class frames): emit the PRE-shuffle u8 tensor and run
-            # the depth-to-space as a separate small jit (submit) — the
-            # in-graph d2s transpose at this size crashes / degrades the
-            # compiler (PERF.md round-3 "4K story").  Only SRVGG has a
-            # pixel-shuffle epilogue to split out; RRDB upsamples via
-            # interpolate+conv inside apply and chunks as-is.
+            # (exact; 4x less HBM traffic at output res).  Chunked
+            # BIG frames (4K-class): emit the PRE-shuffle u8 tensor and
+            # run the depth-to-space as a separate small jit (submit) —
+            # the in-graph d2s transpose at this size crashes / degrades
+            # the compiler (PERF.md round-3 "4K story").  Chunked SMALL
+            # frames (1080p-class, chunked only for the in-flight IO
+            # reserve) keep the shuffle IN-graph: the split-out shuffle
+            # measured ~40 fps vs 75.2 in-graph on the same 8-frame piece
+            # (round 5, depth-8 student).  Only SRVGG has a pixel-shuffle
+            # epilogue to split out; RRDB upsamples via interpolate+conv
+            # inside apply and chunks as-is.
             return self._arch_apply(params, x, quantize_u8=True,
                                     qbody=qbody,
                                     pre_shuffle=bool(wf_chunk)
-                                    and self._has_pre_shuffle)
+                                    and self._has_pre_shuffle
+                                    and h * w > _BIG_FRAME_PIXELS)
 
         opts = self._compiler_options
         if opts == "auto":
@@ -645,7 +678,8 @@ class UpscaleEngine:
                 opts = compileopts.env_compiler_options()
         jitted = jax.jit(fn, compiler_options=opts or None)
         shuffle = None
-        if wf_chunk and self._has_pre_shuffle:
+        if wf_chunk and self._has_pre_shuffle \
+                and h * w > _BIG_FRAME_PIXELS:
             from reve_tpu.ops.pixel_shuffle import pixel_shuffle_rowphase
 
             # the d2s for the pre-shuffle output, as its own tiny jit
@@ -706,19 +740,40 @@ class UpscaleEngine:
         x = self._place(jnp.asarray(dummy))
         # first call pays the compile; not timed
         float(jnp.sum(fn(self.params, self._qbody, x), dtype=jnp.int32))
+        # catastrophic-binary check: one fully-synced call under the cap
+        # timer.  Never BIND the output: the on-device sum consumes it
+        # and the ~100 MB/frame u8 buffer frees immediately — a probe
+        # holding an extra full-batch output next to two candidate
+        # binaries contributed to the round-5 flagship RESOURCE_EXHAUSTED
         t0 = time.perf_counter()
-        n = 0
-        for _ in range(2):
-            # never BIND the output: the on-device sum consumes it and the
-            # ~100 MB/frame u8 buffer frees immediately — a probe holding
-            # an extra full-batch output next to two candidate binaries
-            # contributed to the round-5 flagship RESOURCE_EXHAUSTED
-            float(jnp.sum(fn(self.params, self._qbody, x),
-                          dtype=jnp.int32))
-            n += 1
-            if time.perf_counter() - t0 > _LOTTERY_PROBE_CAP_S:
-                break
-        return call_batch * n / max(time.perf_counter() - t0, 1e-9)
+        float(jnp.sum(fn(self.params, self._qbody, x), dtype=jnp.int32))
+        synced = call_batch / max(time.perf_counter() - t0, 1e-9)
+        if not wf_chunk or time.perf_counter() - t0 > _LOTTERY_PROBE_CAP_S:
+            # unchunked plans fill the budget with ONE dispatch's working
+            # set — per-call sync keeps at most one output alive.  (The
+            # sync round-trip is amortized over the full batch there.)
+            return synced
+        # chunked plans: the production pipeline enqueues pieces
+        # back-to-back with NO device ops between them (PendingBatch
+        # consumes outputs via async host copies), so measure a burst of
+        # bare fn dispatches synced ONCE at the end.  Anything else
+        # mis-measures on this stack: an eager sum per call added ~80 ms
+        # of consumption overhead per piece (38.7 "probe fps" where the
+        # same binary sustains ~74 — round-5 three-way experiment), and
+        # block_until_ready does not reliably observe completion
+        # (CLAUDE.md).  Dropping the previous output's ref each
+        # iteration frees it right after its producing dispatch retires,
+        # so ~2 piece outputs are alive at once — inside the plan's IO
+        # reserve.
+        burst = max(4, 2 * (self.batch_size // max(wf_chunk, 1)))
+        t1 = time.perf_counter()
+        y = None
+        for _ in range(burst):
+            y = fn(self.params, self._qbody, x)
+        # consume a small contiguous window of the LAST output: in-order
+        # execution means this sync covers the whole burst
+        float(jnp.sum(y[:, :8, :128].astype(jnp.int32)))
+        return call_batch * burst / max(time.perf_counter() - t1, 1e-9)
 
     def _best_of_compiles(self, built, h: int, w: int):
         """Compile-lottery mitigation: probe attempt 0's binary, reroll

@@ -371,7 +371,7 @@ class PipelineJob:
         part_ext: str = ".mp4",
         progress: Optional[ProgressTracker] = None,
         decode_queue_depth: int = 4,
-        device_queue_depth: int = 3,
+        device_queue_depth: Optional[int] = None,
         tracer=None,
     ):
         from reve_tpu.utils import trace as trace_mod
@@ -383,6 +383,18 @@ class PipelineJob:
         self.part_ext = part_ext
         self.tracer = tracer or trace_mod.from_env()
         self.decode_q: "queue.Queue" = queue.Queue(maxsize=decode_queue_depth)
+        if device_queue_depth is None:
+            # HBM-planned depth: completed batches held on device beyond
+            # the executing dispatch must leave the engine's working set
+            # inside the budget (the round-5 flagship OOM was an
+            # unbounded version of exactly this product) — ask the
+            # engine's plan; fall back to the legacy depth for engines
+            # without the hook (tests' synthetic engines)
+            try:
+                device_queue_depth = engine.recommended_queue_depth(
+                    state.height, state.width)
+            except AttributeError:
+                device_queue_depth = 3
         self.encode_q: "queue.Queue" = queue.Queue(maxsize=device_queue_depth)
         self.errors: list = []
         #: identity of the encoder actually used (e.g. "ffmpeg:libx265",

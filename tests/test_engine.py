@@ -33,15 +33,15 @@ def test_chunked_execution_exact(monkeypatch):
 
     # budget below one batch but above one frame -> whole-frame chunked
     e = _engine(tile=0, batch_size=5)
-    # the chunk cost model: epi double-counted + the u8 output buffer +
-    # the in-flight batch reserve (round-5 terms — outputs outlive the
-    # graph in production and async batches stack)
-    per = e._frame_bytes(40, 56) + e._epi_bytes(40, 56) \
-        + e._out_bytes(40, 56)
-    inflight = engine_mod._INFLIGHT_BATCHES * 5 * (
+    # the chunk cost model (round 5): per-frame working set + the u8
+    # output buffer, with an in-flight IO reserve for the batches the
+    # pipeline holds while the encoder drains (small frames reserve
+    # _PLAN_INFLIGHT_SETS sets; outputs outlive the graph in production)
+    per = e._frame_bytes(40, 56) + e._out_bytes(40, 56)
+    reserve = engine_mod._PLAN_INFLIGHT_SETS * 5 * (
         40 * 56 * 3 + e._out_bytes(40, 56))
     monkeypatch.setattr(engine_mod, "_HBM_BUDGET_BYTES",
-                        2 * per + inflight)
+                        2 * per + reserve)
     tile, wf_chunk, _ = e._plan_execution(40, 56)
     assert tile == 0 and wf_chunk == 2  # 5 frames -> chunks of 2 (padded)
     np.testing.assert_array_equal(e.upscale_frames(frames), ref)
@@ -121,10 +121,10 @@ def test_auto_execution_plan():
     assert b8._plan_execution(1080, 1920) == (0, 0, 0)  # the bench config
     # int8 4K x4 b4: the single-count formula says 12.7 GB "fits", but it
     # was measured RESOURCE_EXHAUSTED — the big-frame epi-double-counted
-    # gate chunks it; with the round-5 in-flight reserve the chunk is 1
-    # (stricter than the measured-safe 2 — safe side only)
+    # gate chunks it to the measured-safe 2 (round-3 hardware: chunk 2
+    # runs, chunk 4 OOMs), with 1 in-flight IO set reserved
     i4 = _engine(tile=0, batch_size=4, scale=4, compute_dtype="int8")
-    assert i4._plan_execution(2160, 3840) == (0, 1, 0)
+    assert i4._plan_execution(2160, 3840) == (0, 2, 0)
     # 1080p int8 b16 at x2 still fits whole-batch (small outputs)
     i16 = _engine(tile=0, batch_size=16, compute_dtype="int8")
     assert i16._plan_execution(1080, 1920) == (0, 0, 0)
@@ -147,6 +147,49 @@ def test_auto_execution_plan():
     n = _engine(tile=-1, batch_size=8, compute_dtype="bfloat16")
     tile, wf_chunk, _ = n._plan_execution(4320, 7680)
     assert tile == 0 and wf_chunk == 1
+
+
+def test_plan_chunk_minimizes_padded_waste():
+    """The chunk rule minimizes dispatch count, then padded waste: a
+    16-frame batch that fits 5 frames per dispatch must chunk to 4
+    (4 dispatches, zero padding), NOT 5 (4 dispatches, 20 padded frames
+    per 16 useful = 25% wasted MXU time — the measured round-5 product
+    regression: the wf=5 flagship plan probed 39.8 fps where wf=8
+    benches 75.2)."""
+    from reve_tpu.pipeline import engine as engine_mod
+
+    e = _engine(tile=0, batch_size=16, scale=4, compute_dtype="int8")
+    per = e._frame_bytes(1080, 1920) + e._out_bytes(1080, 1920)
+    io = 16 * (1080 * 1920 * 3 + e._out_bytes(1080, 1920))
+    reserve = engine_mod._PLAN_INFLIGHT_SETS * io
+    budget = 5 * per + reserve  # 5 frames fit beside the reserve
+    orig = engine_mod._HBM_BUDGET_BYTES
+    engine_mod._HBM_BUDGET_BYTES = budget
+    try:
+        assert e._plan_execution(1080, 1920) == (0, 4, 0)
+    finally:
+        engine_mod._HBM_BUDGET_BYTES = orig
+
+
+def test_recommended_queue_depth():
+    """The scheduler's device-queue depth comes from the plan's leftover
+    HBM headroom: flagship int8 1080p x4 b16 (chunked to 8) affords a
+    couple of held batches; a tiny job is capped at 3; the floor is 1 so
+    the pipeline always overlaps at least one batch."""
+    i16 = _engine(tile=0, batch_size=16, scale=4, compute_dtype="int8")
+    d = i16.recommended_queue_depth(1080, 1920)
+    assert 1 <= d <= 3
+    # sanity: the working set the depth was computed against + the held
+    # sets must stay inside the budget
+    from reve_tpu.pipeline import engine as engine_mod
+
+    _, wf, _ = i16._plan_execution(1080, 1920)
+    per = i16._frame_bytes(1080, 1920) + i16._out_bytes(1080, 1920)
+    io = 16 * (1080 * 1920 * 3 + i16._out_bytes(1080, 1920))
+    assert per * wf + (d + 1) * io <= engine_mod._HBM_BUDGET_BYTES
+    # small job: plenty of headroom -> capped at the legacy depth
+    small = _engine(tile=0, batch_size=2)
+    assert small.recommended_queue_depth(64, 64) == 3
 
 
 def test_short_batch_padding():
